@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Relational operator coverage over the TPC-H-ish testdata tables,
+  * mapping to SURVEY §2.3 (projections/filters), §2.4 (joins), §2.5
+  * (aggregations), §2.6 (windows), §2.7 (sorts/limits/top-k) and §2.8
+  * (scalar functions). Every query is declarative DataFrame API so Catalyst
+  * pushes filters/prunes columns into the parquet scans, and small join
+  * sides are broadcast.
+  */
+object RelationalQueries {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  /** A3/A4/A5/P1: TPC-H Q1-shaped pricing summary — partial aggregation
+    * (map-side combine) keeps the shuffle tiny at any scale: 6 groups.
+    */
+  val q1 = Q(
+    "q1_pricing_summary",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""select l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) as sum_qty,
+      round(sum(l_extendedprice), 2) as sum_base_price,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 4) as sum_disc_price,
+      round(avg(l_quantity), 6) as avg_qty,
+      round(avg(l_extendedprice), 6) as avg_price,
+      round(avg(l_discount), 6) as avg_disc,
+      count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    order by l_returnflag, l_linestatus"""),
+    "A3-A5/P1: grouped pricing summary")
+
+  /** J1/J2/P5: revenue per nation for one region — orders is the fact side;
+    * region/nation are broadcast (tiny), customer joins pre-filtered.
+    */
+  val q2 = Q(
+    "q2_region_revenue",
+    (s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+    Some("""select n_name,
+      round(sum(o_totalprice), 2) as revenue,
+      count(*) as n_orders
+    from orders
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+    group by n_name
+    order by n_name"""),
+    "J1/J2/P5: multi-way equi-join with broadcast dims")
+
+  /** O5/W6: top-5 orders per market segment — deterministic tie-break on
+    * o_orderkey, the canonical row_number top-k-per-group plan.
+    */
+  val q3 = Q(
+    "q3_top_orders_per_segment",
+    (s, dir) => {
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    },
+    Some("""select * from (
+      select c_mktsegment, o_orderkey, o_totalprice,
+        row_number() over (partition by c_mktsegment
+                           order by o_totalprice desc, o_orderkey) as rn
+      from orders join customer on o_custkey = c_custkey) t
+    where rn <= 5
+    order by c_mktsegment, rn"""),
+    "O5/W6: top-k per group via ranked window")
+
+  /** W1: 5-row rolling average per user over the events stream. */
+  val q4 = Q(
+    "q4_rolling_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          round(avg("value").over(w), 6).as("rolling_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""select user_id, event_id,
+      round(avg(value) over (partition by user_id order by ts, event_id
+        rows between 4 preceding and current row), 6) as rolling_value
+    from events
+    order by user_id, event_id"""),
+    "W1: rolling mean window")
+
+  /** W2/W3/W5: sessionization — LAG gap detection + running-sum session ids
+    * (the gaps-and-islands shape of the reference's episode detection,
+    * applied to an event stream with a 12 h inactivity gap).
+    */
+  val q5 = Q(
+    "q5_sessionization",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapNs = 12L * 3600 * 1000000000L
+      val lagged = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn(
+          "is_new",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      lagged.groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .select(
+          col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("n_events"), col("session_value"), col("first_event"),
+          col("last_event"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""with lagged as (
+      select user_id, event_id, ts, value,
+        case when lag(epoch_ns(ts)) over w is null
+               or epoch_ns(ts) - lag(epoch_ns(ts)) over w > 43200000000000
+             then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), sessions as (
+      select *, sum(is_new) over (partition by user_id order by ts, event_id
+        rows between unbounded preceding and current row) as session_id
+      from lagged
+    )
+    select user_id, cast(session_id as bigint) as session_id,
+      count(*) as n_events,
+      round(sum(value), 2) as session_value,
+      min(event_id) as first_event,
+      max(event_id) as last_event
+    from sessions
+    group by user_id, session_id
+    order by user_id, session_id"""),
+    "W2/W3/W5: sessionization via lag + running sum")
+
+  /** A3/A5/F3: per-user conditional aggregation (pivot-style counters). */
+  val q6 = Q(
+    "q6_user_activity",
+    (s, dir) => {
+      def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          cnt("click").as("n_clicks"),
+          cnt("view").as("n_views"),
+          cnt("purchase").as("n_purchases"),
+          cnt("error").as("n_errors"),
+          cnt("signup").as("n_signups"),
+          round(avg("value"), 6).as("avg_value"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("purchase_value"),
+          round(avg(when(col("event_type") === "purchase", col("value"))), 6)
+            .as("avg_purchase_value"))
+        .orderBy("user_id")
+    },
+    Some("""select user_id,
+      count(*) as n_events,
+      cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_clicks,
+      cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_views,
+      cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchases,
+      cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_errors,
+      cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signups,
+      round(avg(value), 6) as avg_value,
+      round(sum(case when event_type = 'purchase' then value else 0.0 end), 2) as purchase_value,
+      round(avg(case when event_type = 'purchase' then value end), 6) as avg_purchase_value
+    from events
+    group by user_id
+    order by user_id"""),
+    "A3/A5/F3: conditional counters + NULL-skipping conditional avg")
+
+  /** P8: HAVING filter on an aggregate. */
+  val q7 = Q(
+    "q7_active_nations",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .filter(col("n_orders") >= 50)
+        .orderBy("c_nationkey"),
+    Some("""select c_nationkey, count(*) as n_orders,
+      round(sum(o_totalprice), 2) as revenue
+    from orders join customer on o_custkey = c_custkey
+    group by c_nationkey
+    having count(*) >= 50
+    order by c_nationkey"""),
+    "P8: HAVING on aggregate")
+
+  /** O3/O4: global top-N sort-limit (TakeOrderedAndProject — no full sort
+    * at scale, each partition keeps N then the driver merges).
+    */
+  val q8 = Q(
+    "q8_top_orders",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .limit(10),
+    Some("""select o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    from orders
+    order by o_totalprice desc, o_orderkey
+    limit 10"""),
+    "O3/O4: ordered limit / top-N")
+
+  /** Set operators (§2.7 note): INTERSECT / EXCEPT / UNION ALL in one
+    * tagged result.
+    */
+  val q9 = Q(
+    "q9_set_ops",
+    (s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val bigSpenders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("k")).distinct()
+      building.intersect(bigSpenders).select(lit("both").as("tag"), col("k"))
+        .unionAll(
+          building.except(bigSpenders).select(lit("building_only").as("tag"), col("k")))
+        .orderBy("tag", "k")
+    },
+    Some("""with building as (
+      select c_custkey as k from customer where c_mktsegment = 'BUILDING'
+    ), big as (
+      select distinct o_custkey as k from orders where o_totalprice > 400000.0
+    )
+    select 'both' as tag, k from (select k from building intersect select k from big)
+    union all
+    select 'building_only' as tag, k from (select k from building except select k from big)
+    order by tag, k"""),
+    "set ops: INTERSECT / EXCEPT / UNION ALL")
+
+  /** F1-F9 scalar zoo: surrogate key, string ops, abs/nullif/coalesce/case,
+    * modular arithmetic — byte-parity of md5 surrogate keys with DuckDB.
+    */
+  val q10 = Q(
+    "q10_scalar_zoo",
+    (s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(
+          col("n_nationkey"),
+          md5(concat_ws("-",
+            coalesce(col("n_nationkey").cast("string"), lit("_null_")),
+            coalesce(col("n_name"), lit("_null_")))).as("nation_key_md5"),
+          upper(col("n_name")).as("name_upper"),
+          lower(col("r_name")).as("region_lower"),
+          length(col("n_name")).as("name_len"),
+          substring(col("n_name"), 1, 3).as("name_prefix"),
+          abs(col("n_nationkey") - 12).as("dist_from_12"),
+          coalesce(nullif(col("n_regionkey"), lit(2)), lit(-1)).as("region_or_neg"),
+          when(col("n_nationkey") % 2 === 0, "even").otherwise("odd").as("parity"),
+          concat(col("n_name"), lit("/"), col("r_name")).as("path"))
+        .orderBy("n_nationkey"),
+    Some("""select n_nationkey,
+      md5(concat_ws('-', coalesce(cast(n_nationkey as varchar), '_null_'),
+                         coalesce(n_name, '_null_'))) as nation_key_md5,
+      upper(n_name) as name_upper,
+      lower(r_name) as region_lower,
+      length(n_name) as name_len,
+      substr(n_name, 1, 3) as name_prefix,
+      abs(n_nationkey - 12) as dist_from_12,
+      coalesce(nullif(n_regionkey, 2), -1) as region_or_neg,
+      case when n_nationkey % 2 = 0 then 'even' else 'odd' end as parity,
+      concat(n_name, '/', r_name) as path
+    from nation join region on n_regionkey = r_regionkey
+    order by n_nationkey"""),
+    "F1-F9: scalar function zoo incl. dbt-style md5 surrogate key")
+
+  /** Semi/anti joins (§2.4 anti-join note): suppliers with/without parts in
+    * a price band, as tagged counts.
+    */
+  val q11 = Q(
+    "q11_semi_anti",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val orderKeys = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"))
+      val withO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_big_order").as("tag"), col("n"))
+      val withoutO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_big_order").as("tag"), col("n"))
+      withO.unionAll(withoutO).orderBy("tag")
+    },
+    Some("""select 'with_big_order' as tag, count(*) as n from customer
+      where c_custkey in (select o_custkey from orders where o_totalprice > 300000.0)
+    union all
+    select 'without_big_order' as tag, count(*) as n from customer
+      where c_custkey not in (select o_custkey from orders where o_totalprice > 300000.0)
+    order by tag"""),
+    "J: left-semi / left-anti joins")
+
+  /** A9: DISTINCT + exact count-distinct per group. */
+  val q12 = Q(
+    "q12_distinct_users",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    Some("""select event_type, count(distinct user_id) as n_users, count(*) as n_events
+    from events group by event_type order by event_type"""),
+    "A9: distinct aggregation")
+
+  /** F9/date ops: per-month order rollup with string-formatted bucket. */
+  val q13 = Q(
+    "q13_monthly_orders",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("month"),
+    Some("""select strftime(o_orderdate, '%Y-%m') as month,
+      count(*) as n_orders,
+      round(sum(o_totalprice), 2) as revenue
+    from orders group by 1 order by month"""),
+    "date bucketing + rollup by month")
+
+  /** W6: rank over an aggregate with rounded, deterministic sort key. */
+  val q14 = Q(
+    "q14_top_customers_per_nation",
+    (s, dir) => {
+      val totals = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("total"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("total").desc, col("c_custkey"))
+      totals.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk")
+    },
+    Some("""select * from (
+      select c_nationkey, c_custkey, total,
+        row_number() over (partition by c_nationkey order by total desc, c_custkey) as rnk
+      from (
+        select c_nationkey, c_custkey, round(sum(o_totalprice), 2) as total
+        from orders join customer on o_custkey = c_custkey
+        group by c_nationkey, c_custkey) t
+    ) ranked
+    where rnk <= 3
+    order by c_nationkey, rnk"""),
+    "W6: row_number over group-by result")
+
+  def all: Seq[Q] = Seq(
+    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14)
+}

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.sleep.SleepModels
+
+/** The sleep-analytics model DAG (SURVEY §2.3-2.8, §3.2) exercised over the
+  * driver's testdata: a deterministic epochs table is derived from `events`
+  * with expression-identical logic in Spark DSL and DuckDB SQL, then each
+  * model (staging → metrics → summary / features) runs on both sides and the
+  * driver hash-compares.
+  *
+  * Determinism notes (oracle parity):
+  *  - per-row arithmetic (a*b, a+b, casts) is bit-identical IEEE754 in both
+  *    engines, so derived columns match exactly;
+  *  - multi-row aggregates can differ in final ulps (summation order), so
+  *    every aggregate-derived double is rounded at the OUTPUT projection —
+  *    never inside the models — with the same `round(x, n)` on both sides;
+  *  - every query has a total ORDER BY and unique tie-break keys.
+  */
+object SleepQueries {
+
+  /** Episode gap for the testdata-derived epochs: subjects have only ~66
+    * epochs, so the reference's 120-epoch gap would never split an episode;
+    * 5 keeps the gaps-and-islands logic exercised end to end. The engine
+    * default stays 120 ([[SleepModels.DefaultGapEpochs]]).
+    */
+  val TestGapEpochs = 5
+
+  // ---------------------------------------------------------------- epochs
+
+  /** Deterministic epochs derived from `events`: one epoch per event, ordered
+    * by time within each user; stage from event_type; band powers as pure
+    * row-local arithmetic on `value` (bit-identical in DuckDB).
+    */
+  def epochsFromEvents(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(
+      col("user_id").cast("int").as("subject_id"),
+      (row_number().over(w) - 1).cast("int").as("epoch_idx"),
+      when(col("event_type").isin("click", "view"), "W")
+        .when(col("event_type") === "error", "N1")
+        .when(col("event_type") === "purchase", "N2")
+        .when(col("value") < 10, "N3")
+        .otherwise("REM")
+        .as("stage"),
+      (lit(5.0) + col("value") * 0.8).as("delta_power"),
+      (lit(4.0) + col("value") * 0.5).as("theta_power"),
+      (lit(8.0) - col("value") * 0.2).as("alpha_power"),
+      (lit(1.0) + col("value") * 0.1).as("sigma_power"),
+      (lit(2.0) - col("value") * 0.05).as("beta_power"))
+  }
+
+  /** DuckDB mirror of [[epochsFromEvents]]. */
+  val epochsSql: String =
+    """epochs as (
+      |  select
+      |    cast(user_id as int) as subject_id,
+      |    cast(row_number() over (partition by user_id order by ts, event_id) - 1 as int) as epoch_idx,
+      |    case when event_type in ('click', 'view') then 'W'
+      |         when event_type = 'error' then 'N1'
+      |         when event_type = 'purchase' then 'N2'
+      |         when value < 10 then 'N3'
+      |         else 'REM' end as stage,
+      |    5.0 + value * 0.8 as delta_power,
+      |    4.0 + value * 0.5 as theta_power,
+      |    8.0 - value * 0.2 as alpha_power,
+      |    1.0 + value * 0.1 as sigma_power,
+      |    2.0 - value * 0.05 as beta_power
+      |  from events
+      |)""".stripMargin
+
+  private val sent = SleepModels.NullSentinel
+
+  /** DuckDB mirror of [[SleepModels.staging]]. */
+  val stagingSql: String =
+    s"""staged as (
+       |  select
+       |    md5(concat_ws('-',
+       |      coalesce(cast(subject_id as varchar), '$sent'),
+       |      coalesce(cast(epoch_idx as varchar), '$sent'))) as epoch_id,
+       |    cast(subject_id as int) as subject_id,
+       |    cast(epoch_idx as int) as epoch_idx,
+       |    cast(stage as varchar) as sleep_stage,
+       |    cast(delta_power as float) as delta_power_uv,
+       |    cast(theta_power as float) as theta_power_uv,
+       |    cast(alpha_power as float) as alpha_power_uv,
+       |    cast(sigma_power as float) as sigma_power_uv,
+       |    cast(beta_power as float) as beta_power_uv
+       |  from epochs
+       |)""".stripMargin
+
+  /** DuckDB mirror of [[SleepModels.sleepMetrics]] (CTE chain through the
+    * final episode/bounds join).
+    */
+  def metricsSql(gap: Int): String =
+    s"""with_windows as (
+       |  select *,
+       |    avg(delta_power_uv) over (partition by subject_id order by epoch_idx
+       |      rows between 4 preceding and current row) as delta_moving_avg,
+       |    avg(sigma_power_uv) over (partition by subject_id order by epoch_idx
+       |      rows between 4 preceding and current row) as sigma_moving_avg,
+       |    avg(beta_power_uv) over (partition by subject_id order by epoch_idx
+       |      rows between 4 preceding and current row) as beta_moving_avg,
+       |    avg(theta_power_uv) over (partition by subject_id order by epoch_idx
+       |      rows between 4 preceding and current row) as theta_moving_avg,
+       |    avg(alpha_power_uv) over (partition by subject_id order by epoch_idx
+       |      rows between 4 preceding and current row) as alpha_moving_avg,
+       |    case when lag(sleep_stage) over (partition by subject_id order by epoch_idx) is null then false
+       |         when lag(sleep_stage) over (partition by subject_id order by epoch_idx) != sleep_stage then true
+       |         else false end as is_stage_transition
+       |  from staged
+       |),
+       |flagged as (
+       |  select *, case when sleep_stage = 'W' then 0 else 1 end as is_sleep from with_windows
+       |),
+       |runs as (
+       |  select *,
+       |    row_number() over (partition by subject_id order by epoch_idx)
+       |      - row_number() over (partition by subject_id, is_sleep order by epoch_idx) as run_key
+       |  from flagged
+       |),
+       |brk as (
+       |  select *,
+       |    case when is_sleep = 0
+       |           and count(*) over (partition by subject_id, is_sleep, run_key) >= $gap
+       |         then 1 else 0 end as is_episode_break
+       |  from runs
+       |),
+       |episodes as (
+       |  select *,
+       |    sum(is_episode_break) over (partition by subject_id order by epoch_idx
+       |      rows between unbounded preceding and current row) as episode_id
+       |  from brk
+       |),
+       |ranked as (
+       |  select subject_id, episode_id,
+       |    row_number() over (partition by subject_id order by sum(is_sleep) desc, episode_id) as episode_rank
+       |  from episodes
+       |  group by subject_id, episode_id
+       |  having sum(is_sleep) > 0
+       |),
+       |bounds as (
+       |  select e.subject_id,
+       |    min(case when e.is_sleep = 1 then e.epoch_idx end) as sleep_onset_epoch_idx,
+       |    max(case when e.is_sleep = 1 then e.epoch_idx end) as final_awakening_epoch_idx
+       |  from episodes e
+       |  join ranked r on e.subject_id = r.subject_id and e.episode_id = r.episode_id and r.episode_rank = 1
+       |  group by e.subject_id
+       |),
+       |sleep_metrics as (
+       |  select
+       |    e.epoch_id, e.subject_id, e.epoch_idx, e.sleep_stage,
+       |    e.delta_power_uv, e.theta_power_uv, e.alpha_power_uv, e.sigma_power_uv, e.beta_power_uv,
+       |    e.delta_moving_avg, e.sigma_moving_avg, e.beta_moving_avg, e.theta_moving_avg, e.alpha_moving_avg,
+       |    e.is_stage_transition,
+       |    b.sleep_onset_epoch_idx, b.final_awakening_epoch_idx,
+       |    coalesce(e.epoch_idx between b.sleep_onset_epoch_idx and b.final_awakening_epoch_idx, false) as is_in_sleep_period
+       |  from episodes e
+       |  left join bounds b on e.subject_id = b.subject_id
+       |)""".stripMargin
+
+  /** Shared WITH prelude: epochs → staged → … → sleep_metrics. */
+  def preludeSql(gap: Int): String =
+    s"with\n$epochsSql,\n$stagingSql,\n${metricsSql(gap)}"
+
+  private def spark_metrics(s: SparkSession, dir: String): DataFrame =
+    SleepModels.sleepMetrics(
+      SleepModels.staging(epochsFromEvents(Tables.events(s, dir))),
+      TestGapEpochs)
+
+  // ---------------------------------------------------------------- queries
+
+  private def r(c: Column, n: Int = 4) = round(c, n)
+
+  val qStaging = Q(
+    "sleep_staging",
+    (s, dir) =>
+      SleepModels.staging(epochsFromEvents(Tables.events(s, dir)))
+        .orderBy("subject_id", "epoch_idx"),
+    Some(
+      s"""with\n$epochsSql,\n$stagingSql
+         |select * from staged order by subject_id, epoch_idx""".stripMargin),
+    "P1/P2/F1/F2: staging model — surrogate key, casts, renames")
+
+  val qMetrics = Q(
+    "sleep_metrics",
+    (s, dir) => {
+      val m = spark_metrics(s, dir)
+      m.select(
+        col("epoch_id"), col("subject_id"), col("epoch_idx"), col("sleep_stage"),
+        col("delta_power_uv"), col("theta_power_uv"), col("alpha_power_uv"),
+        col("sigma_power_uv"), col("beta_power_uv"),
+        r(col("delta_moving_avg")).as("delta_ma"),
+        r(col("sigma_moving_avg")).as("sigma_ma"),
+        r(col("beta_moving_avg")).as("beta_ma"),
+        r(col("theta_moving_avg")).as("theta_ma"),
+        r(col("alpha_moving_avg")).as("alpha_ma"),
+        col("is_stage_transition"),
+        col("sleep_onset_epoch_idx"), col("final_awakening_epoch_idx"),
+        col("is_in_sleep_period"))
+        .orderBy("subject_id", "epoch_idx")
+    },
+    Some(
+      s"""${preludeSql(TestGapEpochs)}
+         |select
+         |  epoch_id, subject_id, epoch_idx, sleep_stage,
+         |  delta_power_uv, theta_power_uv, alpha_power_uv, sigma_power_uv, beta_power_uv,
+         |  round(delta_moving_avg, 4) as delta_ma,
+         |  round(sigma_moving_avg, 4) as sigma_ma,
+         |  round(beta_moving_avg, 4) as beta_ma,
+         |  round(theta_moving_avg, 4) as theta_ma,
+         |  round(alpha_moving_avg, 4) as alpha_ma,
+         |  is_stage_transition, sleep_onset_epoch_idx, final_awakening_epoch_idx, is_in_sleep_period
+         |from sleep_metrics
+         |order by subject_id, epoch_idx""".stripMargin),
+    "W1-W6/J1-J2/A1-A2/P8: full sleep_metrics intermediate model")
+
+  val qSummary = Q(
+    "sleep_summary",
+    (s, dir) => {
+      val sm = SleepModels.sleepSummary(spark_metrics(s, dir))
+      sm.select(
+        col("subject_id"),
+        r(col("total_recording_minutes")).as("total_recording_minutes"),
+        r(col("sleep_period_minutes")).as("sleep_period_minutes"),
+        r(col("total_sleep_minutes")).as("total_sleep_minutes"),
+        r(col("waso_minutes")).as("waso_minutes"),
+        col("number_of_awakenings"),
+        r(col("sleep_efficiency"), 6).as("sleep_efficiency"),
+        r(col("deep_sleep_minutes")).as("deep_sleep_minutes"),
+        r(col("deep_sleep_percentage"), 6).as("deep_sleep_percentage"),
+        r(col("light_sleep_minutes")).as("light_sleep_minutes"),
+        r(col("light_sleep_percentage"), 6).as("light_sleep_percentage"),
+        r(col("rem_sleep_minutes")).as("rem_sleep_minutes"),
+        r(col("rem_sleep_percentage"), 6).as("rem_sleep_percentage"),
+        r(col("avg_delta_power")).as("avg_delta_power"),
+        r(col("avg_sigma_power")).as("avg_sigma_power"),
+        r(col("avg_beta_power")).as("avg_beta_power"),
+        r(col("avg_theta_power")).as("avg_theta_power"),
+        r(col("avg_alpha_power")).as("avg_alpha_power"))
+        .orderBy("subject_id")
+    },
+    Some(
+      s"""${preludeSql(TestGapEpochs)},
+         |counts as (
+         |  select subject_id,
+         |    count(*) as recording_epochs,
+         |    sum(case when is_in_sleep_period then 1 else 0 end) as sleep_period_epochs,
+         |    sum(case when is_in_sleep_period and sleep_stage in ('N1','N2','N3','REM') then 1 else 0 end) as sleep_epochs,
+         |    sum(case when is_in_sleep_period and sleep_stage = 'N3' then 1 else 0 end) as deep_epochs,
+         |    sum(case when is_in_sleep_period and sleep_stage in ('N1','N2') then 1 else 0 end) as light_epochs,
+         |    sum(case when is_in_sleep_period and sleep_stage = 'REM' then 1 else 0 end) as rem_epochs,
+         |    sum(case when is_in_sleep_period and sleep_stage = 'W' then 1 else 0 end) as waso_epochs,
+         |    sum(case when is_in_sleep_period and is_stage_transition and sleep_stage = 'W' then 1 else 0 end) as awakening_count,
+         |    avg(case when is_in_sleep_period then delta_moving_avg end) as avg_delta_power,
+         |    avg(case when is_in_sleep_period then sigma_moving_avg end) as avg_sigma_power,
+         |    avg(case when is_in_sleep_period then beta_moving_avg end) as avg_beta_power,
+         |    avg(case when is_in_sleep_period then theta_moving_avg end) as avg_theta_power,
+         |    avg(case when is_in_sleep_period then alpha_moving_avg end) as avg_alpha_power
+         |  from sleep_metrics
+         |  group by subject_id
+         |)
+         |select subject_id,
+         |  round(recording_epochs * cast(0.5 as double), 4) as total_recording_minutes,
+         |  round(sleep_period_epochs * cast(0.5 as double), 4) as sleep_period_minutes,
+         |  round(sleep_epochs * cast(0.5 as double), 4) as total_sleep_minutes,
+         |  round(waso_epochs * cast(0.5 as double), 4) as waso_minutes,
+         |  cast(awakening_count as bigint) as number_of_awakenings,
+         |  round(sleep_epochs / nullif(cast(sleep_period_epochs as double), 0), 6) as sleep_efficiency,
+         |  round(deep_epochs * cast(0.5 as double), 4) as deep_sleep_minutes,
+         |  round(deep_epochs / nullif(cast(sleep_epochs as double), 0), 6) as deep_sleep_percentage,
+         |  round(light_epochs * cast(0.5 as double), 4) as light_sleep_minutes,
+         |  round(light_epochs / nullif(cast(sleep_epochs as double), 0), 6) as light_sleep_percentage,
+         |  round(rem_epochs * cast(0.5 as double), 4) as rem_sleep_minutes,
+         |  round(rem_epochs / nullif(cast(sleep_epochs as double), 0), 6) as rem_sleep_percentage,
+         |  round(avg_delta_power, 4) as avg_delta_power,
+         |  round(avg_sigma_power, 4) as avg_sigma_power,
+         |  round(avg_beta_power, 4) as avg_beta_power,
+         |  round(avg_theta_power, 4) as avg_theta_power,
+         |  round(avg_alpha_power, 4) as avg_alpha_power
+         |from counts
+         |order by subject_id""".stripMargin),
+    "A3-A6/F3-F5/F7: sleep_summary mart — conditional counting, minutes, ratios")
+
+  val qFeatures = Q(
+    "sleep_features",
+    (s, dir) => {
+      val f = SleepModels.sleepFeatures(spark_metrics(s, dir))
+      f.select(
+        col("epoch_id"), col("subject_id"), col("sleep_stage"),
+        r(col("delta_beta_ratio_z")).as("delta_beta_ratio_z"),
+        r(col("delta_beta_ratio"), 6).as("delta_beta_ratio"),
+        r(col("delta_alpha_ratio_z")).as("delta_alpha_ratio_z"),
+        r(col("delta_alpha_ratio"), 6).as("delta_alpha_ratio"),
+        r(col("theta_alpha_ratio_z")).as("theta_alpha_ratio_z"),
+        r(col("theta_alpha_ratio"), 6).as("theta_alpha_ratio"))
+        .orderBy("subject_id", "epoch_id")
+    },
+    Some(
+      s"""${preludeSql(TestGapEpochs)},
+         |ratios as (
+         |  select *,
+         |    delta_moving_avg / nullif(beta_moving_avg, 0) as delta_beta_ratio,
+         |    delta_moving_avg / nullif(alpha_moving_avg, 0) as delta_alpha_ratio,
+         |    theta_moving_avg / nullif(alpha_moving_avg, 0) as theta_alpha_ratio
+         |  from sleep_metrics
+         |)
+         |select epoch_id, subject_id, sleep_stage,
+         |  round((delta_beta_ratio - avg(delta_beta_ratio) over (partition by subject_id))
+         |    / nullif(stddev(delta_beta_ratio) over (partition by subject_id), 0), 4) as delta_beta_ratio_z,
+         |  round(delta_beta_ratio, 6) as delta_beta_ratio,
+         |  round((delta_alpha_ratio - avg(delta_alpha_ratio) over (partition by subject_id))
+         |    / nullif(stddev(delta_alpha_ratio) over (partition by subject_id), 0), 4) as delta_alpha_ratio_z,
+         |  round(delta_alpha_ratio, 6) as delta_alpha_ratio,
+         |  round((theta_alpha_ratio - avg(theta_alpha_ratio) over (partition by subject_id))
+         |    / nullif(stddev(theta_alpha_ratio) over (partition by subject_id), 0), 4) as theta_alpha_ratio_z,
+         |  round(theta_alpha_ratio, 6) as theta_alpha_ratio
+         |from ratios
+         |order by subject_id, epoch_id""".stripMargin),
+    "A8/W7/F5: sleep_features mart — power ratios + per-subject z-scores")
+
+  /** Dashboard reads (S11/P5/O1/O2): subject list, one summary row, ordered
+    * per-subject hypnogram — point lookups that partition pruning / predicate
+    * pushdown must serve cheaply at scale.
+    */
+  val qDashSubjects = Q(
+    "dash_subjects",
+    (s, dir) =>
+      SleepModels.sleepSummary(spark_metrics(s, dir))
+        .select("subject_id").orderBy("subject_id"),
+    Some(
+      s"""${preludeSql(TestGapEpochs)}
+         |select distinct subject_id from sleep_metrics order by subject_id""".stripMargin),
+    "S11/O1: dashboard subject list")
+
+  val qDashHypnogram = Q(
+    "dash_hypnogram",
+    (s, dir) =>
+      spark_metrics(s, dir)
+        .filter(col("subject_id") === 7)
+        .select(
+          col("epoch_idx"), col("sleep_stage"),
+          col("is_in_sleep_period"),
+          r(col("delta_moving_avg")).as("delta_ma"))
+        .orderBy("epoch_idx"),
+    Some(
+      s"""${preludeSql(TestGapEpochs)}
+         |select epoch_idx, sleep_stage, is_in_sleep_period, round(delta_moving_avg, 4) as delta_ma
+         |from sleep_metrics where subject_id = 7 order by epoch_idx""".stripMargin),
+    "S11/P5/O2: dashboard per-subject hypnogram point read")
+
+  def all: Seq[Q] = Seq(
+    qStaging, qMetrics, qSummary, qFeatures, qDashSubjects, qDashHypnogram)
+}

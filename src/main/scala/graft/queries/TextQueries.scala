@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text-analysis / deduplication operators over the `documents` table — the
+  * training-data-pipeline surface (north star §7.5): exact dedup, n-gram
+  * Jaccard near-dup, MinHash signatures, SimHash fingerprints, language id,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All operators are declarative (explode/groupBy/join), so they scale by
+  * partitioning on doc_id / shingle: no driver-side loops, no UDFs in the
+  * hot path. Where DuckDB can express identical semantics, the query ships
+  * an oracle; LSH bucketing variants are verified by ScalaTest against the
+  * exact operator instead.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** Exact dedup via content hash (north star: exact dedup at 100 TB is one
+    * shuffle on the hash; the canonical row per group is min(doc_id)).
+    */
+  val t1 = Q(
+    "t1_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(
+          min("doc_id").as("canonical_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("text_hash"),
+    Some("""select md5(text) as text_hash,
+      min(doc_id) as canonical_doc_id,
+      count(*) as n_copies
+    from documents group by 1 order by text_hash"""),
+    "dedup-exact: content-hash grouping")
+
+  /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
+  val t2 = Q(
+    "t2_token_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_tokens_ws"),
+          size(array_distinct(toks(col("text")))).as("n_tokens_distinct"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .as("n_word_tokens"),
+          length(col("text")).as("n_chars_computed"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+    Some("""select doc_id,
+      len(string_split(text, ' ')) as n_tokens_ws,
+      len(list_distinct(string_split(text, ' '))) as n_tokens_distinct,
+      len(regexp_extract_all(text, '[a-z]+')) as n_word_tokens,
+      length(text) as n_chars_computed,
+      n_chars
+    from documents order by doc_id"""),
+    "token counting: whitespace + regex + distinct")
+
+  /** Quality scoring: length, mean token length, stopword ratio, a blended
+    * quality score — the heuristic-filter shape of LLM data pipelines.
+    */
+  val t3 = Q(
+    "t3_quality_score",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val nStop = size(filter(t, x => x.isInCollection(stopwords))).cast("double")
+      val meanTokLen = (length(col("text")) - (size(t) - 1)).cast("double") / nTok
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          round(nStop / nTok, 6).as("stopword_ratio"),
+          round(meanTokLen, 6).as("mean_token_len"),
+          round(
+            least(nTok / 100.0, lit(1.0)) * 0.5
+              + (nStop / nTok) * 2.0
+              + when(meanTokLen.between(3.0, 8.0), 0.3).otherwise(0.0),
+            6).as("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""select doc_id,
+      round(n_stop / n_tok, 6) as stopword_ratio,
+      round(mean_tok_len, 6) as mean_token_len,
+      round(least(n_tok / 100.0, cast(1.0 as double)) * 0.5
+            + (n_stop / n_tok) * 2.0
+            + case when mean_tok_len between 3.0 and 8.0 then 0.3 else 0.0 end,
+        6) as quality_score
+    from (
+      select doc_id,
+        cast(len(string_split(text, ' ')) as double) as n_tok,
+        cast(len(list_filter(string_split(text, ' '),
+          x -> x in (${stopwords.map("'" + _ + "'").mkString(",")}))) as double) as n_stop,
+        cast(length(text) - (len(string_split(text, ' ')) - 1) as double)
+          / cast(len(string_split(text, ' ')) as double) as mean_tok_len
+      from documents) t
+    order by doc_id"""),
+    "quality scoring: stopword ratio + token stats blend")
+
+  /** Language id via stopword-hit heuristic (n-gram heuristic stand-in: the
+    * synthetic corpus is English-like regardless of its `lang` tag, so the
+    * operator contract — deterministic classification from text alone — is
+    * what's verified).
+    */
+  val t4 = Q(
+    "t4_langid",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val ratio = size(filter(t, x => x.isInCollection(stopwords))).cast("double") /
+        size(t).cast("double")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang").as("tagged_lang"),
+          when(ratio >= 0.05, "en").otherwise("und").as("predicted_lang"),
+          round(ratio, 6).as("en_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""select doc_id, lang as tagged_lang,
+      case when ratio >= 0.05 then 'en' else 'und' end as predicted_lang,
+      round(ratio, 6) as en_score
+    from (
+      select doc_id, lang,
+        cast(len(list_filter(string_split(text, ' '),
+          x -> x in (${stopwords.map("'" + _ + "'").mkString(",")}))) as double)
+        / cast(len(string_split(text, ' ')) as double) as ratio
+      from documents) t
+    order by doc_id"""),
+    "language id: stopword-hit heuristic")
+
+  /** Document fingerprint: md5 of whitespace-normalized text (plus prefix
+    * fingerprint) — the cheap first-pass near-dup key.
+    */
+  val t5 = Q(
+    "t5_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(col("text"), "\\s+", " ")).as("fingerprint"),
+          md5(substring(col("text"), 1, 64)).as("prefix_fingerprint"))
+        .orderBy("doc_id"),
+    Some("""select doc_id,
+      md5(regexp_replace(text, '\s+', ' ', 'g')) as fingerprint,
+      md5(substr(text, 1, 64)) as prefix_fingerprint
+    from documents order by doc_id"""),
+    "fingerprinting: normalized-content hash")
+
+  /** n-gram Jaccard near-dup: 5-token shingles, candidate pairs from a
+    * shingle-equality join (the blocking step — only docs sharing a shingle
+    * are compared, never all-pairs), Jaccard from intersection/union counts,
+    * top-20 most similar pairs. The shingle join is the canonical shuffle-
+    * on-shingle plan that scales linearly in corpus size when shingles are
+    * selective.
+    */
+  val t6 = Q(
+    "t6_near_dup_jaccard",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shingled = docs.select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(
+            sequence(lit(0), greatest(size(toks(col("text"))) - 5, lit(0))),
+            i => concat_ws(" ", slice(toks(col("text")), i + 1, lit(5))))))
+          .as("shingle"))
+      val sizes = shingled.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val pairs = shingled.as("a")
+        .join(shingled.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n_shingles", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n_shingles", "n2"), "d2")
+        .select(
+          col("d1"), col("d2"),
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6)
+            .as("jaccard"))
+      scored.orderBy(col("jaccard").desc, col("d1"), col("d2"))
+        .limit(20)
+        .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+    },
+    Some("""with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), sub as (
+      select doc_id, t, generate_subscripts(t, 1) as i from toks
+    ), sh as (
+      select distinct doc_id, array_to_string(t[i:i+4], ' ') as shingle
+      from sub where i <= greatest(len(t) - 5, 0) + 1
+    ), sizes as (
+      select doc_id, count(*) as n_shingles from sh group by doc_id
+    ), pairs as (
+      select a.doc_id as d1, b.doc_id as d2, count(*) as inter
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select d1, d2,
+      round(cast(inter as double) / (s1.n_shingles + s2.n_shingles - inter), 6) as jaccard
+    from pairs
+    join sizes s1 on d1 = s1.doc_id
+    join sizes s2 on d2 = s2.doc_id
+    order by jaccard desc, d1, d2
+    limit 20"""),
+    "dedup-neardup: shingle-blocked n-gram Jaccard, top-20 pairs")
+
+  /** MinHash signatures: 8 deterministic hash functions as md5 over a salted
+    * shingle, min per doc (lexicographic on hex — identical in DuckDB). LSH
+    * banding over these signatures is in [[graft.ops.Dedup]] (ScalaTest
+    * verifies candidate recall against t6's exact Jaccard).
+    */
+  val t7 = Q(
+    "t7_minhash_signatures",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shingled = docs.select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(
+            sequence(lit(0), greatest(size(toks(col("text"))) - 3, lit(0))),
+            i => concat_ws(" ", slice(toks(col("text")), i + 1, lit(3))))))
+          .as("shingle"))
+      val aggs = (0 until 8).map(j =>
+        min(md5(concat_ws(":", lit(j.toString), col("shingle")))).as(s"mh$j"))
+      shingled.groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(j => s"min(md5(concat_ws(':', '$j', shingle))) as mh$j")
+        .mkString(",\n      ")
+      s"""with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), sub as (
+      select doc_id, t, generate_subscripts(t, 1) as i from toks
+    ), sh as (
+      select distinct doc_id, array_to_string(t[i:i+2], ' ') as shingle
+      from sub where i <= greatest(len(t) - 3, 0) + 1
+    )
+    select doc_id,
+      $mins
+    from sh group by doc_id order by doc_id"""
+    },
+    "dedup-minhash: 8-function MinHash signatures over 3-shingles")
+
+  /** SimHash: 16-bit fingerprint from per-token md5 bits, majority vote per
+    * bit position weighted by token multiplicity.
+    */
+  val t8 = Q(
+    "t8_simhash",
+    (s, dir) => {
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bits = tokens.select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(15))).as("b"),
+        col("h"))
+        .withColumn("hexd",
+          expr("cast(conv(substring(h, cast(b / 4 as int) + 1, 1), 16, 10) as int)"))
+        .withColumn("bit",
+          expr("cast(floor(hexd / power(2, 3 - b % 4)) as int) % 2"))
+        .withColumn("w", col("bit") * 2 - 1)
+      bits.groupBy("doc_id", "b")
+        .agg(sum("w").as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(
+          when(col("vote") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
+          .as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some("""with tokens as (
+      select doc_id, unnest(string_split(text, ' ')) as tok from documents
+    ), hashed as (
+      select doc_id, md5(tok) as h from tokens
+    ), bits as (
+      select doc_id, b.b,
+        ((strpos('0123456789abcdef', substr(h, (b.b // 4) + 1, 1)) - 1)
+          // cast(pow(2, 3 - (b.b % 4)) as int)) % 2 as bit
+      from hashed, (select unnest(range(0, 16)) as b) b
+    ), votes as (
+      select doc_id, b, sum(bit * 2 - 1) as vote from bits group by 1, 2
+    )
+    select doc_id,
+      cast(sum(case when vote > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as simhash
+    from votes group by doc_id order by doc_id"""),
+    "dedup-simhash: 16-bit majority-vote fingerprint")
+
+  /** Corpus stats by source × lang — the monitoring rollup. */
+  val t9 = Q(
+    "t9_corpus_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          round(avg(size(toks(col("text")))), 6).as("avg_tokens"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("source", "lang"),
+    Some("""select source, lang, count(*) as n_docs,
+      round(avg(n_chars), 6) as avg_chars,
+      round(avg(len(string_split(text, ' '))), 6) as avg_tokens,
+      min(n_chars) as min_chars,
+      max(n_chars) as max_chars
+    from documents group by source, lang order by source, lang"""),
+    "corpus rollup by source and language")
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify, then
+execute each oracle SQL in DuckDB over the same parquet tables and compare.
+
+Usage: python3 tools/parity.py [sfdir] [outdir] [--skip-verify]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    if "--skip-verify" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-4000:])
+            print(r.stderr[-4000:])
+            sys.exit(1)
+        tail = "\n".join(l for l in r.stdout.splitlines() if "[verify]" in l)
+        if tail:
+            print("verify stderr flags:\n" + tail)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        spark_dir = Path(outdir) / name
+        if not spark_dir.exists():
+            results[name] = "SPARK-MISSING"
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            results[name] = f"ERROR: {e}"
+            continue
+        results[name] = compare(got, want)
+
+    no_oracle = [p.name for p in Path(outdir).iterdir()
+                 if p.is_dir() and p.name not in oracle]
+    fails = 0
+    for name, res in sorted(results.items()):
+        ok = res == "OK"
+        fails += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL':4} {name}: {res}")
+    if no_oracle:
+        print(f"rows-only (no oracle): {sorted(no_oracle)}")
+    print(f"\n{len(results) - fails}/{len(results)} oracle queries match")
+    sys.exit(1 if fails else 0)
+
+
+def compare(got, want):
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        return f"SCHEMA got={gc} want={wc}"
+    if len(got) != len(want):
+        return f"ROWS got={len(got)} want={len(want)}"
+    g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+    w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
+    bad = []
+    for c in gc:
+        a, b = g[c], w[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            eq = (a == b) | (a.isna() & b.isna())
+        else:
+            eq = (a.astype(object) == b.astype(object)) | (a.isna() & b.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            bad.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r} ({int((~eq).sum())} diffs)")
+    return "OK" if not bad else "VALUES " + "; ".join(bad[:4])
+
+
+if __name__ == "__main__":
+    main()
