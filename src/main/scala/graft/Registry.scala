@@ -23,7 +23,8 @@ object Registry {
     queries.RelationalQueries.all ++
       queries.SleepQueries.all ++
       queries.TextQueries.all ++
-      queries.SimilarityQueries.all
+      queries.SimilarityQueries.all ++
+      queries.OpsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

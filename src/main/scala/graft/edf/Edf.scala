@@ -1,0 +1,316 @@
+package graft.edf
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import graft.signal.Epoching.Annotation
+
+/** EDF / EDF+ binary format reader and writer, from the published format
+  * specification (Kemp et al., the European Data Format): a 256-byte ASCII
+  * fixed-field header, 256 ASCII bytes per signal of sub-headers, then data
+  * records of 2-byte little-endian integers per signal, linearly scaled
+  * between digital and physical ranges. EDF+ annotation signals ("EDF
+  * Annotations") carry Time-stamped Annotation Lists:
+  * `+onset[\x15duration]\x14label\x14...\x00`.
+  *
+  * Replaces the reference's MNE readers (`ingest/processing.py:24`
+  * `read_raw_edf`, `:55` `read_annotations`) with a dependency-free parser
+  * usable inside `mapPartitions` (SURVEY §2.1 S1/S2). Parsing is strict on
+  * structure but tolerant on numeric fields (trimmed ASCII floats).
+  */
+object Edf {
+
+  final case class SignalHeader(
+      label: String,
+      transducer: String,
+      physicalDimension: String,
+      physicalMin: Double,
+      physicalMax: Double,
+      digitalMin: Int,
+      digitalMax: Int,
+      prefiltering: String,
+      samplesPerRecord: Int) {
+    def scale: Double =
+      (physicalMax - physicalMin) / (digitalMax - digitalMin).toDouble
+    def offset: Double = physicalMin - digitalMin * scale
+    def isAnnotation: Boolean = label.trim == "EDF Annotations"
+  }
+
+  final case class EdfFile(
+      version: String,
+      patientId: String,
+      recordingId: String,
+      startDate: String,
+      startTime: String,
+      reserved: String,
+      nRecords: Int,
+      recordDurationSec: Double,
+      signalHeaders: Vector[SignalHeader],
+      /** physical-unit samples per ordinary signal, aligned with
+        * signalHeaders minus annotation signals */
+      signals: Map[String, Array[Double]],
+      annotations: Vector[Annotation]) {
+
+    /** Sampling frequency of a named signal. */
+    def sfreq(label: String): Double = {
+      val h = signalHeaders.find(_.label.trim == label).getOrElse(
+        throw new IllegalArgumentException(s"no signal '$label'"))
+      h.samplesPerRecord / recordDurationSec
+    }
+
+    def channelNames: Vector[String] =
+      signalHeaders.filterNot(_.isAnnotation).map(_.label.trim)
+  }
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, US_ASCII)
+
+  private def num(b: Array[Byte], off: Int, len: Int): Double = {
+    val s = ascii(b, off, len).trim
+    if (s.isEmpty) 0.0 else s.toDouble
+  }
+
+  def parse(bytes: Array[Byte]): EdfFile = {
+    require(bytes.length >= 256, "truncated EDF header")
+    val nSignals = ascii(bytes, 252, 4).trim.toInt
+    val headerBytes = ascii(bytes, 184, 8).trim.toInt
+    require(headerBytes == 256 + nSignals * 256, s"bad header size $headerBytes")
+    require(bytes.length >= headerBytes, "truncated signal headers")
+
+    // Per-signal sub-headers are stored field-major: all labels, then all
+    // transducers, etc.
+    var off = 0
+    def block(width: Int): Int => String = {
+      val base = off
+      off += width * nSignals
+      i => ascii(bytes, 256 + base + width * i, width)
+    }
+    val labels = block(16)
+    val transducers = block(80)
+    val dims = block(8)
+    val pmins = block(8)
+    val pmaxs = block(8)
+    val dmins = block(8)
+    val dmaxs = block(8)
+    val prefs = block(80)
+    val nsamps = block(8)
+    val _ = block(32) // per-signal reserved
+
+    val sigHeaders = Vector.tabulate(nSignals) { i =>
+      SignalHeader(
+        label = labels(i).trim,
+        transducer = transducers(i).trim,
+        physicalDimension = dims(i).trim,
+        physicalMin = pmins(i).trim.toDouble,
+        physicalMax = pmaxs(i).trim.toDouble,
+        digitalMin = dmins(i).trim.toDouble.toInt,
+        digitalMax = dmaxs(i).trim.toDouble.toInt,
+        prefiltering = prefs(i).trim,
+        samplesPerRecord = nsamps(i).trim.toInt)
+    }
+
+    val nRecordsHeader = num(bytes, 236, 8).toInt
+    val recordDuration = num(bytes, 244, 8)
+    val bytesPerRecord = sigHeaders.map(_.samplesPerRecord * 2).sum
+    // -1 record count (unknown length) → derive from file size.
+    val nRecords =
+      if (nRecordsHeader >= 0) nRecordsHeader
+      else (bytes.length - headerBytes) / bytesPerRecord
+
+    val signalData = sigHeaders.map(h =>
+      if (h.isAnnotation) null
+      else new Array[Double](nRecords * h.samplesPerRecord))
+    val annotationText = new StringBuilder
+
+    var pos = headerBytes
+    var r = 0
+    while (r < nRecords) {
+      var s = 0
+      while (s < nSignals) {
+        val h = sigHeaders(s)
+        val n = h.samplesPerRecord
+        if (h.isAnnotation) {
+          annotationText.append(new String(bytes, pos, n * 2, US_ASCII))
+        } else {
+          val out = signalData(s)
+          val base = r * n
+          val sc = h.scale
+          val of = h.offset
+          var j = 0
+          while (j < n) {
+            val lo = bytes(pos + 2 * j) & 0xff
+            val hi = bytes(pos + 2 * j + 1).toInt // sign-extended
+            out(base + j) = (lo | (hi << 8)) * sc + of
+            j += 1
+          }
+        }
+        pos += n * 2
+        s += 1
+      }
+      r += 1
+    }
+
+    EdfFile(
+      version = ascii(bytes, 0, 8).trim,
+      patientId = ascii(bytes, 8, 80).trim,
+      recordingId = ascii(bytes, 88, 80).trim,
+      startDate = ascii(bytes, 168, 8).trim,
+      startTime = ascii(bytes, 176, 8).trim,
+      reserved = ascii(bytes, 192, 44).trim,
+      nRecords = nRecords,
+      recordDurationSec = recordDuration,
+      signalHeaders = sigHeaders,
+      signals = sigHeaders.zipWithIndex.collect {
+        case (h, i) if !h.isAnnotation => h.label.trim -> signalData(i)
+      }.toMap,
+      annotations = parseAnnotations(annotationText.toString))
+  }
+
+  private val TalFieldSep = '\u0014' // separates onset+duration from labels
+  private val TalDurationSep = '\u0015' // separates onset from duration
+  private val TalEnd = '\u0000' // terminates each TAL
+
+  /** Parse TALs: `+onset[<0x15>duration]<0x14>label<0x14>...<0x00>`.
+    * Record-timestamp TALs (no label) produce no annotation.
+    */
+  def parseAnnotations(text: String): Vector[Annotation] = {
+    val out = Vector.newBuilder[Annotation]
+    text.split(TalEnd).foreach { tal =>
+      val t = tal.trim
+      if (t.nonEmpty && (t.startsWith("+") || t.startsWith("-"))) {
+        val parts = t.split(TalFieldSep)
+        if (parts.length >= 2) {
+          val head = parts(0)
+          val (onsetStr, durStr) = head.indexOf(TalDurationSep.toInt) match {
+            case -1 => (head, "0")
+            case i => (head.substring(0, i), head.substring(i + 1))
+          }
+          val labels = parts.drop(1).filter(_.nonEmpty)
+          labels.foreach { lbl =>
+            out += Annotation(onsetStr.toDouble, durStr.toDouble, lbl)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------ writer
+
+  private def pad(s: String, len: Int): Array[Byte] = {
+    val t = if (s.length > len) s.substring(0, len) else s
+    (t + " " * (len - t.length)).getBytes(US_ASCII)
+  }
+
+  /** Serialize channels (+ optional annotations) to EDF bytes. Channels are
+    * (label, physical samples); values are quantized into the given physical
+    * range over the 16-bit digital range — the inverse of [[parse]]'s
+    * scaling, used by the synthetic source and round-trip tests.
+    */
+  def write(
+      channels: Seq[(String, Array[Double])],
+      sfreq: Double,
+      annotations: Seq[Annotation] = Nil,
+      recordDurationSec: Double = 1.0,
+      physMin: Double = -0.005,
+      physMax: Double = 0.005): Array[Byte] = {
+    require(channels.nonEmpty, "no channels")
+    val nSamplesPerRec = math.round(sfreq * recordDurationSec).toInt
+    val nRecords = math.ceil(
+      channels.head._2.length.toDouble / nSamplesPerRec).toInt
+
+    val annBytesPerRecord = 64
+    val hasAnn = annotations.nonEmpty
+    val nSignals = channels.size + (if (hasAnn) 1 else 0)
+
+    // Distribute annotation TALs over records (all in record 0 is legal; we
+    // spread to keep each 64-byte slot sufficient).
+    val talStrings: Array[String] = {
+      val slots = Array.fill(nRecords)(new StringBuilder)
+      if (hasAnn) {
+        annotations.zipWithIndex.foreach { case (a, i) =>
+          val rec = math.min(i % nRecords, nRecords - 1)
+          slots(rec)
+            .append('+').append(fmtNum(a.onsetSec))
+            .append(TalDurationSep).append(fmtNum(a.durationSec))
+            .append(TalFieldSep).append(a.label).append(TalFieldSep)
+            .append(TalEnd)
+        }
+      }
+      slots.map(_.toString)
+    }
+    talStrings.zipWithIndex.foreach { case (s, i) =>
+      require(s.length <= annBytesPerRecord * 2,
+        s"annotation overflow in record $i; raise annBytesPerRecord")
+    }
+
+    val digMin = -32768
+    val digMax = 32767
+    val scale = (physMax - physMin) / (digMax - digMin).toDouble
+
+    val headerLen = 256 + nSignals * 256
+    val recBytes = channels.size * nSamplesPerRec * 2 +
+      (if (hasAnn) annBytesPerRecord * 2 else 0)
+    val buf = java.nio.ByteBuffer.allocate(headerLen + nRecords * recBytes)
+    buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    buf.put(pad("0", 8))
+    buf.put(pad("X synthetic", 80))
+    buf.put(pad("Startdate synthetic", 80))
+    buf.put(pad("01.01.00", 8))
+    buf.put(pad("00.00.00", 8))
+    buf.put(pad(headerLen.toString, 8))
+    buf.put(pad(if (hasAnn) "EDF+C" else "", 44))
+    buf.put(pad(nRecords.toString, 8))
+    buf.put(pad(fmtNum(recordDurationSec), 8))
+    buf.put(pad(nSignals.toString, 4))
+
+    val allLabels = channels.map(_._1) ++ (if (hasAnn) Seq("EDF Annotations") else Nil)
+    allLabels.foreach(l => buf.put(pad(l, 16)))
+    allLabels.foreach(_ => buf.put(pad("", 80)))
+    allLabels.foreach { l =>
+      buf.put(pad(if (l == "EDF Annotations") "" else "uV", 8))
+    }
+    allLabels.foreach { l =>
+      buf.put(pad(if (l == "EDF Annotations") "-1" else fmtNum(physMin), 8))
+    }
+    allLabels.foreach { l =>
+      buf.put(pad(if (l == "EDF Annotations") "1" else fmtNum(physMax), 8))
+    }
+    allLabels.foreach(_ => buf.put(pad(digMin.toString, 8)))
+    allLabels.foreach(_ => buf.put(pad(digMax.toString, 8)))
+    allLabels.foreach(_ => buf.put(pad("", 80)))
+    allLabels.foreach { l =>
+      buf.put(pad(
+        (if (l == "EDF Annotations") annBytesPerRecord else nSamplesPerRec).toString, 8))
+    }
+    allLabels.foreach(_ => buf.put(pad("", 32)))
+
+    var r = 0
+    while (r < nRecords) {
+      channels.foreach { case (_, samples) =>
+        var j = 0
+        while (j < nSamplesPerRec) {
+          val idx = r * nSamplesPerRec + j
+          val v = if (idx < samples.length) samples(idx) else 0.0
+          val d = math.max(digMin, math.min(digMax,
+            math.round((v - physMin) / scale) + digMin)).toInt
+          buf.putShort(d.toShort)
+          j += 1
+        }
+      }
+      if (hasAnn) {
+        val tal = talStrings(r)
+        val bytes = new Array[Byte](annBytesPerRecord * 2)
+        val talBytes = tal.getBytes(US_ASCII)
+        System.arraycopy(talBytes, 0, bytes, 0, talBytes.length)
+        buf.put(bytes)
+      }
+      r += 1
+    }
+    buf.array()
+  }
+
+  private def fmtNum(d: Double): String =
+    if (d == math.rint(d)) d.toLong.toString
+    else BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
+}

@@ -1,0 +1,174 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.edf.Edf
+import graft.signal.{BandPower, Epoching, Welch}
+
+/** One validated epoch feature row (reference `processing.py:157-166` column
+  * contract; SURVEY §1.2 SLEEP_EPOCHS minus warehouse defaults).
+  */
+final case class SleepEpoch(
+    subject_id: Int,
+    epoch_idx: Int,
+    stage: String,
+    delta_power: Double,
+    theta_power: Double,
+    alpha_power: Double,
+    sigma_power: Double,
+    beta_power: Double)
+
+/** A (subject, PSG file, hypnogram file) unit of extraction — the reference's
+  * per-subject task (`pipeline.py:44-87`).
+  */
+final case class RecordingRef(subjectId: Int, psgPath: String, hypnoPath: String)
+
+/** The extraction pipeline: EDF signal + hypnogram → per-epoch band-power
+  * rows, distributed one recording per task.
+  *
+  * Mirrors `ingest/processing.py:batch_process_file`: channel rename/retype,
+  * 30 s annotation discretization, per-epoch Welch PSD restricted to EEG
+  * channels (0.5–30 Hz), five band powers, MOVE/NAN drop with drop counting.
+  * The reference's ThreadPool-of-3 parallelism (X1) becomes Spark tasks: one
+  * partition per recording scales to any cluster width, and the per-epoch
+  * kernel streams through an iterator, so memory stays constant per task
+  * exactly like the reference's 100-epoch batch generator (N5).
+  */
+object Ingest {
+
+  /** `processing.py:27-33` channel standardization. */
+  val ChannelRename: Map[String, String] = Map(
+    "EEG Fpz-Cz" -> "EEG",
+    "EEG Pz-Oz" -> "EEG2",
+    "EOG horizontal" -> "EOG",
+    "EMG submental" -> "EMG")
+
+  /** `processing.py:38-45`: channels retyped off EEG so the PSD pick can't
+    * select them (names post-rename).
+    */
+  val NonEegChannels: Set[String] = Set(
+    "EOG", "EMG", "Resp oro-nasal", "Temp rectal", "Event marker")
+
+  final case class ExtractResult(
+      rows: Vector[SleepEpoch], totalEvents: Int, dropped: Int)
+
+  /** Pure kernel: one parsed recording pair → epoch rows. */
+  def extractRecording(subjectId: Int, psg: Edf.EdfFile,
+      hypno: Edf.EdfFile): ExtractResult = {
+    val renamed: Map[String, String] =
+      psg.channelNames.map(n => n -> ChannelRename.getOrElse(n, n)).toMap
+
+    // EEG picks: renamed name contains "EEG" and is not a retyped non-EEG
+    // channel; fall back to all channels rather than failing (processing.py:77-87).
+    val names = psg.channelNames
+    val eegNames = names.filter(n =>
+      renamed(n).contains("EEG") && !NonEegChannels.contains(renamed(n)))
+    val picked = if (eegNames.nonEmpty) eegNames else names
+    val pickedRenamed = picked.map(renamed)
+
+    val sfreq = psg.sfreq(picked.head)
+    val signals = picked.map(psg.signals)
+    val nSamples = signals.head.length.toLong
+
+    val events = Epoching.eventsFromAnnotations(hypno.annotations, sfreq, nSamples)
+    val epochSamples = math.round(Epoching.EpochLengthSeconds * sfreq).toInt
+
+    var dropped = 0
+    val rows = Vector.newBuilder[SleepEpoch]
+    var idx = 0
+    events.foreach { ev =>
+      val stage = Epoching.mapStage(ev.label)
+      if (stage == "MOVE" || stage == "NAN") {
+        dropped += 1
+      } else {
+        val start = ev.startSample.toInt
+        // Per-channel PSD restricted to 0.5–30 Hz (processing.py:99-106).
+        var freqs: Array[Double] = null
+        val psdMatrix = signals.map { sig =>
+          val seg = java.util.Arrays.copyOfRange(sig, start, start + epochSamples)
+          val p = Welch.psdBand(seg, sfreq, 0.5, 30.0)
+          freqs = p.freqs
+          p.psd
+        }.toArray
+        val bands = BandPower.allBands(psdMatrix, freqs, pickedRenamed)
+        rows += SleepEpoch(subjectId, idx, stage,
+          bands(0), bands(1), bands(2), bands(3), bands(4))
+      }
+      idx += 1
+    }
+    ExtractResult(rows.result(), events.size, dropped)
+  }
+
+  /** Union row of the extraction output: exactly one of epoch/error is set —
+    * Spark's product encoders handle nested Option[case class] natively,
+    * letting one distributed pass carry both channels.
+    */
+  final case class ExtractRow(epoch: Option[SleepEpoch], error: Option[IngestError])
+
+  /** Distributed extraction over files on any Hadoop-visible filesystem
+    * (local, HDFS, S3A): one task per recording; whole-file reads are fine
+    * because one PSG night is tens of MB. Failure isolation is per subject:
+    * a recording that fails to parse produces an error row, not a job abort
+    * (reference V8, `pipeline.py:209-260`).
+    *
+    * Returns the combined row stream in ONE pass; split with [[epochsOf]] /
+    * [[errorsOf]]. Callers that consume both sides should either persist the
+    * result or write it once and read back — never trigger two extractions.
+    */
+  def extract(spark: SparkSession, refs: Seq[RecordingRef]): Dataset[ExtractRow] = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
+    spark.createDataset(refs)
+      .repartition(refs.size)
+      .mapPartitions { iter =>
+        iter.flatMap { ref =>
+          try {
+            val psg = Edf.parse(readBytes(conf, ref.psgPath))
+            val hypno = Edf.parse(readBytes(conf, ref.hypnoPath))
+            extractRecording(ref.subjectId, psg, hypno).rows
+              .map(r => ExtractRow(Some(r), None))
+          } catch {
+            case e: Exception =>
+              Seq(ExtractRow(None, Some(IngestError(ref.subjectId,
+                e.getClass.getSimpleName, String.valueOf(e.getMessage),
+                e.getStackTrace.take(5).mkString("\n")))))
+          }
+        }
+      }
+  }
+
+  def epochsOf(rows: Dataset[ExtractRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap(_.epoch).toDF()
+  }
+
+  def errorsOf(rows: Dataset[ExtractRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap(_.error).toDF()
+  }
+
+  private def readBytes(conf: SerializableConfiguration, path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf.value)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+}
+
+/** Error-channel row (reference INGESTION_ERRORS sans warehouse defaults,
+  * `duckdb_client.py:47-56`; normalized tri-state shape `pipeline.py:23-37`).
+  */
+final case class IngestError(
+    subject_id: Int,
+    error_type: String,
+    error_message: String,
+    stack_trace: String)

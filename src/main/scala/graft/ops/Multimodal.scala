@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns plus typed
+  * metadata, with decode / feature-extract / resize / frame-sample stages
+  * shaped for scale (north star ops).
+  *
+  * The Spark-side contract is real and tested — schemas, partitioning,
+  * iterator-based batch processing via typed `mapPartitions` (the Scala
+  * analog of `mapInPandas`: per-partition streaming, constant memory, one
+  * task per partition). The codec itself is STUBBED with a deterministic
+  * fake (`FakeCodec`) because no image/audio libraries exist in this
+  * environment; `decodeImage` documents the swap point — replace the codec,
+  * keep the plumbing.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata, the storage contract. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  final case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_intensity: Double,
+      intensity_histogram: Array[Long])
+
+  final case class FrameSample(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB codec: interprets payload bytes as a row-major grayscale raster.
+    * Deterministic, dependency-free; stands in for a real JPEG/PNG decode.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
+      require(payload.length >= width * height,
+        s"payload ${payload.length} < ${width}x$height")
+      Array.tabulate(height, width)((r, c) => payload(r * width + c) & 0xff)
+    }
+
+    /** Nearest-neighbor resize on the fake raster. */
+    def resize(px: Array[Array[Int]], newW: Int, newH: Int): Array[Array[Int]] = {
+      val h = px.length; val w = px(0).length
+      Array.tabulate(newH, newW)((r, c) => px(r * h / newH)(c * w / newW))
+    }
+
+    def encode(px: Array[Array[Int]]): Array[Byte] =
+      px.flatten.map(_.toByte)
+  }
+
+  /** Decode + feature-extract images, streaming per partition. Swap
+    * FakeCodec for a real decoder to productionize; the schema, batch shape
+    * and partitioning stay identical.
+    */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { m =>
+        val px = FakeCodec.decode(m.payload, m.width, m.height)
+        var sum = 0L
+        val hist = new Array[Long](16)
+        px.foreach(_.foreach { v => sum += v; hist(v / 16) += 1 })
+        ImageFeatures(m.media_id, m.width, m.height,
+          sum.toDouble / (m.width * m.height), hist)
+      }
+    }
+  }
+
+  /** Resize stage: payload → payload, metadata updated. */
+  def resizeImages(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else {
+        val out = FakeCodec.resize(FakeCodec.decode(m.payload, m.width, m.height),
+          newW, newH)
+        m.copy(payload = FakeCodec.encode(out), width = newW, height = newH)
+      }
+    })
+  }
+
+  /** Frame sampling for video-kind rows: every `stride`-th frame becomes its
+    * own row (payload sliced per frame of width*height bytes).
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val frameBytes = m.width * m.height
+      (0 until m.n_frames by stride).iterator.map { f =>
+        FrameSample(m.media_id, f,
+          java.util.Arrays.copyOfRange(m.payload, f * frameBytes,
+            math.min((f + 1) * frameBytes, m.payload.length)))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table for tests/demos. */
+  def syntheticMedia(spark: SparkSession, n: Int, width: Int = 32,
+      height: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val kind = if (i % 3 == 2) "video" else "image"
+      val frames = if (kind == "video") 4 else 1
+      val payload = Array.tabulate(width * height * frames)(j =>
+        ((i * 131 + j * 17) % 256).toByte)
+      MediaRow(i, kind, payload, width, height, 0, frames)
+    }
+  }
+
+  /** Metadata rollup over a media DataFrame — the relational face of the
+    * multimodal table (works on any DataFrame with the MediaRow columns).
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.groupBy("kind").agg(
+      count(lit(1)).as("n_items"),
+      sum(length(col("payload"))).as("total_bytes"),
+      avg(length(col("payload"))).as("avg_bytes"),
+      max(col("width")).as("max_width"),
+      max(col("n_frames")).as("max_frames"))
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`) — north star ops (SURVEY §7.5).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, the correctness baseline and
+  *    the rerank stage. Query side broadcast, candidate side streamed —
+  *    cost O(|queries|·|corpus|) but embarrassingly parallel.
+  *  - [[lshTopK]]: random-hyperplane LSH (Charikar's SimHash for cosine,
+  *    public literature): b hyperplanes → b-bit bucket signature; only
+  *    same-bucket pairs are scored. Multi-probe (flipping one bit) trades
+  *    recall for cost. At corpus scale the bucket join shuffles each vector
+  *    once; no quadratic product.
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions — fully
+  * codegen'd, no UDFs, no driver-side loops. Hyperplanes are deterministic
+  * literal arrays seeded on the driver (tiny: planes × dim doubles).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
+
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Deterministic pseudo-random hyperplanes (xorshift-mixed), generated on
+    * the driver as plain literals.
+    */
+  def randomPlanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rng.nextGaussian())
+  }
+
+  /** b-bit signature: bit i = sign(v · plane_i), packed into a long. */
+  def hyperplaneSignature(v: Column, planes: Int, planeVals: Array[Array[Double]]): Column = {
+    val bits: Seq[Column] = (0 until planes).map { i =>
+      val plane = array(planeVals(i).map(lit): _*)
+      when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k: `queries` small (broadcast), `corpus` streamed. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k with single-bit multi-probe.
+    *
+    * Each corpus vector lands in exactly one bucket; each query probes its
+    * own bucket plus the `probes` nearest single-bit-flip buckets. Join on
+    * bucket id, exact cosine rerank within candidates, window top-k.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 12, probes: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
+    val planeVals = randomPlanes(planes, dim, seed)
+    val sig = hyperplaneSignature(col(vecCol), planes, planeVals)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sig.as("bucket"))
+    val probeBuckets: Column = {
+      val base = sig
+      val flips = (0 until math.min(probes, planes))
+        .map(i => base.bitwiseXOR(lit(1L << i)))
+      array_distinct(array(base +: flips: _*))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeBuckets).as("bucket"))
+
+    val scored = c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      // A (query, neighbor) pair can surface via multiple probe buckets.
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization: assign vectors to the nearest of
+    * `nCells` centroid cells (centroids from a deterministic sample), then
+    * search only the query's cell (+ neighbors). Provided as the alternate
+    * scale path; centroid assignment is a broadcast of nCells × dim doubles.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val cells = centroids.indices.map { i =>
+      val c = array(centroids(i).map(lit): _*)
+      struct(dot(col(vecCol), c)
+        .minus(lit(centroids(i).map(x => x * x).sum / 2)).as("score"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell", greatest(cells: _*).getField("cell"))
+  }
+}

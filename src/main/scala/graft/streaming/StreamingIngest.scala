@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming growth path (SURVEY §2.12): the reference is strictly batch,
+  * but its episode detection (60-minute-gap sessionization) has a natural
+  * Structured Streaming analog, documented there as the growth path —
+  * `session_window` + watermark for gap-based sessions, and
+  * `flatMapGroupsWithState` for custom per-subject state. Provided as
+  * first-class operators so a streaming ingest mode slots in without
+  * architecture changes; the batch models remain the parity surface.
+  */
+object StreamingIngest {
+
+  /** Gap-based session aggregation over an epoch stream with event-time
+    * column `ts`: the streaming restatement of the reference's
+    * gaps-and-islands episode detection (60-minute wake gap ⇒ session
+    * boundary). Watermark bounds state; output lands per closed session.
+    */
+  def episodeSessions(epochStream: DataFrame, gapMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame =
+    epochStream
+      .withWatermark("ts", watermark)
+      .groupBy(
+        col("subject_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_epochs"),
+        sum(when(col("stage") =!= "W", 1).otherwise(0)).as("sleep_epochs"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .select(
+        col("subject_id"),
+        col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"),
+        col("n_epochs"), col("sleep_epochs"),
+        col("session_start"), col("session_end"))
+
+  final case class EpochEvent(subject_id: Int, epoch_idx: Int, stage: String,
+      ts: java.sql.Timestamp)
+  final case class SubjectState(lastStage: String, transitions: Int, epochs: Int)
+  final case class TransitionUpdate(subject_id: Int, epochs: Int, transitions: Int)
+
+  /** Custom stateful operator: running per-subject stage-transition counts
+    * via `flatMapGroupsWithState` — the streaming analog of the W2 LAG
+    * transition detection. Emits an update per subject per micro-batch.
+    */
+  def transitionCounts(spark: SparkSession, epochs: DataFrame): DataFrame = {
+    import spark.implicits._
+    epochs.as[EpochEvent]
+      .groupByKey(_.subject_id)
+      .flatMapGroupsWithState[SubjectState, TransitionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (subjectId, events, state: GroupState[SubjectState]) =>
+          val prev = state.getOption.getOrElse(SubjectState(null, 0, 0))
+          // Within a micro-batch, order by epoch_idx for deterministic LAG.
+          val sorted = events.toSeq.sortBy(_.epoch_idx)
+          val (endState, trans) = sorted.foldLeft((prev, 0)) {
+            case ((st, n), e) =>
+              val isTrans = st.lastStage != null && st.lastStage != e.stage
+              (SubjectState(e.stage, st.transitions + (if (isTrans) 1 else 0),
+                st.epochs + 1), n + (if (isTrans) 1 else 0))
+          }
+          state.update(endState)
+          if (sorted.nonEmpty)
+            Iterator(TransitionUpdate(subjectId, endState.epochs, endState.transitions))
+          else Iterator.empty
+      }.toDF()
+  }
+
+  /** Micro-batch warehouse loading: the reference's per-subject serial load
+    * loop (X3) becomes `foreachBatch` appending each micro-batch through the
+    * same warehouse writer used in batch mode.
+    */
+  def writeEpochStream(epochStream: DataFrame, warehouseDir: String,
+      checkpointDir: String) =
+    epochStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("subject_id")
+          .parquet(s"$warehouseDir/sleep_epochs_stream")
+      }
+}

@@ -1,0 +1,82 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet warehouse with per-subject atomic replace — the Spark-native
+  * restatement of the reference's `WarehouseClient` protocol (SURVEY §2.2):
+  *
+  *  - D1 per-subject overwrite (DuckDB DELETE+INSERT txn,
+  *    `duckdb_client.py:100-111`) → dynamic partition overwrite of the
+  *    `subject_id=` partition: Spark's commit protocol stages to a temp
+  *    location and swaps on commit, so readers never observe a half-loaded
+  *    subject — the same observable guarantee as the reference's rollback
+  *    (D5) without multi-table transactions;
+  *  - D2 append, D3 truncate, D4 single-error append with generated
+  *    uuid/timestamp defaults (`duckdb_client.py:123-143`).
+  *
+  * Partitioning by subject_id is also the query-side win: every model
+  * window partitions by subject_id, and the dashboard point reads (S11)
+  * prune to one directory.
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  val epochsPath = s"$root/sleep_epochs"
+  val errorsPath = s"$root/ingestion_errors"
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** SLEEP_EPOCHS schema incl. the LOAD_TIMESTAMP default
+    * (`duckdb_client.py:33-45`).
+    */
+  def loadEpochs(epochs: DataFrame, overwrite: Boolean = true): Unit = {
+    val withDefaults = epochs.select(
+      col("subject_id").cast("int"),
+      col("epoch_idx").cast("int"),
+      col("stage").cast("string"),
+      col("delta_power").cast("double"),
+      col("theta_power").cast("double"),
+      col("alpha_power").cast("double"),
+      col("sigma_power").cast("double"),
+      col("beta_power").cast("double"),
+      current_timestamp().as("load_timestamp"))
+    withDefaults.write
+      .partitionBy("subject_id")
+      // Dynamic mode: Overwrite replaces ONLY the partitions present in the
+      // incoming frame (the loaded subjects), never the whole table.
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(epochsPath)
+  }
+
+  def readEpochs(): DataFrame = spark.read.parquet(epochsPath)
+
+  /** D3: `DELETE FROM SLEEP_EPOCHS` (`duckdb_client.py:115-121`). */
+  def truncateEpochs(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(epochsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** D4: single-row error insert with uuid()/current_timestamp defaults
+    * (`duckdb_client.py:123-143`). Accepts a frame of
+    * (subject_id, error_type, error_message, stack_trace).
+    */
+  def logErrors(errors: DataFrame): Unit = {
+    errors.select(
+      expr("uuid()").as("error_id"),
+      col("subject_id").cast("int"),
+      col("error_type").cast("string"),
+      col("error_message").cast("string"),
+      col("stack_trace").cast("string"),
+      current_timestamp().as("occurred_at"))
+      .write.mode(SaveMode.Append).parquet(errorsPath)
+  }
+
+  def readErrors(): DataFrame = spark.read.parquet(errorsPath)
+
+  def errorsExist(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(errorsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.edf.Edf
+
+class IngestSpec extends SparkSpec {
+
+  test("synthetic recording extracts stage-plausible band powers") {
+    val (psgB, hypB) = SyntheticSource.recording(0)
+    val res = Ingest.extractRecording(0, Edf.parse(psgB), Edf.parse(hypB))
+
+    assert(res.rows.nonEmpty)
+    // MOVE + NAN epochs of the grammar are dropped, 4 of them.
+    assert(res.dropped == 4, s"dropped ${res.dropped}")
+    // epoch_idx is the event index: continuous except the dropped ones.
+    assert(res.rows.map(_.epoch_idx) == res.rows.map(_.epoch_idx).sorted)
+    assert(res.rows.forall(r => Set("W", "N1", "N2", "N3", "REM")(r.stage)))
+
+    // Stage physics: N3 (delta-dominated synthesis) must have higher delta
+    // power than W; W must have higher alpha than N3.
+    def avgBy(stage: String, f: SleepEpoch => Double) = {
+      val xs = res.rows.filter(_.stage == stage).map(f)
+      xs.sum / xs.size
+    }
+    assert(avgBy("N3", _.delta_power) > avgBy("W", _.delta_power) + 3.0)
+    assert(avgBy("W", _.alpha_power) > avgBy("N3", _.alpha_power) + 3.0)
+    // All powers finite (clamp path).
+    assert(res.rows.forall(r => !r.delta_power.isNaN && !r.beta_power.isNaN))
+  }
+
+  test("distributed extract isolates per-subject failures as error rows") {
+    val dir = tmpDir("ingest")
+    val refs = SyntheticSource.writeRecordings(dir, 2)
+    // Corrupt subject 99's files.
+    val badPsg = s"$dir/bad_psg.edf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badPsg),
+      "not an edf at all".getBytes)
+    val all = refs :+ RecordingRef(99, badPsg, badPsg)
+
+    val extracted = Ingest.extract(spark, all).persist()
+    val epochs = Ingest.epochsOf(extracted)
+    val errors = Ingest.errorsOf(extracted).collect()
+
+    assert(epochs.select("subject_id").distinct().count() == 2)
+    assert(errors.length == 1)
+    assert(errors(0).getAs[Int]("subject_id") == 99)
+    assert(errors(0).getAs[String]("error_type").nonEmpty)
+    extracted.unpersist()
+  }
+
+  test("extract output feeds the model DAG end to end") {
+    val dir = tmpDir("ingest-e2e")
+    val refs = SyntheticSource.writeRecordings(dir, 1)
+    val extracted = Ingest.extract(spark, refs)
+    val epochs = Ingest.epochsOf(extracted)
+
+    val staged = graft.sleep.SleepModels.staging(epochs)
+    val metrics = graft.sleep.SleepModels.sleepMetrics(staged)
+    val summary = graft.sleep.SleepModels.sleepSummary(metrics)
+    val row = summary.filter(col("subject_id") === 0).head()
+
+    // The nap (20 min) must be excluded: the main episode is the night.
+    val tst = row.getAs[Double]("total_sleep_minutes")
+    assert(tst > 120, s"implausibly low TST $tst")
+    val eff = row.getAs[Double]("sleep_efficiency")
+    assert(eff > 0 && eff <= 1)
+  }
+}
+
+class SeedDataSpec extends SparkSpec {
+
+  test("seed grammar produces the adversarial nap shape deterministically") {
+    val a = SeedData.rows(2, seed = 0)
+    val b = SeedData.rows(2, seed = 0)
+    assert(a == b)
+
+    val s0 = a.filter(_.subject_id == 0)
+    // Grammar prefix: 180 W, then the 40-epoch nap, then 240 W.
+    assert(s0.take(180).forall(_.stage == "W"))
+    assert(s0.slice(180, 220).forall(s => s.stage == "N1" || s.stage == "N2"))
+    assert(s0.slice(220, 460).forall(_.stage == "W"))
+    // Band centres put N3 delta far above W delta.
+    val n3d = s0.filter(_.stage == "N3").map(_.delta_power)
+    assert(n3d.nonEmpty && n3d.forall(d => d > 20.0 && d < 24.0))
+  }
+
+  test("nap is excluded from the sleep period by the model DAG") {
+    val df = SeedData.dataFrame(spark, subjects = 1)
+    val metrics = graft.sleep.SleepModels.sleepMetrics(
+      graft.sleep.SleepModels.staging(df))
+    val bounds = metrics.select("sleep_onset_epoch_idx").distinct().collect()
+    assert(bounds.length == 1)
+    // Night starts at epoch 460 (after afternoon+nap+evening); the nap at
+    // epochs 180-219 must NOT be the onset.
+    val onset = bounds(0).getAs[Int]("sleep_onset_epoch_idx")
+    assert(onset == 460, s"onset $onset should be the first night epoch")
+
+    val summary = graft.sleep.SleepModels.sleepSummary(metrics)
+    Validation.requireAll(Validation.summaryChecks(summary))
+  }
+}

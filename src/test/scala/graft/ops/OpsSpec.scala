@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with engineered near-dups: doc 2i+1 is a light edit of doc 2i
+    * for the first `dupPairs` pairs; the rest are distinct random texts.
+    */
+  private def corpus(n: Int, dupPairs: Int) = {
+    val rng = new scala.util.Random(3)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    def text() = Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val docs = Array.tabulate(n)(i => (i.toLong, text()))
+    (0 until n).foreach { i =>
+      if (i % 2 == 1 && i / 2 < dupPairs) { // near-dup of previous doc
+        val toks = docs(i - 1)._2.split(" ")
+        toks(30) = "CHANGED"
+        docs(i) = (i.toLong, toks.mkString(" "))
+      }
+    }
+    docs.toSeq.toDF("doc_id", "text")
+  }
+
+  test("LSH candidates recall all high-Jaccard pairs") {
+    val docs = corpus(40, dupPairs = 8)
+    val exact = Dedup.exactJaccardPairs(docs, shingleLen = 5)
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.size == 8, s"expected 8 engineered pairs, got ${exact.size}")
+
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(docs, "text", 5), 32), 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cands),
+      s"missed pairs: ${exact.diff(cands)}")
+  }
+
+  test("estimated Jaccard tracks exact Jaccard on near-dups") {
+    val docs = corpus(20, dupPairs = 4)
+    val nd = Dedup.nearDuplicates(docs, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(nd.length >= 4)
+    nd.foreach { case (d1, d2, est) =>
+      assert(d2 == d1 + 1 && d1 % 2 == 0,
+        s"false positive pair ($d1,$d2)")
+      assert(est > 0.6, s"estimate $est too low for an engineered near-dup")
+    }
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = (0 until 20).map(_ => vec())
+    // Plant: vector 20 = tiny perturbation of vector 0.
+    val planted = base(0).map(x => x + 0.001f)
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (20L, planted)
+    val df = rows.toDF("vec_id", "embedding")
+
+    val pairs = Dedup.embeddingNearDuplicates(df, "vec_id", "embedding",
+      minCosine = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 20L)), s"planted pair missing from $pairs")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered vectors: 4 well-separated Gaussian clusters in 16-d. */
+  private def clustered(n: Int) = {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 5))
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks same-cluster vectors first") {
+    val df = clustered(80)
+    val queries = df.filter($"vec_id" < 4)
+    val knn = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // Same cluster ⇔ same vec_id mod 4.
+    knn.foreach { case (q, nb) =>
+      assert(nb % 4 == q % 4, s"neighbor $nb not in query $q's cluster")
+    }
+  }
+
+  test("LSH ANN reaches high recall against brute force") {
+    val df = clustered(200).cache()
+    val queries = df.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(df, queries, "vec_id", "embedding", 5,
+      planes = 10, probes = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+    df.unpersist()
+  }
+
+  test("cosine column expression matches a Scala-side computation") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("id", "a", "b")
+    val got = df.select($"id", Similarity.cosine($"a", $"b").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 0.0) < 1e-12)
+    assert(math.abs(got(2L) - 1.0) < 1e-12)
+    assert(math.abs(got(3L) + 1.0) < 1e-12)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("image features stream through typed mapPartitions") {
+    val media = Multimodal.syntheticMedia(spark, 9, 16, 16)
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length == 6) // 2 of 3 kinds are images
+    feats.foreach { f =>
+      assert(f.mean_intensity >= 0 && f.mean_intensity <= 255)
+      assert(f.intensity_histogram.sum == 16 * 16)
+    }
+  }
+
+  test("resize updates payload and metadata consistently") {
+    val media = Multimodal.syntheticMedia(spark, 3, 16, 16)
+    val resized = Multimodal.resizeImages(media, 8, 8).collect()
+    resized.filter(_.kind == "image").foreach { m =>
+      assert(m.width == 8 && m.height == 8)
+      assert(m.payload.length == 64)
+    }
+  }
+
+  test("frame sampling slices video payloads per frame") {
+    val media = Multimodal.syntheticMedia(spark, 9, 8, 8)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    // 3 videos × frames {0, 2} of 4.
+    assert(frames.length == 6)
+    assert(frames.forall(_.payload.length == 64))
+  }
+
+  test("media stats rollup") {
+    val media = Multimodal.syntheticMedia(spark, 9, 8, 8).toDF()
+    val stats = Multimodal.mediaStats(media).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_items")).toMap
+    assert(stats == Map("image" -> 6L, "video" -> 3L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Int) = new Timestamp(minutes * 60000L)
+
+  test("session_window splits epochs at the 60-minute gap") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Int, Int, String, Timestamp)]
+    val df = input.toDF().toDF("subject_id", "epoch_idx", "stage", "ts")
+
+    val sessions = StreamingIngest.episodeSessions(df, gapMinutes = 60)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // Two bursts separated by a 3-hour gap, then a far-future epoch to
+      // advance the watermark past both sessions.
+      input.addData(
+        (1, 0, "N2", ts(0)), (1, 1, "N2", ts(30)),
+        (1, 2, "W", ts(240)), (1, 3, "REM", ts(250)))
+      query.processAllAvailable()
+      input.addData((1, 99, "W", ts(2000)))
+      query.processAllAvailable()
+
+      val out = spark.table("sessions_out")
+        .select("subject_id", "n_epochs", "sleep_epochs").as[(Int, Long, Long)]
+        .collect().sortBy(_._3)
+      assert(out.length == 2, s"expected 2 closed sessions, got ${out.length}")
+      assert(out(0) == ((1, 2L, 1L))) // W + REM burst
+      assert(out(1) == ((1, 2L, 2L))) // two N2 epochs
+    } finally query.stop()
+  }
+
+  test("stateful transition counting across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamingIngest.EpochEvent]
+    val out = StreamingIngest.transitionCounts(spark, input.toDF())
+    val query = out.writeStream
+      .format("memory").queryName("transitions_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingIngest.EpochEvent(1, 0, "W", ts(0)),
+        StreamingIngest.EpochEvent(1, 1, "N1", ts(1)))
+      query.processAllAvailable()
+      // State carries across batches: W→N1 already counted, N1→N1 no, N1→W yes.
+      input.addData(
+        StreamingIngest.EpochEvent(1, 2, "N1", ts(2)),
+        StreamingIngest.EpochEvent(1, 3, "W", ts(3)))
+      query.processAllAvailable()
+
+      val rows = spark.table("transitions_out")
+        .as[StreamingIngest.TransitionUpdate].collect()
+      val last = rows.maxBy(_.epochs)
+      assert(last.epochs == 4)
+      assert(last.transitions == 2, s"got ${last.transitions} transitions")
+    } finally query.stop()
+  }
+}
