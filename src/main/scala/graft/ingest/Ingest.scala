@@ -141,6 +141,24 @@ object Ingest {
       }
   }
 
+  /** Fully distributed synthetic extraction: each task generates its
+    * subject's EDF bytes in memory, parses them back through the real
+    * binary path, and runs the signal kernels — no files, no driver-side
+    * synthesis. One task per subject scales the demo path like the real one.
+    */
+  def extractSynthetic(spark: SparkSession, nSubjects: Int,
+      seed: Long = 42L): Dataset[ExtractRow] = {
+    import spark.implicits._
+    spark.range(nSubjects).repartition(nSubjects)
+      .mapPartitions { it =>
+        it.flatMap { s =>
+          val (psgB, hypB) = SyntheticSource.recording(s.toInt, seed)
+          extractRecording(s.toInt, Edf.parse(psgB), Edf.parse(hypB)).rows
+            .map(r => ExtractRow(Some(r), None))
+        }
+      }
+  }
+
   def epochsOf(rows: Dataset[ExtractRow]): DataFrame = {
     import rows.sparkSession.implicits._
     rows.flatMap(_.epoch).toDF()

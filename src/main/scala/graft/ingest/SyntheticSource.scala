@@ -78,22 +78,29 @@ object SyntheticSource {
     val nSamples = stages.size * EpochSec * Sfreq.toInt
 
     // Two EEG channels + one EOG (must be excluded from band power).
+    // Every component frequency completes an integer number of cycles per
+    // 30 s epoch, so the sinusoid sum is epoch-periodic: precompute one
+    // template per stage (8 × 3000 sin evaluations instead of ~10M) and add
+    // per-sample noise from the per-subject RNG stream.
+    val epochSamples = EpochSec * Sfreq.toInt
     def channel(gain: Double, phase: Double): Array[Double] = {
+      val templates = StageAmplitudesUv.map { case (stage, comps) =>
+        stage -> Array.tabulate(epochSamples) { i =>
+          val t = i / Sfreq
+          comps.map { case (f, a) =>
+            a * gain * math.sin(2 * math.Pi * f * t + phase)
+          }.sum
+        }
+      }
       val x = new Array[Double](nSamples)
       var e = 0
       while (e < stages.size) {
-        val comps = StageAmplitudesUv(stages(e))
-        val base = e * EpochSec * Sfreq.toInt
+        val tmpl = templates(stages(e))
+        val base = e * epochSamples
         var i = 0
-        while (i < EpochSec * Sfreq.toInt) {
-          val t = (base + i) / Sfreq
-          var v = 0.0
-          comps.foreach { case (f, a) =>
-            v += a * gain * math.sin(2 * math.Pi * f * t + phase)
-          }
+        while (i < epochSamples) {
           // Small deterministic noise keeps the PSD full-band.
-          v += (rng.nextDouble() - 0.5) * 4.0
-          x(base + i) = v * 1e-6 // µV → V
+          x(base + i) = (tmpl(i) + (rng.nextDouble() - 0.5) * 4.0) * 1e-6
           i += 1
         }
         e += 1
@@ -101,11 +108,14 @@ object SyntheticSource {
       x
     }
 
+    val eeg1 = channel(1.0, 0.0)
     val psg = Edf.write(
       channels = Seq(
-        "EEG Fpz-Cz" -> channel(1.0, 0.0),
+        "EEG Fpz-Cz" -> eeg1,
         "EEG Pz-Oz" -> channel(0.7, 0.5),
-        "EOG horizontal" -> channel(5.0, 1.0)),
+        // EOG: large-amplitude copy — its only job is being EXCLUDED from
+        // band power; deriving it skips a third synthesis pass.
+        "EOG horizontal" -> eeg1.map(_ * 4.9)),
       sfreq = Sfreq)
 
     val annotations = stages.zipWithIndex

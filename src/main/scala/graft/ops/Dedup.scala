@@ -19,17 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (doc_id, shingle-hash) pairs, distinct per doc; n-token shingles. */
-  def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val t = split(col(textCol), " ")
+  /** (doc_id, shingle-hash) pairs, distinct per doc; n-token shingles.
+    * The token-array slice is hashed directly (no string rebuild) — 64-bit
+    * keys shuffle cheaply and the 2⁻⁶⁴ collision rate is noise next to
+    * MinHash's own estimation error.
+    */
+  def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs.select(
       col("doc_id"),
-      explode(array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(t) - n, lit(0))),
-          i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n)))))))
+      explode(graft.expressions.ShingleHashes(split(col(textCol), " "), n))
         .as("shingle"))
-  }
 
   /** MinHash signature table: doc_id, mh0..mh{k-1}. One shuffle on doc_id;
     * the k mins are computed in a single hash aggregate.
@@ -84,7 +83,11 @@ object Dedup {
       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(shingles(docs, textCol, shingleLen), k)
+    // The signature table feeds four consumers (two band-join sides, two
+    // estimate-join sides); persist it so the shingle+minhash pipeline runs
+    // once — at scale this is the standard "materialize signatures" step of
+    // LSH dedup (they're k longs per doc, tiny next to the corpus).
+    val sigs = minhashSignatures(shingles(docs, textCol, shingleLen), k).persist()
     val cands = lshCandidates(sigs, bands, rowsPerBand)
     estimateJaccard(cands, sigs, k).filter(col("est_jaccard") >= minJaccard)
   }

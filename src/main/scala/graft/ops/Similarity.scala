@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen'd dot product ([[graft.expressions.DotProduct]]) —
+    * bit-identical to the declarative
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` spelling but a fused loop.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.DotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -52,15 +55,21 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Exact cosine top-k: `queries` small (broadcast), `corpus` streamed. */
+  /** Exact cosine top-k: `queries` small (broadcast), `corpus` streamed.
+    * Norms are computed once per ROW before the pair join — per pair only
+    * one fused dot product runs, the dominant cost at |queries|·|corpus|.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
+          .as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -79,7 +88,7 @@ object Similarity {
     val sig = hyperplaneSignature(col(vecCol), planes, planeVals)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sig.as("bucket"))
+      l2Norm(col(vecCol)).as("cn"), sig.as("bucket"))
     val probeBuckets: Column = {
       val base = sig
       val flips = (0 until math.min(probes, planes))
@@ -87,12 +96,13 @@ object Similarity {
       array_distinct(array(base +: flips: _*))
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeBuckets).as("bucket"))
+      l2Norm(col(vecCol)).as("qn"), explode(probeBuckets).as("bucket"))
 
     val scored = c.join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
+          .as("cosine"))
       // A (query, neighbor) pair can surface via multiple probe buckets.
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))

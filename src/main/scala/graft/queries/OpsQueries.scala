@@ -24,9 +24,11 @@ object OpsQueries {
   val ingest = Q(
     "ingest_sleep_summary",
     (s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
-      val refs = SyntheticSource.writeRecordings(dir, 2)
-      val epochs = Ingest.epochsOf(Ingest.extract(s, refs))
+      // Persist extraction output before the model DAG: the DAG's episode
+      // ranking consumes its input three times, and unlike a parquet scan
+      // the signal kernels are expensive to recompute. Mirrors the real
+      // pipeline, which materializes epochs into the warehouse first.
+      val epochs = Ingest.epochsOf(Ingest.extractSynthetic(s, 2)).persist()
       SleepModels.sleepSummary(
         SleepModels.sleepMetrics(SleepModels.staging(epochs)))
         .orderBy("subject_id")
@@ -53,12 +55,18 @@ object OpsQueries {
   val embNearDupExact = Q(
     "e4_embedding_neardup",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      // Norms once per row before the O(n²) pair join: each pair costs one
+      // fused dot product (native DotProduct expression), not three.
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+        col("nrm").as("n1"))
+      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+        col("nrm").as("n2"))
       a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-          round(Similarity.cosine(col("v1"), col("v2")), 4).as("cosine"))
+          round(Similarity.dot(col("v1"), col("v2")) /
+            nullif(col("n1") * col("n2"), lit(0.0)), 4).as("cosine"))
         .filter(col("cosine") >= 0.8)
         .orderBy(col("cosine").desc, col("id1"), col("id2"))
     },

@@ -20,12 +20,12 @@ import graft.{Q, Tables}
   */
 object SimilarityQueries {
 
-  /** dot(a, b) in double over two float arrays. */
+  /** dot(a, b) in double over two float arrays — the native codegen'd
+    * [[graft.expressions.DotProduct]]; bit-identical to the zip_with +
+    * aggregate spelling.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.expressions.DotProduct(a, b)
 
   private def norm2(a: Column): Column = dot(a, a)
 
@@ -38,16 +38,17 @@ object SimilarityQueries {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          sqrt(norm2(col("embedding"))).as("qn"))
       val cands = emb
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(norm2(col("embedding"))).as("cn"))
       val scored = cands.crossJoin(broadcast(queries))
         .filter(col("cid") =!= col("qid"))
         .select(
           col("qid"), col("cid"),
           round(
-            dot(col("qe"), col("ce")) /
-              nullif(sqrt(norm2(col("qe"))) * sqrt(norm2(col("ce"))), lit(0.0)),
+            dot(col("qe"), col("ce")) / nullif(col("qn") * col("cn"), lit(0.0)),
             4).as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
       scored.withColumn("rn", row_number().over(w))

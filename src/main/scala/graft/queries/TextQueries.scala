@@ -164,16 +164,14 @@ object TextQueries {
     "t6_near_dup_jaccard",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      // Internal join key: 64-bit shingle hash, not the shingle string — the
-      // oracle compares only (d1, d2, jaccard), so each engine groups on its
-      // own key; fixed-width longs shuffle far cheaper than ~30-char strings
-      // and dominate this query's cost at scale.
+      // Internal join key: 64-bit fused shingle hash (ShingleHashes native
+      // expression), not the shingle string — the oracle compares only
+      // (d1, d2, jaccard), so each engine groups on its own key; one fused
+      // pass per doc beats the interpreted HOF chain, and fixed-width longs
+      // shuffle far cheaper than ~30-char strings.
       val shingled = docs.select(
         col("doc_id"),
-        explode(array_distinct(
-          transform(
-            sequence(lit(0), greatest(size(toks(col("text"))) - 5, lit(0))),
-            i => xxhash64(concat_ws(" ", slice(toks(col("text")), i + 1, lit(5)))))))
+        explode(graft.expressions.ShingleHashes(toks(col("text")), 5))
           .as("shingle"))
       val sizes = shingled.groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"))
