@@ -330,8 +330,8 @@ object SleepQueries {
   val qDashSubjects = Q(
     "dash_subjects",
     (s, dir) =>
-      SleepModels.sleepSummary(spark_metrics(s, dir))
-        .select("subject_id").orderBy("subject_id"),
+      spark_metrics(s, dir)
+        .select("subject_id").distinct().orderBy("subject_id"),
     Some(
       s"""${preludeSql(TestGapEpochs)}
          |select distinct subject_id from sleep_metrics order by subject_id""".stripMargin),

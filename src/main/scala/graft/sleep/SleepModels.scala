@@ -91,46 +91,57 @@ object SleepModels {
     val flagged = metrics
       .withColumn("is_sleep", when(col("sleep_stage") === "W", 0).otherwise(1))
 
-    // Gaps and islands: rows in one contiguous same-state run share a run_key
-    // (sleep_metrics.sql:84-92).
-    val runs = flagged.withColumn(
-      "run_key",
-      row_number().over(w) -
-        row_number().over(Window.partitionBy("subject_id", "is_sleep").orderBy("epoch_idx")))
+    // Episode segmentation. The reference's gaps-and-islands form
+    // (sleep_metrics.sql:84-118) windows over (subject_id), (subject_id,
+    // is_sleep) AND (subject_id, is_sleep, run_key) — three full-table
+    // shuffles at scale. Since episode ids are internal labels (never in the
+    // output; only the partition of sleep rows into episodes feeds the
+    // best-episode bounds), an equivalent single-window form suffices: mark
+    // ONE break at the gapEpochs-th row of each wake run (a wake run has
+    // ≥ gapEpochs rows iff it contains that row). Sleep rows group into
+    // exactly the same episodes — wake rows land in different (wake-only,
+    // HAVING-excluded) labels — and the running-sum ids stay monotone in
+    // time, so the deterministic rank tie-break picks the same episode.
+    // Run length counts ROWS (row_number), not epoch_idx spans: dropped
+    // MOVE/NAN epochs leave index gaps and the reference counts rows.
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val prevSleep = lag(col("is_sleep"), 1).over(w)
+    val episodes = flagged
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "wake_run_start_rn",
+        max(when(col("is_sleep") === 0 &&
+          (prevSleep.isNull || prevSleep === 1), col("rn"))).over(wRun))
+      .withColumn(
+        "is_episode_break",
+        when(
+          col("is_sleep") === 0 &&
+            col("rn") - col("wake_run_start_rn") + 1 === gapEpochs,
+          1).otherwise(0))
+      .withColumn("episode_id", sum("is_episode_break").over(wRun))
+      .drop("rn", "wake_run_start_rn")
 
-    val breaks = runs.withColumn(
-      "is_episode_break",
-      when(
-        col("is_sleep") === 0 &&
-          count(lit(1)).over(Window.partitionBy("subject_id", "is_sleep", "run_key")) >= gapEpochs,
-        1).otherwise(0))
-
-    val episodes = breaks.withColumn(
-      "episode_id",
-      sum("is_episode_break").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-
-    // Rank episodes by sleep content; episode_id breaks ties deterministically
-    // (sleep_metrics.sql:122-132). One row per (subject, episode): tiny →
-    // broadcast to avoid shuffling the epochs table again.
-    val ranked = episodes
+    // Best-episode bounds in ONE aggregation pass (sleep_metrics.sql:122-148
+    // computes ranked episodes, joins back to epochs, re-aggregates; the
+    // rank-filter form SURVEY §2.4 sanctions): per-(subject, episode) sleep
+    // sums AND sleep-epoch min/max come from one partial-aggregated shuffle
+    // of ~1 row per episode, then ranking runs over those tiny rows. The
+    // HAVING (A1), deterministic tie-break (W6/O5) and min/max-over-sleep
+    // (A2) semantics are byte-identical; the J1 epochs-side join disappears.
+    val bounds = episodes
       .groupBy("subject_id", "episode_id")
-      .agg(sum("is_sleep").as("episode_sleep_sum"))
+      .agg(
+        sum("is_sleep").as("episode_sleep_sum"),
+        min(when(col("is_sleep") === 1, col("epoch_idx"))).as("sleep_onset_epoch_idx"),
+        max(when(col("is_sleep") === 1, col("epoch_idx"))).as("final_awakening_epoch_idx"))
       .filter(col("episode_sleep_sum") > 0)
       .withColumn(
         "episode_rank",
         row_number().over(
           Window.partitionBy("subject_id")
             .orderBy(col("episode_sleep_sum").desc, col("episode_id"))))
-
-    val best = ranked.filter(col("episode_rank") === 1)
-      .select("subject_id", "episode_id")
-
-    val bounds = episodes
-      .join(broadcast(best), Seq("subject_id", "episode_id"))
-      .groupBy("subject_id")
-      .agg(
-        min(when(col("is_sleep") === 1, col("epoch_idx"))).as("sleep_onset_epoch_idx"),
-        max(when(col("is_sleep") === 1, col("epoch_idx"))).as("final_awakening_epoch_idx"))
+      .filter(col("episode_rank") === 1)
+      .select("subject_id", "sleep_onset_epoch_idx", "final_awakening_epoch_idx")
 
     episodes
       .join(broadcast(bounds), Seq("subject_id"), "left")
