@@ -117,10 +117,32 @@ object Ingest {
     * [[errorsOf]]. Callers that consume both sides should either persist the
     * result or write it once and read back — never trigger two extractions.
     */
-  def extract(spark: SparkSession, refs: Seq[RecordingRef]): Dataset[ExtractRow] = {
+  /** P3 drop-rate observability (processing.py:168-181 logs dropped MOVE/NAN
+    * epochs): accumulators surface the counts on the driver without an extra
+    * pass. Populated once the extraction dataset is acted on.
+    */
+  final case class ExtractMetrics(
+      dropped: org.apache.spark.util.LongAccumulator,
+      totalEvents: org.apache.spark.util.LongAccumulator) {
+    def dropRate: Double =
+      if (totalEvents.value == 0) 0.0
+      else dropped.value.toDouble / totalEvents.value
+  }
+
+  object ExtractMetrics {
+    def apply(spark: SparkSession): ExtractMetrics = ExtractMetrics(
+      spark.sparkContext.longAccumulator("dropped_epochs"),
+      spark.sparkContext.longAccumulator("total_events"))
+  }
+
+  def extract(spark: SparkSession, refs: Seq[RecordingRef],
+      metrics: Option[ExtractMetrics] = None): Dataset[ExtractRow] = {
     import spark.implicits._
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val m = metrics.getOrElse(ExtractMetrics(spark))
+    val droppedAcc = m.dropped
+    val totalAcc = m.totalEvents
 
     spark.createDataset(refs)
       .repartition(refs.size)
@@ -129,8 +151,10 @@ object Ingest {
           try {
             val psg = Edf.parse(readBytes(conf, ref.psgPath))
             val hypno = Edf.parse(readBytes(conf, ref.hypnoPath))
-            extractRecording(ref.subjectId, psg, hypno).rows
-              .map(r => ExtractRow(Some(r), None))
+            val res = extractRecording(ref.subjectId, psg, hypno)
+            droppedAcc.add(res.dropped)
+            totalAcc.add(res.totalEvents)
+            res.rows.map(r => ExtractRow(Some(r), None))
           } catch {
             case e: Exception =>
               Seq(ExtractRow(None, Some(IngestError(ref.subjectId,

@@ -45,7 +45,8 @@ object JobRunner {
 
     // Extract once; persist the combined result so the epoch/error split
     // doesn't recompute the signal kernels.
-    val extracted = Ingest.extract(spark, refs).persist()
+    val metrics = Ingest.ExtractMetrics(spark)
+    val extracted = Ingest.extract(spark, refs, Some(metrics)).persist()
     try {
       val (validEpochs, contractErrors) =
         Validation.validateBySubject(Ingest.epochsOf(extracted))
@@ -62,6 +63,11 @@ object JobRunner {
 
       wh.loadEpochs(validEpochs, overwrite = true)
       val epochsLoaded = wh.readEpochs().count()
+      if (metrics.dropped.value > 0)
+        // processing.py:173-180's per-subject drop log, summarized.
+        println(f"[ingest] dropped ${metrics.dropped.value}/" +
+          f"${metrics.totalEvents.value} invalid epochs " +
+          f"(${metrics.dropRate * 100}%.1f%%)")
 
       val marts = transform(spark, wh.readEpochs(), cfg.gapEpochs, cfg.warehouseDir)
       JobReport(refs.size, epochsLoaded, nFailed, marts)

@@ -298,7 +298,10 @@ object RelationalQueries {
           abs(col("n_nationkey") - 12).as("dist_from_12"),
           coalesce(nullif(col("n_regionkey"), lit(2)), lit(-1)).as("region_or_neg"),
           when(col("n_nationkey") % 2 === 0, "even").otherwise("odd").as("parity"),
-          concat(col("n_name"), lit("/"), col("r_name")).as("path"))
+          concat(col("n_name"), lit("/"), col("r_name")).as("path"),
+          greatest(col("n_nationkey"), col("n_regionkey") * 5, lit(3))
+            .as("greatest_key"),
+          least(col("n_nationkey"), col("n_regionkey") * 5, lit(3)).as("least_key"))
         .orderBy("n_nationkey"),
     Some("""select n_nationkey,
       md5(concat_ws('-', coalesce(cast(n_nationkey as varchar), '_null_'),
@@ -310,10 +313,12 @@ object RelationalQueries {
       abs(n_nationkey - 12) as dist_from_12,
       coalesce(nullif(n_regionkey, 2), -1) as region_or_neg,
       case when n_nationkey % 2 = 0 then 'even' else 'odd' end as parity,
-      concat(n_name, '/', r_name) as path
+      concat(n_name, '/', r_name) as path,
+      greatest(n_nationkey, n_regionkey * 5, 3) as greatest_key,
+      least(n_nationkey, n_regionkey * 5, 3) as least_key
     from nation join region on n_regionkey = r_regionkey
     order by n_nationkey"""),
-    "F1-F9: scalar function zoo incl. dbt-style md5 surrogate key")
+    "F1-F9/O6: scalar function zoo incl. dbt-style md5 surrogate key, greatest/least")
 
   /** Semi/anti joins (§2.4 anti-join note): suppliers with/without parts in
     * a price band, as tagged counts.
