@@ -69,7 +69,16 @@ object Edf {
     if (s.isEmpty) 0.0 else s.toDouble
   }
 
-  def parse(bytes: Array[Byte]): EdfFile = {
+  /** Parse only the fixed + per-signal headers (first 256 + ns·256 bytes):
+    * signals and annotations stay empty. Serves metadata-only reads — a
+    * channel inventory over a corpus never needs the waveforms.
+    */
+  def parseHeader(bytes: Array[Byte]): EdfFile =
+    parseImpl(bytes, headerOnly = true)
+
+  def parse(bytes: Array[Byte]): EdfFile = parseImpl(bytes, headerOnly = false)
+
+  private def parseImpl(bytes: Array[Byte], headerOnly: Boolean): EdfFile = {
     require(bytes.length >= 256, "truncated EDF header")
     val nSignals = ascii(bytes, 252, 4).trim.toInt
     val headerBytes = ascii(bytes, 184, 8).trim.toInt
@@ -117,12 +126,12 @@ object Edf {
       else (bytes.length - headerBytes) / bytesPerRecord
 
     val signalData = sigHeaders.map(h =>
-      if (h.isAnnotation) null
+      if (h.isAnnotation || headerOnly) null
       else new Array[Double](nRecords * h.samplesPerRecord))
     val annotationText = new StringBuilder
 
     var pos = headerBytes
-    var r = 0
+    var r = if (headerOnly) nRecords else 0
     while (r < nRecords) {
       var s = 0
       while (s < nSignals) {
@@ -159,9 +168,11 @@ object Edf {
       nRecords = nRecords,
       recordDurationSec = recordDuration,
       signalHeaders = sigHeaders,
-      signals = sigHeaders.zipWithIndex.collect {
-        case (h, i) if !h.isAnnotation => h.label.trim -> signalData(i)
-      }.toMap,
+      signals =
+        if (headerOnly) Map.empty
+        else sigHeaders.zipWithIndex.collect {
+          case (h, i) if !h.isAnnotation => h.label.trim -> signalData(i)
+        }.toMap,
       annotations = parseAnnotations(annotationText.toString))
   }
 
