@@ -320,5 +320,60 @@ object TextQueries {
     from documents group by source, lang order by source, lang"""),
     "corpus rollup by source and language")
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
+  /** Deterministic hash-based train/val/test assignment — the reproducible
+    * split every training pipeline needs: bucket = md5(doc_id) mod 100,
+    * 80/10/10. Hash-based (not random) so the split is stable under
+    * reprocessing and joins, and identical across engines.
+    */
+  val t10 = Q(
+    "t10_train_split",
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100).as("bucket")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("split")
+    },
+    Some("""with b as (
+      select doc_id,
+        cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 6)) as bigint) % 100 as bucket
+      from documents
+    )
+    select case when bucket < 80 then 'train'
+                when bucket < 90 then 'val'
+                else 'test' end as split,
+      count(*) as n_docs, min(doc_id) as min_doc, max(doc_id) as max_doc
+    from b group by 1 order by split"""),
+    "train-split: deterministic hash-bucket 80/10/10 assignment")
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonicalization step before dedup/fingerprinting.
+    */
+  val t11 = Q(
+    "t11_normalize",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm_hash"),
+          length(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm_len"))
+        .orderBy("doc_id"),
+    Some("""select doc_id,
+      md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) as norm_hash,
+      length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) as norm_len
+    from documents order by doc_id"""),
+    "text normalization: canonical form hash + length")
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
 }
