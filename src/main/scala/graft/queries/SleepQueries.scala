@@ -167,10 +167,18 @@ object SleepQueries {
   def preludeSql(gap: Int): String =
     s"with\n$epochsSql,\n$stagingSql,\n${metricsSql(gap)}"
 
-  private def spark_metrics(s: SparkSession, dir: String): DataFrame =
+  /** @param persistStaging materialize the staged base so the events scan +
+    *        window run once (the metrics DAG consumes its input twice) — the
+    *        query-form analog of dbt materializing staging. Keep FALSE for
+    *        point-lookup queries: a persist barrier would block predicate
+    *        pushdown and materialize every subject to serve one.
+    */
+  private def spark_metrics(s: SparkSession, dir: String,
+      persistStaging: Boolean = true): DataFrame = {
+    val staged = SleepModels.staging(epochsFromEvents(Tables.events(s, dir)))
     SleepModels.sleepMetrics(
-      SleepModels.staging(epochsFromEvents(Tables.events(s, dir))),
-      TestGapEpochs)
+      if (persistStaging) staged.persist() else staged, TestGapEpochs)
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -330,7 +338,7 @@ object SleepQueries {
   val qDashSubjects = Q(
     "dash_subjects",
     (s, dir) =>
-      spark_metrics(s, dir)
+      spark_metrics(s, dir, persistStaging = false)
         .select("subject_id").distinct().orderBy("subject_id"),
     Some(
       s"""${preludeSql(TestGapEpochs)}
@@ -340,7 +348,7 @@ object SleepQueries {
   val qDashHypnogram = Q(
     "dash_hypnogram",
     (s, dir) =>
-      spark_metrics(s, dir)
+      spark_metrics(s, dir, persistStaging = false)
         .filter(col("subject_id") === 7)
         .select(
           col("epoch_idx"), col("sleep_stage"),
