@@ -225,12 +225,12 @@ object TextQueries {
     "t7_minhash_signatures",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // Fused shingle-string extraction (ShingleStrings native expression);
+      // shingles must stay STRINGS here — the signature is md5-of-string so
+      // the DuckDB oracle reproduces it byte-for-byte.
       val shingled = docs.select(
         col("doc_id"),
-        explode(array_distinct(
-          transform(
-            sequence(lit(0), greatest(size(toks(col("text"))) - 3, lit(0))),
-            i => concat_ws(" ", slice(toks(col("text")), i + 1, lit(3))))))
+        explode(graft.expressions.ShingleStrings(toks(col("text")), 3))
           .as("shingle"))
       val aggs = (0 until 8).map(j =>
         min(md5(concat_ws(":", lit(j.toString), col("shingle")))).as(s"mh$j"))
