@@ -76,18 +76,39 @@ object Dedup {
           x => x)).cast("double") / k).as("est_jaccard"))
   }
 
+  /** Drop shingles appearing in more than `maxDocFreq` documents — the
+    * skew guard for web-scale corpora: boilerplate shingles ("all rights
+    * reserved …") occur in millions of documents and would blow up any
+    * shingle-blocked join quadratically while carrying no dedup signal.
+    * One extra aggregation on the shingle key; rare (discriminative)
+    * shingles are untouched, so true near-dups still collide.
+    */
+  def capShingleFrequency(shingled: DataFrame, maxDocFreq: Int): DataFrame = {
+    val hot = shingled.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("shingle")
+    shingled.join(hot, Seq("shingle"), "left_anti")
+  }
+
   /** End-to-end near-dup pipeline: shingle → sign → band → estimate →
     * threshold. k = bands * rowsPerBand signatures.
+    *
+    * @param maxShingleDocFreq drop shingles shared by more than this many
+    *        docs before signing (0 disables) — see [[capShingleFrequency]]
     */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxShingleDocFreq: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
+    val sh0 = shingles(docs, textCol, shingleLen)
+    val sh = if (maxShingleDocFreq > 0) capShingleFrequency(sh0, maxShingleDocFreq)
+      else sh0
     // The signature table feeds four consumers (two band-join sides, two
     // estimate-join sides); persist it so the shingle+minhash pipeline runs
     // once — at scale this is the standard "materialize signatures" step of
     // LSH dedup (they're k longs per doc, tiny next to the corpus).
-    val sigs = minhashSignatures(shingles(docs, textCol, shingleLen), k).persist()
+    val sigs = minhashSignatures(sh, k).persist()
     val cands = lshCandidates(sigs, bands, rowsPerBand)
     estimateJaccard(cands, sigs, k).filter(col("est_jaccard") >= minJaccard)
   }

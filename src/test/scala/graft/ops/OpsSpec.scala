@@ -154,3 +154,33 @@ class MultimodalSpec extends SparkSpec {
     assert(stats == Map("image" -> 6L, "video" -> 3L))
   }
 }
+
+class SkewDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("hot-shingle cap removes boilerplate but keeps true near-dups") {
+    val rng = new scala.util.Random(9)
+    val boiler = "all rights reserved to the original author of this work"
+    def body() = Seq.fill(40)(s"w${rng.nextInt(500)}").mkString(" ")
+    // Every doc shares the boilerplate; docs 0/1 are true near-dups.
+    val base = body()
+    val docs = (0 until 30).map { i =>
+      val text = if (i == 1) base + " EXTRA" else if (i == 0) base else body()
+      (i.toLong, s"$boiler $text")
+    }.toDF("doc_id", "text")
+
+    val sh = Dedup.shingles(docs, "text", 5)
+    val capped = Dedup.capShingleFrequency(sh, maxDocFreq = 10)
+    // Boilerplate shingles (in all 30 docs) are gone.
+    val maxFreq = capped.groupBy("shingle").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxFreq <= 10)
+
+    val nd = Dedup.nearDuplicates(docs, minJaccard = 0.5, maxShingleDocFreq = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 1L)), s"true near-dup lost: $nd")
+    // Without the cap, every pair shares boilerplate shingles; with it,
+    // unrelated docs stop being candidates at the estimate threshold.
+    assert(nd.size < 20, s"boilerplate still causing pair blowup: ${nd.size}")
+  }
+}
