@@ -74,6 +74,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact all-pairs cosine ≥ threshold as a blocked kernel: the full
+    * (id, vector, norm) matrix is broadcast (vectors are small — n·dim
+    * floats; for corpora beyond broadcast size, LSH-block first), and each
+    * partition streams its rows against the broadcast block in a tight JIT
+    * loop, emitting only qualifying pairs. A join-based spelling would
+    * materialize all O(n²) joined rows just to compute one dot each —
+    * here nothing but results ever exists. Accumulation order and the
+    * dot/(n1·n2) formula match the expression form bit-for-bit.
+    */
+  def bruteForcePairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val block = rows.collect().sortBy(_._1)
+    val ids = block.map(_._1)
+    val vecs = block.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bVecs = spark.sparkContext.broadcast(vecs)
+    val bNorms = spark.sparkContext.broadcast(norms)
+
+    rows.mapPartitions { it =>
+      val ids = bIds.value; val vecs = bVecs.value; val norms = bNorms.value
+      it.flatMap { case (id1, v1) =>
+        val i1 = java.util.Arrays.binarySearch(ids, id1)
+        var n1 = 0.0
+        var d = 0
+        while (d < v1.length) { n1 += v1(d).toDouble * v1(d).toDouble; d += 1 }
+        n1 = math.sqrt(n1)
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var j = i1 + 1
+        while (j < ids.length) {
+          val v2 = vecs(j)
+          var dot = 0.0
+          var k = 0
+          while (k < v1.length) { dot += v1(k).toDouble * v2(k).toDouble; k += 1 }
+          val denom = n1 * norms(j)
+          if (denom != 0.0) {
+            val c = dot / denom
+            // Raw cosine with a half-ulp-of-rounding margin: the caller
+            // rounds with Spark's own round() (HALF_UP) and re-filters, so
+            // results match the pure-expression spelling exactly.
+            if (c >= minCosine - 5e-5) out += ((id1, ids(j), c))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("id1", "id2", "cosine")
+  }
+
   /** LSH-bucketed ANN top-k with single-bit multi-probe.
     *
     * Each corpus vector lands in exactly one bucket; each query probes its

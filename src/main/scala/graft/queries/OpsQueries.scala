@@ -55,18 +55,13 @@ object OpsQueries {
   val embNearDupExact = Q(
     "e4_embedding_neardup",
     (s, dir) => {
-      // Norms once per row before the O(n²) pair join: each pair costs one
-      // fused dot product (native DotProduct expression), not three.
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-        Similarity.l2Norm(col("embedding")).as("nrm"))
-      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
-        col("nrm").as("n1"))
-      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
-        col("nrm").as("n2"))
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(Similarity.dot(col("v1"), col("v2")) /
-            nullif(col("n1") * col("n2"), lit(0.0)), 4).as("cosine"))
+      // Blocked all-pairs kernel (Similarity.bruteForcePairs): the vector
+      // matrix broadcasts and each partition streams a tight dot-product
+      // loop, emitting only qualifying pairs — a join-based spelling would
+      // materialize all O(n²) joined rows to compute one dot each.
+      Similarity.bruteForcePairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", minCosine = 0.8)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .filter(col("cosine") >= 0.8)
         .orderBy(col("cosine").desc, col("id1"), col("id2"))
     },
