@@ -50,6 +50,36 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def readEpochs(): DataFrame = spark.read.parquet(epochsPath)
 
+  /** Bucketed variant: persists SLEEP_EPOCHS as a catalog table bucketed
+    * (and sorted) by subject_id. Every model window and summary aggregation
+    * keys on subject_id, so reads from this table skip the shuffle AND the
+    * sort entirely — at cluster scale that's the difference between
+    * re-shuffling 100 TB per model run and reading co-located buckets.
+    * Requires a catalog (spark.sql.warehouse.dir); the plain parquet path
+    * above stays the default for catalog-less deployments.
+    */
+  def loadEpochsBucketed(epochs: DataFrame, table: String = "sleep_epochs_bucketed",
+      buckets: Int = 32): Unit = {
+    epochs.select(
+      col("subject_id").cast("int"),
+      col("epoch_idx").cast("int"),
+      col("stage").cast("string"),
+      col("delta_power").cast("double"),
+      col("theta_power").cast("double"),
+      col("alpha_power").cast("double"),
+      col("sigma_power").cast("double"),
+      col("beta_power").cast("double"),
+      current_timestamp().as("load_timestamp"))
+      .write
+      .bucketBy(buckets, "subject_id")
+      .sortBy("subject_id", "epoch_idx")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
+
+  def readEpochsBucketed(table: String = "sleep_epochs_bucketed"): DataFrame =
+    spark.table(table)
+
   /** D3: `DELETE FROM SLEEP_EPOCHS` (`duckdb_client.py:115-121`). */
   def truncateEpochs(): Unit = {
     val p = new org.apache.hadoop.fs.Path(epochsPath)

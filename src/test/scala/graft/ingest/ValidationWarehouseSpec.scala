@@ -145,3 +145,26 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 }
+
+class BucketedWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed epochs table serves subject-keyed aggregation without a shuffle") {
+    val wh = new Warehouse(spark, tmpDir("wh-bucket"))
+    val epochs = (1 to 4).toDF("subject_id").crossJoin(
+      (0 until 50).toDF("epoch_idx"))
+      .selectExpr("subject_id", "epoch_idx", "'N2' as stage",
+        "15.0 as delta_power", "14.0 as theta_power", "8.0 as alpha_power",
+        "1.0 as sigma_power", "2.0 as beta_power")
+    wh.loadEpochsBucketed(epochs, buckets = 4)
+
+    val agg = wh.readEpochsBucketed().groupBy("subject_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed read still shuffles:\n$plan")
+    assert(agg.collect().map(_.getLong(1)).forall(_ == 50))
+    spark.sql("drop table if exists sleep_epochs_bucketed")
+  }
+}
