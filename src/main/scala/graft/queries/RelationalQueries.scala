@@ -400,6 +400,53 @@ object RelationalQueries {
     order by c_nationkey, rnk"""),
     "W6: row_number over group-by result")
 
+  /** Grouping sets: ROLLUP over (source, lang) — subtotal rows carry null
+    * keys, coalesced to '(all)' on both sides for deterministic compare.
+    */
+  val q15 = Q(
+    "q15_rollup",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"))
+        .select(
+          coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("avg_chars"))
+        .orderBy("source", "lang"),
+    Some("""select coalesce(source, '(all)') as source,
+      coalesce(lang, '(all)') as lang,
+      count(*) as n_docs,
+      round(avg(n_chars), 4) as avg_chars
+    from documents
+    group by rollup (source, lang)
+    order by source, lang"""),
+    "grouping sets: ROLLUP with subtotal rows")
+
+  /** JSON extraction from the events props column — metadata parsing, a
+    * staple of training-data pipelines.
+    */
+  val q16 = Q(
+    "q16_json_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("k"), 6).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type"),
+    Some("""select event_type, count(*) as n,
+      round(avg(k), 6) as avg_k, min(k) as min_k, max(k) as max_k
+    from (select event_type, cast(json_extract(props, '$.k') as int) as k
+          from events) t
+    group by event_type order by event_type"""),
+    "JSON metadata extraction + rollup")
+
   def all: Seq[Q] = Seq(
-    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14)
+    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16)
 }
