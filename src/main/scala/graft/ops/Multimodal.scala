@@ -87,6 +87,49 @@ object Multimodal {
     })
   }
 
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      rms: Double,
+      zero_crossing_rate: Double,
+      dominant_freq_hz: Double)
+
+  /** Audio decode + feature extraction: payload bytes are interpreted as
+    * PCM16 little-endian (the stub decode — swap for a real codec, keep the
+    * plumbing), features are RMS, zero-crossing rate, and the dominant
+    * frequency from the engine's own Welch PSD kernel (graft.signal.Welch —
+    * the same code path that powers EEG band extraction).
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "audio" && m.sample_rate > 0)
+      .mapPartitions(_.map { m =>
+        val n = m.payload.length / 2
+        val x = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val lo = m.payload(2 * i) & 0xff
+          val hi = m.payload(2 * i + 1).toInt
+          x(i) = (lo | (hi << 8)).toShort / 32768.0
+          i += 1
+        }
+        var sumSq = 0.0
+        var crossings = 0
+        i = 0
+        while (i < n) {
+          sumSq += x(i) * x(i)
+          if (i > 0 && (x(i) >= 0) != (x(i - 1) >= 0)) crossings += 1
+          i += 1
+        }
+        val psd = graft.signal.Welch.psd(x, m.sample_rate.toDouble)
+        val peak = psd.freqs(psd.psd.indices.maxBy(psd.psd))
+        AudioFeatures(m.media_id, m.sample_rate, n,
+          math.sqrt(sumSq / math.max(n, 1)),
+          crossings.toDouble / math.max(n - 1, 1), peak)
+      })
+  }
+
   /** Frame sampling for video-kind rows: every `stride`-th frame becomes its
     * own row (payload sliced per frame of width*height bytes).
     */

@@ -184,3 +184,36 @@ class SkewDedupSpec extends graft.SparkSpec {
     assert(nd.size < 20, s"boilerplate still causing pair blowup: ${nd.size}")
   }
 }
+
+class AudioSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("audio features: RMS, ZCR and dominant frequency from PCM16 payload") {
+    val sr = 8000
+    // 440 Hz sine at half amplitude, 1 second, PCM16 LE.
+    val samples = Array.tabulate(sr)(i =>
+      (16384 * math.sin(2 * math.Pi * 440 * i / sr)).toShort)
+    val payload = new Array[Byte](sr * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      payload(2 * i) = (s & 0xff).toByte
+      payload(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val media = Seq(Multimodal.MediaRow(7L, "audio", payload, 0, 0, sr, 0)).toDS()
+
+    val f = Multimodal.audioFeatures(media).collect().head
+    assert(f.n_samples == sr)
+    // RMS of a half-amplitude sine = 0.5 / sqrt(2) ≈ 0.3536.
+    assert(math.abs(f.rms - 0.3536) < 0.01, s"rms ${f.rms}")
+    // A 440 Hz tone crosses zero 880 times per second.
+    assert(math.abs(f.zero_crossing_rate * sr - 880) < 10,
+      s"zcr ${f.zero_crossing_rate}")
+    // Welch bin resolution at 8 kHz / 256 = 31.25 Hz.
+    assert(math.abs(f.dominant_freq_hz - 440) < 32,
+      s"dominant ${f.dominant_freq_hz}")
+  }
+
+  test("non-audio rows are excluded") {
+    val media = Multimodal.syntheticMedia(spark, 6)
+    assert(Multimodal.audioFeatures(media).count() == 0)
+  }
+}
