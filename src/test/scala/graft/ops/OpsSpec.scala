@@ -217,3 +217,25 @@ class AudioSpec extends graft.SparkSpec {
     assert(Multimodal.audioFeatures(media).count() == 0)
   }
 }
+
+class IvfSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("IVF cell assignment routes vectors to their nearest centroid") {
+    val centroids = Array(
+      Array.fill(8)(5.0),   // cell 0: all +5
+      Array.fill(8)(-5.0),  // cell 1: all -5
+      Array.tabulate(8)(i => if (i < 4) 5.0 else -5.0)) // cell 2: mixed
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 90).map { i =>
+      val c = centroids(i % 3)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+
+    val assigned = Similarity.ivfAssign(rows, "embedding", centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assigned.foreach { case (id, cell) =>
+      assert(cell == (id % 3).toInt, s"vector $id routed to cell $cell")
+    }
+  }
+}
