@@ -114,5 +114,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    // shingle_hashes(tokens, n) / shingle_strings(tokens, n): n must be a
+    // foldable integer literal (it shapes the expression, not the data).
+    def intLit(e: Expression, fn: String): Int = {
+      require(e.foldable, s"$fn: shingle length must be a literal")
+      e.eval(null) match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"$fn: shingle length must be an int literal, got $other")
+      }
+    }
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_hashes takes (tokens, n)")
+        ShingleHashes(children.head, intLit(children(1), "shingle_hashes"))
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_strings takes (tokens, n)")
+        ShingleStrings(children.head, intLit(children(1), "shingle_strings"))
+      }))
   }
 }
