@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection at corpus scale (north star ops; SURVEY §7.5).
@@ -42,8 +43,17 @@ object Dedup {
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `rowsPerBand` rows; documents sharing any band bucket become a
     * candidate pair. Returns distinct (d1, d2) with d1 < d2.
+    *
+    * Skew guard: a band bucket holding B docs yields B(B-1)/2 pairs — one
+    * viral bucket (mass-duplicated boilerplate) turns the join quadratic.
+    * Buckets larger than `maxBucketSize` are star-expanded instead: each
+    * member pairs only with the bucket's minimum doc_id (B-1 pairs), so
+    * duplicate GROUPS stay discoverable through their representative while
+    * candidate volume stays linear in bucket size. Normal buckets (the
+    * overwhelming majority on a healthy corpus) are unaffected.
     */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(rows: _*).as("bucket")).as(s"band$b")
@@ -53,12 +63,22 @@ object Dedup {
       .select(col("doc_id"),
         explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
+    // One shuffle on (band, bucket) computes both size and representative;
+    // the pair join below re-uses that partitioning.
+    val w = Window.partitionBy("band", "bucket")
+    val marked = banded
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("bmin", min("doc_id").over(w))
+    val small = marked.filter(col("bsize") <= maxBucketSize)
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    val starPairs = marked
+      .filter(col("bsize") > maxBucketSize && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("d1"), col("doc_id").as("d2"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** Estimated Jaccard for candidate pairs from signature agreement —
@@ -91,6 +111,16 @@ object Dedup {
     shingled.join(hot, Seq("shingle"), "left_anti")
   }
 
+  /** Default skew-guard settings, ON unless a caller opts out. A shingle in
+    * > 128 documents is boilerplate, not dedup signal (discriminative
+    * shingles of true near-dup groups sit far below it); a band bucket past
+    * 64 members only arises from such mass duplication and star-expands
+    * (see [[lshCandidates]]). On a healthy corpus neither guard fires — on a
+    * skewed one they bound candidate volume linearly.
+    */
+  val DefaultMaxShingleDocFreq = 128
+  val DefaultMaxBucketSize = 64
+
   /** End-to-end near-dup pipeline: shingle → sign → band → estimate →
     * threshold. k = bands * rowsPerBand signatures.
     *
@@ -99,11 +129,10 @@ object Dedup {
     */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5, maxShingleDocFreq: Int = 0): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxShingleDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame = {
     val k = bands * rowsPerBand
-    val sh0 = shingles(docs, textCol, shingleLen)
-    val sh = if (maxShingleDocFreq > 0) capShingleFrequency(sh0, maxShingleDocFreq)
-      else sh0
+    val sh = cappedShingles(docs, textCol, shingleLen, maxShingleDocFreq)
     // The signature table feeds four consumers (two band-join sides, two
     // estimate-join sides); persist it so the shingle+minhash pipeline runs
     // once — at scale this is the standard "materialize signatures" step of
@@ -111,6 +140,47 @@ object Dedup {
     val sigs = minhashSignatures(sh, k).persist()
     val cands = lshCandidates(sigs, bands, rowsPerBand)
     estimateJaccard(cands, sigs, k).filter(col("est_jaccard") >= minJaccard)
+  }
+
+  private def cappedShingles(docs: DataFrame, textCol: String,
+      shingleLen: Int, maxShingleDocFreq: Int): DataFrame = {
+    val sh = shingles(docs, textCol, shingleLen)
+    if (maxShingleDocFreq > 0) capShingleFrequency(sh, maxShingleDocFreq)
+    else sh
+  }
+
+  /** LSH candidate (d1, d2) pairs alone — the non-SQL-expressible stage of
+    * the near-dup pipeline, split out so callers can stage the candidate
+    * set and hash-verify the exact rerank downstream (OpsQueries.d1).
+    */
+  def candidatePairs(docs: DataFrame, textCol: String = "text",
+      shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+      maxShingleDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame = {
+    val sh = cappedShingles(docs, textCol, shingleLen, maxShingleDocFreq)
+    lshCandidates(minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand)
+  }
+
+  /** Exact shingle-Jaccard rerank restricted to the given (d1, d2) pairs —
+    * the verify stage after LSH candidate generation. Cost is
+    * O(pairs × shingles-per-doc) via two id-keyed joins; no all-pairs
+    * product. The UNCAPPED shingle sets are used (the frequency cap is a
+    * candidate-generation heuristic; the reported Jaccard stays the true
+    * document similarity).
+    */
+  def rerankJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+      shingleLen: Int = 5): DataFrame = {
+    val sh = shingles(docs, textCol, shingleLen)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
   }
 
   /** Exact near-dup oracle (for tests / small data): full pairwise Jaccard

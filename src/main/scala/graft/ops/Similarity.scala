@@ -74,61 +74,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Exact all-pairs cosine ≥ threshold as a blocked kernel: the full
-    * (id, vector, norm) matrix is broadcast (vectors are small — n·dim
-    * floats; for corpora beyond broadcast size, LSH-block first), and each
-    * partition streams its rows against the broadcast block in a tight JIT
-    * loop, emitting only qualifying pairs. A join-based spelling would
-    * materialize all O(n²) joined rows just to compute one dot each —
-    * here nothing but results ever exists. Accumulation order and the
-    * dot/(n1·n2) formula match the expression form bit-for-bit.
+  /** Exact all-pairs cosine ≥ threshold via a triangular block-grid
+    * self-join (the classic distributed theta-join layout): ids hash into
+    * `blocks` buckets; grid cell (i, j) with i ≤ j receives bucket-i rows as
+    * its left side and bucket-j rows as its right side, so every unordered
+    * pair of rows meets in EXACTLY one cell (diagonal cells additionally
+    * keep `id_a < id_b`). Nothing is collected to the driver and no full
+    * matrix is broadcast — each row is shuffled to ~(blocks+1)/2 cells, the
+    * per-cell pairing is a streamed codegen'd dot-product loop, and cell
+    * count B(B+1)/2 bounds parallelism, so `blocks` tunes replication vs
+    * task width (exact all-pairs work is inherently O(n²); this layout just
+    * spreads it evenly with O(n·B) shuffle volume).
+    *
+    * Emits raw cosine with a half-ulp-of-rounding margin below `minCosine`:
+    * the caller rounds with Spark's own `round()` (HALF_UP) and re-filters,
+    * so results match the DuckDB `list_cosine_similarity` spelling exactly.
     */
-  def bruteForcePairs(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val rows = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val block = rows.collect().sortBy(_._1)
-    val ids = block.map(_._1)
-    val vecs = block.map(_._2)
-    val norms = vecs.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(s)
-    }
-    val bIds = spark.sparkContext.broadcast(ids)
-    val bVecs = spark.sparkContext.broadcast(vecs)
-    val bNorms = spark.sparkContext.broadcast(norms)
-
-    rows.mapPartitions { it =>
-      val ids = bIds.value; val vecs = bVecs.value; val norms = bNorms.value
-      it.flatMap { case (id1, v1) =>
-        val i1 = java.util.Arrays.binarySearch(ids, id1)
-        var n1 = 0.0
-        var d = 0
-        while (d < v1.length) { n1 += v1(d).toDouble * v1(d).toDouble; d += 1 }
-        n1 = math.sqrt(n1)
-        val out = Vector.newBuilder[(Long, Long, Double)]
-        var j = i1 + 1
-        while (j < ids.length) {
-          val v2 = vecs(j)
-          var dot = 0.0
-          var k = 0
-          while (k < v1.length) { dot += v1(k).toDouble * v2(k).toDouble; k += 1 }
-          val denom = n1 * norms(j)
-          if (denom != 0.0) {
-            val c = dot / denom
-            // Raw cosine with a half-ulp-of-rounding margin: the caller
-            // rounds with Spark's own round() (HALF_UP) and re-filters, so
-            // results match the pure-expression spelling exactly.
-            if (c >= minCosine - 5e-5) out += ((id1, ids(j), c))
-          }
-          j += 1
-        }
-        out.result()
-      }
-    }.toDF("id1", "id2", "cosine")
+  def blockedExactPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, blocks: Int = 16): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol)), lit(blocks.toLong)).cast("int").as("blk"))
+    val left = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val right = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id1"),
+        greatest(col("id_a"), col("id_b")).as("id2"),
+        (dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine - 5e-5)
   }
 
   /** LSH-bucketed ANN top-k with single-bit multi-probe.
@@ -139,29 +119,61 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 12, probes: Int = 4,
+      seed: Long = 7L): DataFrame =
+    rerankTopK(
+      lshCandidatePairs(corpus, queries, idCol, vecCol, planes, probes, seed),
+      corpus, idCol, vecCol, k)
+
+  /** Candidate (query_id, neighbor_id) pairs from the bucket join alone —
+    * distinct, self-pairs removed. This is the non-SQL-expressible stage of
+    * [[lshTopK]]; splitting it out lets callers stage the candidate set and
+    * hash-verify the downstream rerank independently (OpsQueries.e5).
+    */
+  def lshCandidatePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, planes: Int = 12, probes: Int = 4,
       seed: Long = 7L): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val planeVals = randomPlanes(planes, dim, seed)
     val sig = hyperplaneSignature(col(vecCol), planes, planeVals)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2Norm(col(vecCol)).as("cn"), sig.as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), sig.as("bucket"))
     val probeBuckets: Column = {
       val base = sig
       val flips = (0 until math.min(probes, planes))
         .map(i => base.bitwiseXOR(lit(1L << i)))
       array_distinct(array(base +: flips: _*))
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"), explode(probeBuckets).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(probeBuckets).as("bucket"))
 
-    val scored = c.join(q, "bucket")
+    // A (query, neighbor) pair can surface via multiple probe buckets.
+    c.join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+  }
+
+  /** Exact cosine rerank of candidate pairs + deterministic top-k: join the
+    * id pairs back to their vectors (query ids must exist in `corpus`),
+    * score, rank on (cosine desc, id). The join is on single id keys — at
+    * corpus scale both sides shuffle once.
+    *
+    * @param roundTo rank on the cosine ROUNDED (and zero-normalized) to this
+    *        many digits — oracle-parity mode: a hash-verifying mirror query
+    *        recomputing the cosine in another engine can differ in the last
+    *        ulp, which would flip near-tie rankings; rounding before the
+    *        deterministic (cosine, id) tie-break makes both engines rank
+    *        identically.
+    */
+  def rerankTopK(pairs: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Option[Int] = None): DataFrame = {
+    val qv = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val raw = dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0))
+    val scored = pairs.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
-          .as("cosine"))
-      // A (query, neighbor) pair can surface via multiple probe buckets.
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+        roundTo.fold(raw)(n => graft.Norm.rz(raw, n)).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -2,102 +2,202 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
-import graft.ingest.{Ingest, SyntheticSource}
+import graft.{Q, Stage, Tables}
+import graft.ingest.Ingest
 import graft.ops.{Dedup, Multimodal, Similarity}
 import graft.sleep.SleepModels
 
 /** North-star / scale-path operators surfaced through the driver contract.
-  * LSH bucketing and the signal kernels aren't reasonably ANSI-SQL
-  * expressible, so those entries ship without an oracle (rows-only check) —
-  * their semantics are verified by ScalaTest against exact baselines
-  * (DedupSpec / SimilaritySpec / IngestSpec). The exact embedding near-dup
-  * IS oracle-checked via DuckDB's list_cosine_similarity.
+  *
+  * The non-SQL-expressible stages (LSH bucketing, binary EDF parsing +
+  * signal kernels, synthetic media generation) run once in Spark and are
+  * STAGED to parquet ([[graft.Stage]]); everything downstream of the staged
+  * intermediate — exact Jaccard/cosine rerank, ranking, the whole sleep
+  * model DAG, metadata rollups — is recomputed independently by the DuckDB
+  * oracle from the same staged bytes and hash-compared. The staged stages
+  * themselves are verified by ScalaTest against exact baselines
+  * (DedupSpec / SimilaritySpec / IngestSpec: recall vs exact Jaccard /
+  * brute-force top-k, closed-form signal fixtures).
   */
 object OpsQueries {
 
   /** Full signal path: synthetic EDF recordings → binary parse → epoch →
     * Welch PSD → band power → model DAG → summary mart. Deterministic
-    * (seeded); independent of sfDir by design — the signal source is the
-    * engine's own (reference S1-S3 have no testdata analog).
+    * (seeded); the signal source is the engine's own (reference S1-S3 have
+    * no testdata analog). Extracted epochs are staged to parquet — the
+    * materialize-epochs-then-model shape of the real pipeline — and the
+    * oracle runs the SAME staging → metrics → summary SQL chain (reference
+    * gap of 120 epochs) over the staged file, so the model DAG is
+    * hash-verified end to end; the signal kernels stay spec-verified
+    * (IngestSpec / SignalSpec).
     */
   val ingest = Q(
     "ingest_sleep_summary",
-    (s, _) => {
-      // Persist extraction output before the model DAG: the DAG's episode
-      // ranking consumes its input three times, and unlike a parquet scan
-      // the signal kernels are expensive to recompute. Mirrors the real
-      // pipeline, which materializes epochs into the warehouse first.
-      val epochs = Ingest.epochsOf(Ingest.extractSynthetic(s, 2)).persist()
-      SleepModels.sleepSummary(
-        SleepModels.sleepMetrics(SleepModels.staging(epochs)))
-        .orderBy("subject_id")
+    (s, dir) => {
+      val epochs = Stage.through(
+        Ingest.epochsOf(Ingest.extractSynthetic(s, 2)), dir, "ingest_epochs")
+      SleepQueries.summaryProjection(
+        SleepModels.sleepSummary(
+          SleepModels.sleepMetrics(SleepModels.staging(epochs))))
     },
-    None,
-    "S1/S2/N1-N6: EDF parse → Welch → band power → marts (ScalaTest-verified)")
+    Some(
+      s"""with epochs as (
+         |  select subject_id, epoch_idx, stage, delta_power, theta_power,
+         |         alpha_power, sigma_power, beta_power
+         |  from ${Stage.sqlPath("ingest_epochs")}
+         |),
+         |${SleepQueries.stagingSql},
+         |${SleepQueries.metricsSql(SleepModels.DefaultGapEpochs)},
+         |${SleepQueries.summarySql}""".stripMargin),
+    "S1/S2/N1-N6: EDF parse → Welch → band power → marts (DAG hash-verified over staged epochs)")
 
   /** MinHash-LSH near-dup on documents — the scale path for t6's exact
-    * Jaccard (recall verified in DedupSpec).
+    * Jaccard. Candidate (d1, d2) pairs come from the banded signature join
+    * (skew-capped by default, recall verified in DedupSpec) and are staged;
+    * both engines then rerank the SAME candidates with exact shingle
+    * Jaccard and threshold at 0.3, so the verify stage is hash-checked.
     */
   val lshNearDup = Q(
     "d1_lsh_neardup",
-    (s, dir) =>
-      Dedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.3)
-        .orderBy(col("est_jaccard").desc, col("d1"), col("d2")),
-    None,
-    "dedup-minhash-lsh: banded candidate pairs + signature Jaccard")
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Stage.through(Dedup.candidatePairs(docs), dir, "d1_pairs")
+      Dedup.rerankJaccard(cands, docs)
+        .select(col("d1"), col("d2"),
+          graft.Norm.rz(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+    },
+    Some(
+      s"""with cand as (select d1, d2 from ${Stage.sqlPath("d1_pairs")}),
+         |toks as (
+         |  select doc_id, string_split(text, ' ') as t from documents
+         |), sub as (
+         |  select doc_id, t, generate_subscripts(t, 1) as i from toks
+         |), sh as (
+         |  select distinct doc_id, array_to_string(t[i:i+4], ' ') as shingle
+         |  from sub where i <= greatest(len(t) - 5, 0) + 1
+         |), sizes as (
+         |  select doc_id, count(*) as n_shingles from sh group by doc_id
+         |), inter as (
+         |  select c.d1, c.d2, count(*) as inter
+         |  from cand c
+         |  join sh a on a.doc_id = c.d1
+         |  join sh b on b.doc_id = c.d2 and b.shingle = a.shingle
+         |  group by 1, 2
+         |)
+         |select i.d1, i.d2,
+         |  round(cast(inter as double) / (s1.n_shingles + s2.n_shingles - inter), 6) + 0.0 as jaccard
+         |from inter i
+         |join sizes s1 on i.d1 = s1.doc_id
+         |join sizes s2 on i.d2 = s2.doc_id
+         |where round(cast(inter as double) / (s1.n_shingles + s2.n_shingles - inter), 6) >= 0.3
+         |order by jaccard desc, d1, d2""".stripMargin),
+    "dedup-minhash-lsh: banded candidates (staged) + hash-verified exact rerank")
 
-  /** Exact embedding near-dup pairs (cosine ≥ 0.8): brute-force on both
-    * sides so the DuckDB oracle (list_cosine_similarity) hash-matches. The
-    * LSH-blocked scale variant is [[lshAnn]] / Dedup.embeddingNearDuplicates
-    * (rows-only + ScalaTest recall).
+  /** Exact embedding near-dup pairs (cosine ≥ 0.8): triangular block-grid
+    * self-join ([[Similarity.blockedExactPairs]] — no driver collect, no
+    * full-matrix broadcast) against DuckDB's all-pairs
+    * list_cosine_similarity oracle.
     */
   val embNearDupExact = Q(
     "e4_embedding_neardup",
-    (s, dir) => {
-      // Blocked all-pairs kernel (Similarity.bruteForcePairs): the vector
-      // matrix broadcasts and each partition streams a tight dot-product
-      // loop, emitting only qualifying pairs — a join-based spelling would
-      // materialize all O(n²) joined rows to compute one dot each.
-      Similarity.bruteForcePairs(Tables.embeddings(s, dir),
+    (s, dir) =>
+      Similarity.blockedExactPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", minCosine = 0.8)
-        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+        .select(col("id1"), col("id2"),
+          graft.Norm.rz(col("cosine"), 4).as("cosine"))
         .filter(col("cosine") >= 0.8)
-        .orderBy(col("cosine").desc, col("id1"), col("id2"))
-    },
+        .orderBy(col("cosine").desc, col("id1"), col("id2")),
     Some("""select a.vec_id as id1, b.vec_id as id2,
-      round(list_cosine_similarity(a.embedding, b.embedding), 4) as cosine
+      round(list_cosine_similarity(a.embedding, b.embedding), 4) + 0.0 as cosine
     from embeddings a join embeddings b on a.vec_id < b.vec_id
     where round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.8
     order by cosine desc, id1, id2"""),
     "similarity: exact cosine near-dup pairs (oracle: list_cosine_similarity)")
 
   /** LSH-bucketed ANN top-5 for the first 20 vectors — the scale path for
-    * e1's brute force (recall verified in SimilaritySpec).
+    * e1's brute force. Bucket-join candidates (recall verified in
+    * SimilaritySpec) are staged; both engines rerank the SAME candidates
+    * with exact cosine and rank on (rounded cosine desc, neighbor_id), so
+    * scoring + ranking are hash-checked.
     */
   val lshAnn = Q(
     "e5_lsh_ann",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 4).as("cosine"), col("rank"))
+      val cands = Stage.through(
+        Similarity.lshCandidatePairs(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding"),
+        dir, "e5_cands")
+      Similarity.rerankTopK(cands, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     },
-    None,
-    "similarity: hyperplane-LSH ANN top-k (recall vs e1 in ScalaTest)")
+    Some(
+      s"""with cands as (
+         |  select query_id, neighbor_id from ${Stage.sqlPath("e5_cands")}
+         |), pairs as (
+         |  select c.query_id, c.neighbor_id, q.embedding as qe, n.embedding as ce
+         |  from cands c
+         |  join embeddings q on q.vec_id = c.query_id
+         |  join embeddings n on n.vec_id = c.neighbor_id
+         |), flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from pairs
+         |), dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from flat group by query_id, neighbor_id
+         |), scored as (
+         |  select query_id, neighbor_id,
+         |    round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cosine
+         |  from dots
+         |)
+         |select query_id, neighbor_id, cosine, rank from (
+         |  select query_id, neighbor_id, cosine,
+         |    row_number() over (partition by query_id order by cosine desc, neighbor_id) as rank
+         |  from scored) t
+         |where rank <= 5
+         |order by query_id, rank""".stripMargin),
+    "similarity: hyperplane-LSH ANN candidates (staged) + hash-verified rerank/rank")
 
-  /** Multimodal metadata rollup over the synthetic media table (binary
-    * payloads + typed metadata; decode plumbing tested in MultimodalSpec).
+  /** Multimodal metadata rollup: the synthetic media table's typed metadata
+    * (payload length computed Spark-side from the binary column) is staged,
+    * then both engines aggregate it — the relational face of the multimodal
+    * table is hash-verified; decode plumbing stays spec-verified
+    * (MultimodalSpec).
     */
   val mediaStats = Q(
     "m1_media_stats",
-    (s, _) =>
-      Multimodal.mediaStats(Multimodal.syntheticMedia(s, 300).toDF())
-        .orderBy("kind"),
-    None,
-    "multimodal: binary-column metadata rollup")
+    (s, dir) => {
+      val meta = Multimodal.syntheticMedia(s, 300).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          col("width"), col("height"), col("sample_rate"), col("n_frames"))
+      Stage.through(meta, dir, "m1_media_meta")
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum("n_bytes").as("total_bytes"),
+          graft.Norm.rz(avg("n_bytes"), 6).as("avg_bytes"),
+          max("width").as("max_width"),
+          max("n_frames").as("max_frames"))
+        .orderBy("kind")
+    },
+    Some(
+      s"""select kind,
+         |  count(*) as n_items,
+         |  cast(sum(n_bytes) as bigint) as total_bytes,
+         |  round(avg(n_bytes), 6) + 0.0 as avg_bytes,
+         |  max(width) as max_width,
+         |  max(n_frames) as max_frames
+         |from ${Stage.sqlPath("m1_media_meta")}
+         |group by kind
+         |order by kind""".stripMargin),
+    "multimodal: binary-column metadata rollup (staged metadata, hash-verified)")
 
   def all: Seq[Q] = Seq(ingest, lshNearDup, embNearDupExact, lshAnn, mediaStats)
 }

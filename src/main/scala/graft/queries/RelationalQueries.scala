@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,12 @@ import graft.{Q, Tables}
   * sides are broadcast.
   */
 object RelationalQueries {
+
+  /** Shadows `functions.round`: every rounded output column in this file is
+    * zero-sign-normalized (see [[graft.Norm.rz]]); the oracle SQL mirrors
+    * with `round(x, n) + 0.0`.
+    */
+  private def round(c: Column, n: Int): Column = graft.Norm.rz(c, n)
 
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
 
@@ -37,12 +43,12 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some("""select l_returnflag, l_linestatus,
-      round(sum(l_quantity), 2) as sum_qty,
-      round(sum(l_extendedprice), 2) as sum_base_price,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 4) as sum_disc_price,
-      round(avg(l_quantity), 6) as avg_qty,
-      round(avg(l_extendedprice), 6) as avg_price,
-      round(avg(l_discount), 6) as avg_disc,
+      round(sum(l_quantity), 2) + 0.0 as sum_qty,
+      round(sum(l_extendedprice), 2) + 0.0 as sum_base_price,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0 as sum_disc_price,
+      round(avg(l_quantity), 6) + 0.0 as avg_qty,
+      round(avg(l_extendedprice), 6) + 0.0 as avg_price,
+      round(avg(l_discount), 6) + 0.0 as avg_disc,
       count(*) as count_order
     from lineitem
     where l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -72,7 +78,7 @@ object RelationalQueries {
         .orderBy("n_name")
     },
     Some("""select n_name,
-      round(sum(o_totalprice), 2) as revenue,
+      round(sum(o_totalprice), 2) + 0.0 as revenue,
       count(*) as n_orders
     from orders
     join customer on o_custkey = c_custkey
@@ -122,7 +128,7 @@ object RelationalQueries {
     },
     Some("""select user_id, event_id,
       round(avg(value) over (partition by user_id order by ts, event_id
-        rows between 4 preceding and current row), 6) as rolling_value
+        rows between 4 preceding and current row), 6) + 0.0 as rolling_value
     from events
     order by user_id, event_id"""),
     "W1: rolling mean window")
@@ -170,7 +176,7 @@ object RelationalQueries {
     )
     select user_id, cast(session_id as bigint) as session_id,
       count(*) as n_events,
-      round(sum(value), 2) as session_value,
+      round(sum(value), 2) + 0.0 as session_value,
       min(event_id) as first_event,
       max(event_id) as last_event
     from sessions
@@ -206,9 +212,9 @@ object RelationalQueries {
       cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchases,
       cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_errors,
       cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signups,
-      round(avg(value), 6) as avg_value,
-      round(sum(case when event_type = 'purchase' then value else 0.0 end), 2) as purchase_value,
-      round(avg(case when event_type = 'purchase' then value end), 6) as avg_purchase_value
+      round(avg(value), 6) + 0.0 as avg_value,
+      round(sum(case when event_type = 'purchase' then value else 0.0 end), 2) + 0.0 as purchase_value,
+      round(avg(case when event_type = 'purchase' then value end), 6) + 0.0 as avg_purchase_value
     from events
     group by user_id
     order by user_id"""),
@@ -226,7 +232,7 @@ object RelationalQueries {
         .filter(col("n_orders") >= 50)
         .orderBy("c_nationkey"),
     Some("""select c_nationkey, count(*) as n_orders,
-      round(sum(o_totalprice), 2) as revenue
+      round(sum(o_totalprice), 2) + 0.0 as revenue
     from orders join customer on o_custkey = c_custkey
     group by c_nationkey
     having count(*) >= 50
@@ -370,7 +376,7 @@ object RelationalQueries {
         .orderBy("month"),
     Some("""select strftime(o_orderdate, '%Y-%m') as month,
       count(*) as n_orders,
-      round(sum(o_totalprice), 2) as revenue
+      round(sum(o_totalprice), 2) + 0.0 as revenue
     from orders group by 1 order by month"""),
     "date bucketing + rollup by month")
 
@@ -392,7 +398,7 @@ object RelationalQueries {
       select c_nationkey, c_custkey, total,
         row_number() over (partition by c_nationkey order by total desc, c_custkey) as rnk
       from (
-        select c_nationkey, c_custkey, round(sum(o_totalprice), 2) as total
+        select c_nationkey, c_custkey, round(sum(o_totalprice), 2) + 0.0 as total
         from orders join customer on o_custkey = c_custkey
         group by c_nationkey, c_custkey) t
     ) ranked
@@ -418,7 +424,7 @@ object RelationalQueries {
     Some("""select coalesce(source, '(all)') as source,
       coalesce(lang, '(all)') as lang,
       count(*) as n_docs,
-      round(avg(n_chars), 4) as avg_chars
+      round(avg(n_chars), 4) + 0.0 as avg_chars
     from documents
     group by rollup (source, lang)
     order by source, lang"""),
@@ -441,7 +447,7 @@ object RelationalQueries {
           max("k").as("max_k"))
         .orderBy("event_type"),
     Some("""select event_type, count(*) as n,
-      round(avg(k), 6) as avg_k, min(k) as min_k, max(k) as max_k
+      round(avg(k), 6) + 0.0 as avg_k, min(k) as min_k, max(k) as max_k
     from (select event_type, cast(json_extract(props, '$.k') as int) as k
           from events) t
     group by event_type order by event_type"""),

@@ -20,6 +20,12 @@ import graft.{Q, Tables}
   */
 object SimilarityQueries {
 
+  /** Shadows `functions.round`: every rounded output column in this file is
+    * zero-sign-normalized (see [[graft.Norm.rz]]); the oracle SQL mirrors
+    * with `round(x, n) + 0.0`.
+    */
+  private def round(c: Column, n: Int): Column = graft.Norm.rz(c, n)
+
   /** dot(a, b) in double over two float arrays — the native codegen'd
     * [[graft.expressions.DotProduct]]; bit-identical to the zip_with +
     * aggregate spelling.
@@ -68,7 +74,7 @@ object SimilarityQueries {
       from flat group by qid, cid
     ), scored as (
       select qid, cid,
-        round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) as cosine
+        round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cosine
       from dots
     )
     select qid, cid, cosine, rn from (
@@ -92,7 +98,7 @@ object SimilarityQueries {
         .select(col("label"), (col("pos") + 1).as("dim"), col("centroid"))
         .orderBy("label", "dim"),
     Some("""select label, i as dim,
-      round(avg(x), 6) as centroid
+      round(avg(x), 6) + 0.0 as centroid
     from (
       select label,
         unnest(embedding)::double as x,
@@ -117,8 +123,8 @@ object SimilarityQueries {
           size(col("embedding")).as("dim"))
         .orderBy("vec_id"),
     Some("""select vec_id, label,
-      round(sqrt(sum(x * x)), 6) as l2_norm,
-      round(sum(x) / count(*), 6) as mean_component,
+      round(sqrt(sum(x * x)), 6) + 0.0 as l2_norm,
+      round(sum(x) / count(*), 6) + 0.0 as mean_component,
       cast(count(*) as int) as dim
     from (select vec_id, label, unnest(embedding)::double as x from embeddings) t
     group by vec_id, label

@@ -172,17 +172,24 @@ object SleepQueries {
     *        query-form analog of dbt materializing staging. Keep FALSE for
     *        point-lookup queries: a persist barrier would block predicate
     *        pushdown and materialize every subject to serve one.
+    * @param onlyUser restrict to one subject at the SOURCE (native-typed
+    *        `user_id` equality, so the predicate pushes into the parquet
+    *        scan — every model window partitions by subject, so filtering
+    *        first is semantics-preserving). The narrowing int cast happens
+    *        after; filtering on the casted column would block pushdown.
     */
   private def spark_metrics(s: SparkSession, dir: String,
-      persistStaging: Boolean = true): DataFrame = {
-    val staged = SleepModels.staging(epochsFromEvents(Tables.events(s, dir)))
+      persistStaging: Boolean = true, onlyUser: Option[Long] = None): DataFrame = {
+    val events = Tables.events(s, dir)
+    val src = onlyUser.fold(events)(u => events.filter(col("user_id") === u))
+    val staged = SleepModels.staging(epochsFromEvents(src))
     SleepModels.sleepMetrics(
       if (persistStaging) staged.persist() else staged, TestGapEpochs)
   }
 
   // ---------------------------------------------------------------- queries
 
-  private def r(c: Column, n: Int = 4) = round(c, n)
+  private def r(c: Column, n: Int = 4) = graft.Norm.rz(c, n)
 
   val qStaging = Q(
     "sleep_staging",
@@ -217,81 +224,93 @@ object SleepQueries {
          |select
          |  epoch_id, subject_id, epoch_idx, sleep_stage,
          |  delta_power_uv, theta_power_uv, alpha_power_uv, sigma_power_uv, beta_power_uv,
-         |  round(delta_moving_avg, 4) as delta_ma,
-         |  round(sigma_moving_avg, 4) as sigma_ma,
-         |  round(beta_moving_avg, 4) as beta_ma,
-         |  round(theta_moving_avg, 4) as theta_ma,
-         |  round(alpha_moving_avg, 4) as alpha_ma,
+         |  round(delta_moving_avg, 4) + 0.0 as delta_ma,
+         |  round(sigma_moving_avg, 4) + 0.0 as sigma_ma,
+         |  round(beta_moving_avg, 4) + 0.0 as beta_ma,
+         |  round(theta_moving_avg, 4) + 0.0 as theta_ma,
+         |  round(alpha_moving_avg, 4) + 0.0 as alpha_ma,
          |  is_stage_transition, sleep_onset_epoch_idx, final_awakening_epoch_idx, is_in_sleep_period
          |from sleep_metrics
          |order by subject_id, epoch_idx""".stripMargin),
     "W1-W6/J1-J2/A1-A2/P8: full sleep_metrics intermediate model")
 
+  /** DuckDB mirror of [[SleepModels.sleepSummary]] + [[summaryProjection]]:
+    * counts CTE plus rounded final select, assuming a `sleep_metrics` CTE is
+    * already in scope — shared by qSummary and the ingest oracle
+    * (OpsQueries). Every rounded column gets `+ 0.0` (see [[graft.Norm.rz]]).
+    */
+  val summarySql: String =
+    """counts as (
+      |  select subject_id,
+      |    count(*) as recording_epochs,
+      |    sum(case when is_in_sleep_period then 1 else 0 end) as sleep_period_epochs,
+      |    sum(case when is_in_sleep_period and sleep_stage in ('N1','N2','N3','REM') then 1 else 0 end) as sleep_epochs,
+      |    sum(case when is_in_sleep_period and sleep_stage = 'N3' then 1 else 0 end) as deep_epochs,
+      |    sum(case when is_in_sleep_period and sleep_stage in ('N1','N2') then 1 else 0 end) as light_epochs,
+      |    sum(case when is_in_sleep_period and sleep_stage = 'REM' then 1 else 0 end) as rem_epochs,
+      |    sum(case when is_in_sleep_period and sleep_stage = 'W' then 1 else 0 end) as waso_epochs,
+      |    sum(case when is_in_sleep_period and is_stage_transition and sleep_stage = 'W' then 1 else 0 end) as awakening_count,
+      |    avg(case when is_in_sleep_period then delta_moving_avg end) as avg_delta_power,
+      |    avg(case when is_in_sleep_period then sigma_moving_avg end) as avg_sigma_power,
+      |    avg(case when is_in_sleep_period then beta_moving_avg end) as avg_beta_power,
+      |    avg(case when is_in_sleep_period then theta_moving_avg end) as avg_theta_power,
+      |    avg(case when is_in_sleep_period then alpha_moving_avg end) as avg_alpha_power
+      |  from sleep_metrics
+      |  group by subject_id
+      |)
+      |select subject_id,
+      |  round(recording_epochs * cast(0.5 as double), 4) + 0.0 as total_recording_minutes,
+      |  round(sleep_period_epochs * cast(0.5 as double), 4) + 0.0 as sleep_period_minutes,
+      |  round(sleep_epochs * cast(0.5 as double), 4) + 0.0 as total_sleep_minutes,
+      |  round(waso_epochs * cast(0.5 as double), 4) + 0.0 as waso_minutes,
+      |  cast(awakening_count as bigint) as number_of_awakenings,
+      |  round(sleep_epochs / nullif(cast(sleep_period_epochs as double), 0), 6) + 0.0 as sleep_efficiency,
+      |  round(deep_epochs * cast(0.5 as double), 4) + 0.0 as deep_sleep_minutes,
+      |  round(deep_epochs / nullif(cast(sleep_epochs as double), 0), 6) + 0.0 as deep_sleep_percentage,
+      |  round(light_epochs * cast(0.5 as double), 4) + 0.0 as light_sleep_minutes,
+      |  round(light_epochs / nullif(cast(sleep_epochs as double), 0), 6) + 0.0 as light_sleep_percentage,
+      |  round(rem_epochs * cast(0.5 as double), 4) + 0.0 as rem_sleep_minutes,
+      |  round(rem_epochs / nullif(cast(sleep_epochs as double), 0), 6) + 0.0 as rem_sleep_percentage,
+      |  round(avg_delta_power, 4) + 0.0 as avg_delta_power,
+      |  round(avg_sigma_power, 4) + 0.0 as avg_sigma_power,
+      |  round(avg_beta_power, 4) + 0.0 as avg_beta_power,
+      |  round(avg_theta_power, 4) + 0.0 as avg_theta_power,
+      |  round(avg_alpha_power, 4) + 0.0 as avg_alpha_power
+      |from counts
+      |order by subject_id""".stripMargin
+
+  /** Rounded output projection over a [[SleepModels.sleepSummary]] result —
+    * shared by qSummary and the ingest_sleep_summary query (OpsQueries).
+    */
+  def summaryProjection(sm: DataFrame): DataFrame =
+    sm.select(
+      col("subject_id"),
+      r(col("total_recording_minutes")).as("total_recording_minutes"),
+      r(col("sleep_period_minutes")).as("sleep_period_minutes"),
+      r(col("total_sleep_minutes")).as("total_sleep_minutes"),
+      r(col("waso_minutes")).as("waso_minutes"),
+      col("number_of_awakenings"),
+      r(col("sleep_efficiency"), 6).as("sleep_efficiency"),
+      r(col("deep_sleep_minutes")).as("deep_sleep_minutes"),
+      r(col("deep_sleep_percentage"), 6).as("deep_sleep_percentage"),
+      r(col("light_sleep_minutes")).as("light_sleep_minutes"),
+      r(col("light_sleep_percentage"), 6).as("light_sleep_percentage"),
+      r(col("rem_sleep_minutes")).as("rem_sleep_minutes"),
+      r(col("rem_sleep_percentage"), 6).as("rem_sleep_percentage"),
+      r(col("avg_delta_power")).as("avg_delta_power"),
+      r(col("avg_sigma_power")).as("avg_sigma_power"),
+      r(col("avg_beta_power")).as("avg_beta_power"),
+      r(col("avg_theta_power")).as("avg_theta_power"),
+      r(col("avg_alpha_power")).as("avg_alpha_power"))
+      .orderBy("subject_id")
+
   val qSummary = Q(
     "sleep_summary",
-    (s, dir) => {
-      val sm = SleepModels.sleepSummary(spark_metrics(s, dir))
-      sm.select(
-        col("subject_id"),
-        r(col("total_recording_minutes")).as("total_recording_minutes"),
-        r(col("sleep_period_minutes")).as("sleep_period_minutes"),
-        r(col("total_sleep_minutes")).as("total_sleep_minutes"),
-        r(col("waso_minutes")).as("waso_minutes"),
-        col("number_of_awakenings"),
-        r(col("sleep_efficiency"), 6).as("sleep_efficiency"),
-        r(col("deep_sleep_minutes")).as("deep_sleep_minutes"),
-        r(col("deep_sleep_percentage"), 6).as("deep_sleep_percentage"),
-        r(col("light_sleep_minutes")).as("light_sleep_minutes"),
-        r(col("light_sleep_percentage"), 6).as("light_sleep_percentage"),
-        r(col("rem_sleep_minutes")).as("rem_sleep_minutes"),
-        r(col("rem_sleep_percentage"), 6).as("rem_sleep_percentage"),
-        r(col("avg_delta_power")).as("avg_delta_power"),
-        r(col("avg_sigma_power")).as("avg_sigma_power"),
-        r(col("avg_beta_power")).as("avg_beta_power"),
-        r(col("avg_theta_power")).as("avg_theta_power"),
-        r(col("avg_alpha_power")).as("avg_alpha_power"))
-        .orderBy("subject_id")
-    },
+    (s, dir) =>
+      summaryProjection(SleepModels.sleepSummary(spark_metrics(s, dir))),
     Some(
       s"""${preludeSql(TestGapEpochs)},
-         |counts as (
-         |  select subject_id,
-         |    count(*) as recording_epochs,
-         |    sum(case when is_in_sleep_period then 1 else 0 end) as sleep_period_epochs,
-         |    sum(case when is_in_sleep_period and sleep_stage in ('N1','N2','N3','REM') then 1 else 0 end) as sleep_epochs,
-         |    sum(case when is_in_sleep_period and sleep_stage = 'N3' then 1 else 0 end) as deep_epochs,
-         |    sum(case when is_in_sleep_period and sleep_stage in ('N1','N2') then 1 else 0 end) as light_epochs,
-         |    sum(case when is_in_sleep_period and sleep_stage = 'REM' then 1 else 0 end) as rem_epochs,
-         |    sum(case when is_in_sleep_period and sleep_stage = 'W' then 1 else 0 end) as waso_epochs,
-         |    sum(case when is_in_sleep_period and is_stage_transition and sleep_stage = 'W' then 1 else 0 end) as awakening_count,
-         |    avg(case when is_in_sleep_period then delta_moving_avg end) as avg_delta_power,
-         |    avg(case when is_in_sleep_period then sigma_moving_avg end) as avg_sigma_power,
-         |    avg(case when is_in_sleep_period then beta_moving_avg end) as avg_beta_power,
-         |    avg(case when is_in_sleep_period then theta_moving_avg end) as avg_theta_power,
-         |    avg(case when is_in_sleep_period then alpha_moving_avg end) as avg_alpha_power
-         |  from sleep_metrics
-         |  group by subject_id
-         |)
-         |select subject_id,
-         |  round(recording_epochs * cast(0.5 as double), 4) as total_recording_minutes,
-         |  round(sleep_period_epochs * cast(0.5 as double), 4) as sleep_period_minutes,
-         |  round(sleep_epochs * cast(0.5 as double), 4) as total_sleep_minutes,
-         |  round(waso_epochs * cast(0.5 as double), 4) as waso_minutes,
-         |  cast(awakening_count as bigint) as number_of_awakenings,
-         |  round(sleep_epochs / nullif(cast(sleep_period_epochs as double), 0), 6) as sleep_efficiency,
-         |  round(deep_epochs * cast(0.5 as double), 4) as deep_sleep_minutes,
-         |  round(deep_epochs / nullif(cast(sleep_epochs as double), 0), 6) as deep_sleep_percentage,
-         |  round(light_epochs * cast(0.5 as double), 4) as light_sleep_minutes,
-         |  round(light_epochs / nullif(cast(sleep_epochs as double), 0), 6) as light_sleep_percentage,
-         |  round(rem_epochs * cast(0.5 as double), 4) as rem_sleep_minutes,
-         |  round(rem_epochs / nullif(cast(sleep_epochs as double), 0), 6) as rem_sleep_percentage,
-         |  round(avg_delta_power, 4) as avg_delta_power,
-         |  round(avg_sigma_power, 4) as avg_sigma_power,
-         |  round(avg_beta_power, 4) as avg_beta_power,
-         |  round(avg_theta_power, 4) as avg_theta_power,
-         |  round(avg_alpha_power, 4) as avg_alpha_power
-         |from counts
-         |order by subject_id""".stripMargin),
+         |$summarySql""".stripMargin),
     "A3-A6/F3-F5/F7: sleep_summary mart — conditional counting, minutes, ratios")
 
   val qFeatures = Q(
@@ -319,14 +338,14 @@ object SleepQueries {
          |)
          |select epoch_id, subject_id, sleep_stage,
          |  round((delta_beta_ratio - avg(delta_beta_ratio) over (partition by subject_id))
-         |    / nullif(stddev(delta_beta_ratio) over (partition by subject_id), 0), 4) as delta_beta_ratio_z,
-         |  round(delta_beta_ratio, 6) as delta_beta_ratio,
+         |    / nullif(stddev(delta_beta_ratio) over (partition by subject_id), 0), 4) + 0.0 as delta_beta_ratio_z,
+         |  round(delta_beta_ratio, 6) + 0.0 as delta_beta_ratio,
          |  round((delta_alpha_ratio - avg(delta_alpha_ratio) over (partition by subject_id))
-         |    / nullif(stddev(delta_alpha_ratio) over (partition by subject_id), 0), 4) as delta_alpha_ratio_z,
-         |  round(delta_alpha_ratio, 6) as delta_alpha_ratio,
+         |    / nullif(stddev(delta_alpha_ratio) over (partition by subject_id), 0), 4) + 0.0 as delta_alpha_ratio_z,
+         |  round(delta_alpha_ratio, 6) + 0.0 as delta_alpha_ratio,
          |  round((theta_alpha_ratio - avg(theta_alpha_ratio) over (partition by subject_id))
-         |    / nullif(stddev(theta_alpha_ratio) over (partition by subject_id), 0), 4) as theta_alpha_ratio_z,
-         |  round(theta_alpha_ratio, 6) as theta_alpha_ratio
+         |    / nullif(stddev(theta_alpha_ratio) over (partition by subject_id), 0), 4) + 0.0 as theta_alpha_ratio_z,
+         |  round(theta_alpha_ratio, 6) + 0.0 as theta_alpha_ratio
          |from ratios
          |order by subject_id, epoch_id""".stripMargin),
     "A8/W7/F5: sleep_features mart — power ratios + per-subject z-scores")
@@ -348,8 +367,7 @@ object SleepQueries {
   val qDashHypnogram = Q(
     "dash_hypnogram",
     (s, dir) =>
-      spark_metrics(s, dir, persistStaging = false)
-        .filter(col("subject_id") === 7)
+      spark_metrics(s, dir, persistStaging = false, onlyUser = Some(7L))
         .select(
           col("epoch_idx"), col("sleep_stage"),
           col("is_in_sleep_period"),
@@ -357,7 +375,7 @@ object SleepQueries {
         .orderBy("epoch_idx"),
     Some(
       s"""${preludeSql(TestGapEpochs)}
-         |select epoch_idx, sleep_stage, is_in_sleep_period, round(delta_moving_avg, 4) as delta_ma
+         |select epoch_idx, sleep_stage, is_in_sleep_period, round(delta_moving_avg, 4) + 0.0 as delta_ma
          |from sleep_metrics where subject_id = 7 order by epoch_idx""".stripMargin),
     "S11/P5/O2: dashboard per-subject hypnogram point read")
 

@@ -19,6 +19,12 @@ import graft.{Q, Tables}
   */
 object TextQueries {
 
+  /** Shadows `functions.round`: every rounded output column in this file is
+    * zero-sign-normalized (see [[graft.Norm.rz]]); the oracle SQL mirrors
+    * with `round(x, n) + 0.0`.
+    */
+  private def round(c: Column, n: Int): Column = graft.Norm.rz(c, n)
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   private def toks(c: Column) = split(c, " ")
@@ -87,12 +93,12 @@ object TextQueries {
         .orderBy("doc_id")
     },
     Some(s"""select doc_id,
-      round(n_stop / n_tok, 6) as stopword_ratio,
-      round(mean_tok_len, 6) as mean_token_len,
+      round(n_stop / n_tok, 6) + 0.0 as stopword_ratio,
+      round(mean_tok_len, 6) + 0.0 as mean_token_len,
       round(least(n_tok / 100.0, cast(1.0 as double)) * 0.5
             + (n_stop / n_tok) * 2.0
             + case when mean_tok_len between 3.0 and 8.0 then 0.3 else 0.0 end,
-        6) as quality_score
+        6) + 0.0 as quality_score
     from (
       select doc_id,
         cast(len(string_split(text, ' ')) as double) as n_tok,
@@ -125,7 +131,7 @@ object TextQueries {
     },
     Some(s"""select doc_id, lang as tagged_lang,
       case when ratio >= 0.05 then 'en' else 'und' end as predicted_lang,
-      round(ratio, 6) as en_score
+      round(ratio, 6) + 0.0 as en_score
     from (
       select doc_id, lang,
         cast(len(list_filter(string_split(text, ' '),
@@ -208,7 +214,7 @@ object TextQueries {
       group by 1, 2
     )
     select d1, d2,
-      round(cast(inter as double) / (s1.n_shingles + s2.n_shingles - inter), 6) as jaccard
+      round(cast(inter as double) / (s1.n_shingles + s2.n_shingles - inter), 6) + 0.0 as jaccard
     from pairs
     join sizes s1 on d1 = s1.doc_id
     join sizes s2 on d2 = s2.doc_id
@@ -313,8 +319,8 @@ object TextQueries {
           max("n_chars").as("max_chars"))
         .orderBy("source", "lang"),
     Some("""select source, lang, count(*) as n_docs,
-      round(avg(n_chars), 6) as avg_chars,
-      round(avg(len(string_split(text, ' '))), 6) as avg_tokens,
+      round(avg(n_chars), 6) + 0.0 as avg_chars,
+      round(avg(len(string_split(text, ' '))), 6) + 0.0 as avg_tokens,
       min(n_chars) as min_chars,
       max(n_chars) as max_chars
     from documents group by source, lang order by source, lang"""),

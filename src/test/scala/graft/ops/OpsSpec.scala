@@ -183,6 +183,35 @@ class SkewDedupSpec extends graft.SparkSpec {
     // unrelated docs stop being candidates at the estimate threshold.
     assert(nd.size < 20, s"boilerplate still causing pair blowup: ${nd.size}")
   }
+
+  test("viral band bucket star-expands: candidate volume stays linear") {
+    // 100 byte-identical docs (a mass-duplicated page): every band bucket
+    // holds all 100, so the naive band join would emit 100·99/2 = 4 950
+    // pairs PER BAND. The bucket cap (default 64) star-expands oversized
+    // buckets against their min-doc representative instead — candidates stay
+    // n-1, and the duplicate group remains fully discoverable through doc 0.
+    // (100 sits below the shingle-frequency cap's default 128, so that guard
+    // stays out of the way; beyond IT, a fully-boilerplate group vanishes
+    // from LSH entirely — mass-exact duplicates are exact-hash dedup's job,
+    // t1.)
+    val dupText = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val rng = new scala.util.Random(17)
+    val docs = ((0 until 100).map(i => (i.toLong, dupText)) ++
+      (100 until 130).map(i =>
+        (i.toLong, Seq.fill(40)(s"w${rng.nextInt(800)}").mkString(" "))))
+      .toDF("doc_id", "text")
+
+    val cands = Dedup.candidatePairs(docs).as[(Long, Long)].collect()
+    val dupCands = cands.filter { case (d1, d2) => d1 < 100 && d2 < 100 }
+    assert(dupCands.length == 99, s"expected 99 star pairs, got ${dupCands.length}")
+    assert(dupCands.forall(_._1 == 0L), "star pairs must anchor on the min doc_id")
+
+    // The estimate stage confirms them as duplicates (signatures identical).
+    val nd = Dedup.nearDuplicates(docs, minJaccard = 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(nd.count { case (d1, d2) => d1 == 0L && d2 < 100 } == 99,
+      "duplicate group must survive estimation at jaccard 0.9")
+  }
 }
 
 class AudioSpec extends graft.SparkSpec {
