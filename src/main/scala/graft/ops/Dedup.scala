@@ -155,9 +155,20 @@ object Dedup {
     */
   def candidatePairs(docs: DataFrame, textCol: String = "text",
       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+      maxShingleDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame =
+    candidatePairsFromShingles(shingles(docs, textCol, shingleLen),
+      bands, rowsPerBand, maxShingleDocFreq)
+
+  /** [[candidatePairs]] over a pre-built (doc_id, shingle) table — lets a
+    * caller compute (and persist) the shingle table ONCE and feed both
+    * candidate generation and the exact rerank from it.
+    */
+  def candidatePairsFromShingles(sh: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 4,
       maxShingleDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame = {
-    val sh = cappedShingles(docs, textCol, shingleLen, maxShingleDocFreq)
-    lshCandidates(minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand)
+    val capped = if (maxShingleDocFreq > 0)
+      capShingleFrequency(sh, maxShingleDocFreq) else sh
+    lshCandidates(minhashSignatures(capped, bands * rowsPerBand), bands, rowsPerBand)
   }
 
   /** Exact shingle-Jaccard rerank restricted to the given (d1, d2) pairs —
@@ -168,8 +179,11 @@ object Dedup {
     * document similarity).
     */
   def rerankJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
-      shingleLen: Int = 5): DataFrame = {
-    val sh = shingles(docs, textCol, shingleLen)
+      shingleLen: Int = 5): DataFrame =
+    rerankJaccardOnShingles(pairs, shingles(docs, textCol, shingleLen))
+
+  /** [[rerankJaccard]] over a pre-built UNCAPPED (doc_id, shingle) table. */
+  def rerankJaccardOnShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")

@@ -61,8 +61,11 @@ object OpsQueries {
     "d1_lsh_neardup",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val cands = Stage.through(Dedup.candidatePairs(docs), dir, "d1_pairs")
-      Dedup.rerankJaccard(cands, docs)
+      // One shingle pass feeds both LSH candidate generation and the exact
+      // rerank; persist() so the explode+hash runs once per execution.
+      val sh = Dedup.shingles(docs, "text", 5).persist()
+      val cands = Stage.through(Dedup.candidatePairsFromShingles(sh), dir, "d1_pairs")
+      Dedup.rerankJaccardOnShingles(cands, sh)
         .select(col("d1"), col("d2"),
           graft.Norm.rz(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.3)

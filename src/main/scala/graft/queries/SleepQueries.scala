@@ -167,11 +167,32 @@ object SleepQueries {
   def preludeSql(gap: Int): String =
     s"with\n$epochsSql,\n$stagingSql,\n${metricsSql(gap)}"
 
-  /** @param persistStaging materialize the staged base so the events scan +
-    *        window run once (the metrics DAG consumes its input twice) — the
-    *        query-form analog of dbt materializing staging. Keep FALSE for
-    *        point-lookup queries: a persist barrier would block predicate
-    *        pushdown and materialize every subject to serve one.
+  /** dbt materializes the staging model once and every downstream model
+    * reads the table; mirror that per session: the staged base for a given
+    * data dir is written to the per-sf stage dir on FIRST use, and later
+    * sleep-family queries read the parquet back instead of re-deriving the
+    * events scan + row_number window. Values are bit-identical (the staged
+    * columns are already float-cast; parquet round-trips floats exactly),
+    * so oracle parity is unaffected.
+    */
+  private val stagedWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def materializedStaging(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${graft.Stage.dir(dir)}/sleep_staged"
+    stagedWritten.getOrElseUpdate(dir, {
+      SleepModels.staging(epochsFromEvents(Tables.events(s, dir)))
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    s.read.parquet(path)
+  }
+
+  /** @param materialized read the session-materialized staged base (see
+    *        [[materializedStaging]]) so the events scan + window run once
+    *        per session, not once per model — the analog of dbt building
+    *        staging before the marts. Keep FALSE for point-lookup queries:
+    *        a materialization barrier would block predicate pushdown and
+    *        stage every subject to serve one.
     * @param onlyUser restrict to one subject at the SOURCE (native-typed
     *        `user_id` equality, so the predicate pushes into the parquet
     *        scan — every model window partitions by subject, so filtering
@@ -179,12 +200,15 @@ object SleepQueries {
     *        after; filtering on the casted column would block pushdown.
     */
   private def spark_metrics(s: SparkSession, dir: String,
-      persistStaging: Boolean = true, onlyUser: Option[Long] = None): DataFrame = {
-    val events = Tables.events(s, dir)
-    val src = onlyUser.fold(events)(u => events.filter(col("user_id") === u))
-    val staged = SleepModels.staging(epochsFromEvents(src))
-    SleepModels.sleepMetrics(
-      if (persistStaging) staged.persist() else staged, TestGapEpochs)
+      materialized: Boolean = true, onlyUser: Option[Long] = None): DataFrame = {
+    val staged =
+      if (materialized && onlyUser.isEmpty) materializedStaging(s, dir)
+      else {
+        val events = Tables.events(s, dir)
+        val src = onlyUser.fold(events)(u => events.filter(col("user_id") === u))
+        SleepModels.staging(epochsFromEvents(src))
+      }
+    SleepModels.sleepMetrics(staged, TestGapEpochs)
   }
 
   // ---------------------------------------------------------------- queries
@@ -194,7 +218,7 @@ object SleepQueries {
   val qStaging = Q(
     "sleep_staging",
     (s, dir) =>
-      SleepModels.staging(epochsFromEvents(Tables.events(s, dir)))
+      materializedStaging(s, dir)
         .orderBy("subject_id", "epoch_idx"),
     Some(
       s"""with\n$epochsSql,\n$stagingSql
@@ -357,7 +381,7 @@ object SleepQueries {
   val qDashSubjects = Q(
     "dash_subjects",
     (s, dir) =>
-      spark_metrics(s, dir, persistStaging = false)
+      spark_metrics(s, dir, materialized = false)
         .select("subject_id").distinct().orderBy("subject_id"),
     Some(
       s"""${preludeSql(TestGapEpochs)}
@@ -367,7 +391,7 @@ object SleepQueries {
   val qDashHypnogram = Q(
     "dash_hypnogram",
     (s, dir) =>
-      spark_metrics(s, dir, persistStaging = false, onlyUser = Some(7L))
+      spark_metrics(s, dir, materialized = false, onlyUser = Some(7L))
         .select(
           col("epoch_idx"), col("sleep_stage"),
           col("is_in_sleep_period"),
