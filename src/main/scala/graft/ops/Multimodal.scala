@@ -36,8 +36,29 @@ object Multimodal {
 
   final case class FrameSample(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
+  /** Image decode front door: real PNG/JPEG/GIF/BMP payloads go through the
+    * JDK-native `javax.imageio` readers (no external dependency) and are
+    * collapsed to a grayscale raster via BT.601 luma; payloads no reader
+    * recognizes (the synthetic raw rasters, video frame slices) fall back to
+    * [[FakeCodec]]'s row-major interpretation. Returned dimensions are the
+    * DECODED ones — for a real image they come from the file header, not the
+    * metadata columns.
+    */
+  object Codec {
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) FakeCodec.decode(payload, width, height)
+      else Array.tabulate(img.getHeight, img.getWidth) { (r, c) =>
+        val rgb = img.getRGB(c, r)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+    }
+  }
+
   /** STUB codec: interprets payload bytes as a row-major grayscale raster.
-    * Deterministic, dependency-free; stands in for a real JPEG/PNG decode.
+    * Deterministic, dependency-free; the fallback for payloads that aren't a
+    * real image container (synthetic fixtures, video frame slices).
     */
   object FakeCodec {
     def decode(payload: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
@@ -56,20 +77,23 @@ object Multimodal {
       px.flatten.map(_.toByte)
   }
 
-  /** Decode + feature-extract images, streaming per partition. Swap
-    * FakeCodec for a real decoder to productionize; the schema, batch shape
-    * and partitioning stay identical.
+  /** Decode + feature-extract images, streaming per partition: real
+    * PNG/JPEG payloads decode via `javax.imageio` ([[Codec]]); raw-raster
+    * payloads use the fallback. Output width/height are the decoded
+    * dimensions.
     */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       rows.map { m =>
-        val px = FakeCodec.decode(m.payload, m.width, m.height)
+        val px = Codec.decode(m.payload, m.width, m.height)
+        val h = px.length
+        val w = if (h == 0) 0 else px(0).length
         var sum = 0L
         val hist = new Array[Long](16)
         px.foreach(_.foreach { v => sum += v; hist(v / 16) += 1 })
-        ImageFeatures(m.media_id, m.width, m.height,
-          sum.toDouble / (m.width * m.height), hist)
+        ImageFeatures(m.media_id, w, h,
+          sum.toDouble / math.max(w * h, 1), hist)
       }
     }
   }

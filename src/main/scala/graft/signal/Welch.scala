@@ -20,6 +20,24 @@ object Welch {
   def hannWindow(n: Int): Array[Double] =
     Array.tabulate(n)(i => 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))))
 
+  /** Hann window + Σw² per segment length, computed once per JVM: the PSD
+    * kernel runs once per (epoch, channel) — hundreds of thousands of calls
+    * in a cohort run — and the window depends only on `seg`. The cached
+    * array is read-only after construction, so cross-thread sharing in a
+    * many-core executor is safe.
+    */
+  private val hannCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Double], Double)]()
+
+  private def hannWithEnergy(seg: Int): (Array[Double], Double) =
+    hannCache.computeIfAbsent(seg, { n =>
+      val w = hannWindow(n)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += w(i) * w(i); i += 1 }
+      (w, s)
+    })
+
   /** @param x     signal samples (volts in the EEG path)
     * @param sfreq  sampling frequency, Hz
     * @param nPerSeg segment/FFT length; clamped down to the largest power of
@@ -32,10 +50,7 @@ object Welch {
       while (p * 2 <= math.min(nPerSeg, x.length)) p *= 2
       p
     }
-    val win = hannWindow(seg)
-    var winSumSq = 0.0
-    var i = 0
-    while (i < seg) { winSumSq += win(i) * win(i); i += 1 }
+    val (win, winSumSq) = hannWithEnergy(seg)
 
     val nSegs = math.max(1, x.length / seg)
     val acc = new Array[Double](seg / 2 + 1)

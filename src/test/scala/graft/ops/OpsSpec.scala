@@ -130,6 +130,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image features decode a real PNG payload via javax.imageio") {
+    import spark.implicits._
+    // 16×16 gray gradient PNG, written by the JDK encoder: row r has
+    // luminance r*16 (so mean = 120 and the histogram is uniform).
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val v = r * 16
+      img.setRGB(c, r, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    // Metadata width/height deliberately wrong (1×1): the decoded header
+    // must win for a real image payload.
+    val media = Seq(
+      Multimodal.MediaRow(42L, "image", baos.toByteArray, 1, 1, 0, 1)).toDS()
+
+    val f = Multimodal.imageFeatures(media).collect().head
+    assert(f.width == 16 && f.height == 16, s"decoded dims ${f.width}x${f.height}")
+    assert(math.abs(f.mean_intensity - 120.0) < 0.5, s"mean ${f.mean_intensity}")
+    assert(f.intensity_histogram.sum == 256)
+    assert(f.intensity_histogram.forall(_ == 16),
+      s"gradient rows must fill all 16 bins: ${f.intensity_histogram.mkString(",")}")
+  }
+
   test("resize updates payload and metadata consistently") {
     val media = Multimodal.syntheticMedia(spark, 3, 16, 16)
     val resized = Multimodal.resizeImages(media, 8, 8).collect()
