@@ -35,6 +35,55 @@ final class SleepReads(spark: SparkSession, warehouseDir: String) {
         "delta_moving_avg")
       .orderBy("epoch_idx")
 
+  /** Stage → y-axis position used by the reference hypnogram
+    * (`viz/charts.py:10,25`: W, REM, N1, N2, N3 top-to-bottom).
+    */
+  val StageOrder: Seq[String] = Seq("W", "REM", "N1", "N2", "N3")
+
+  /** The dashboard's client-side scope: epochs inside the scored sleep
+    * period only (`viz/dashboard.py:168` filters before every chart).
+    */
+  def sleepPeriodEpochsFor(subjectId: Int): DataFrame =
+    epochsFor(subjectId).filter(col("is_in_sleep_period"))
+
+  /** Hypnogram series with the reference's client-side re-basing
+    * (`viz/charts.py:27`): x = minutes after sleep onset, computed from the
+    * subject's first in-period epoch (`dashboard.py:188` takes min
+    * epoch_idx); y = the stage's ordinal in [[StageOrder]]. Kept relational
+    * (a window min, not a driver round-trip) so the same transform serves
+    * every subject at once at scale.
+    */
+  def hypnogramFor(subjectId: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val pos = StageOrder.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col("sleep_stage") === s, lit(i)).otherwise(acc)
+    }
+    sleepPeriodEpochsFor(subjectId)
+      .withColumn("onset_idx", min("epoch_idx").over(w))
+      .select(
+        ((col("epoch_idx") - col("onset_idx")) * 0.5).as("minutes_after_onset"),
+        pos.as("stage_position"),
+        col("sleep_stage"))
+      .orderBy("minutes_after_onset")
+  }
+
+  /** Band-power bars (`viz/charts.py:12-18` BANDS): the five avg_*_power
+    * summary columns unpivoted to (band, hz_range, power) rows.
+    */
+  def bandPowersFor(subjectId: Int): DataFrame = {
+    val bands = Seq(
+      ("Delta", "avg_delta_power", "0.5-4 Hz"),
+      ("Theta", "avg_theta_power", "4-8 Hz"),
+      ("Alpha", "avg_alpha_power", "8-12 Hz"),
+      ("Sigma", "avg_sigma_power", "12-16 Hz"),
+      ("Beta", "avg_beta_power", "16-30 Hz"))
+    val stacked = bands.map { case (name, colName, hz) =>
+      s"'$name', '$hz', $colName"
+    }.mkString(", ")
+    summaryFor(subjectId)
+      .selectExpr(s"stack(${bands.size}, $stacked) as (band, hz_range, power)")
+  }
+
   /** Latest errors (`scripts/simulate_error.py:52`). */
   def latestErrors(n: Int = 10): DataFrame =
     new Warehouse(spark, warehouseDir).readErrors()

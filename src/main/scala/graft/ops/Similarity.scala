@@ -192,4 +192,71 @@ object Similarity {
     }
     df.withColumn("cell", greatest(cells: _*).getField("cell"))
   }
+
+  /** Deterministic coarse centroids: the `nCells` lowest-id vectors. Crude
+    * seeds — refine with [[kmeansStep]] (each step is one distributed
+    * assign + per-cell mean). Centroids are nCells × dim doubles: tiny,
+    * driver-resident by design, broadcast into every assignment expression.
+    */
+  def sampleCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Array[Array[Double]] =
+    df.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** One Lloyd iteration, fully distributed: assign every vector to its
+    * cell, then per-(cell, dimension) mean via posexplode — a single
+    * hash-aggregate shuffle keyed on (cell, pos). Cells that lost all
+    * members keep their previous centroid.
+    */
+  def kmeansStep(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val means = ivfAssign(df, vecCol, centroids)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        cell -> v
+      }
+    centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+  }
+
+  /** IVF-probed candidate (query_id, neighbor_id) pairs: corpus vectors are
+    * assigned to their single nearest cell; each query probes its `nProbe`
+    * highest-scoring cells (sorted centroid scores, no driver round-trip)
+    * and meets only those cells' vectors — the inverted-file analog of
+    * [[lshCandidatePairs]], one cell-keyed shuffle, no quadratic product.
+    */
+  def ivfCandidatePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val scored = centroids.indices.map { i =>
+      val c = array(centroids(i).map(lit): _*)
+      struct(dot(col(vecCol), c)
+        .minus(lit(centroids(i).map(x => x * x).sum / 2)).as("score"),
+        lit(i).as("cell"))
+    }
+    val probes = slice(
+      sort_array(array(scored: _*), asc = false), 1, nProbe)
+    val q = queries
+      .select(col(idCol).as("query_id"), explode(probes).as("probe"))
+      .select(col("query_id"), col("probe").getField("cell").as("cell"))
+    val c = ivfAssign(corpus, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    c.join(q, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+  }
+
+  /** IVF-probed ANN top-k: candidate generation via [[ivfCandidatePairs]],
+    * exact cosine rerank + deterministic ranking via [[rerankTopK]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 2, roundTo: Option[Int] = None): DataFrame =
+    rerankTopK(ivfCandidatePairs(corpus, queries, idCol, vecCol, centroids, nProbe),
+      corpus, idCol, vecCol, k, roundTo)
 }

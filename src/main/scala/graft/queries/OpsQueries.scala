@@ -167,6 +167,57 @@ object OpsQueries {
          |order by query_id, rank""".stripMargin),
     "similarity: hyperplane-LSH ANN candidates (staged) + hash-verified rerank/rank")
 
+  /** IVF-probed ANN top-5 for the first 20 vectors — the inverted-file
+    * alternative to e5's hyperplane LSH: coarse centroids (lowest-id seeds +
+    * two distributed Lloyd refinements), corpus assigned to one cell each,
+    * queries probe their 3 best cells. Candidates are staged; the exact
+    * rerank + ranking are hash-verified like e5's (recall spec in IvfSpec).
+    */
+  val ivfAnn = Q(
+    "e6_ivf_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val seeds = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val centroids = Similarity.kmeansStep(emb, "embedding",
+        Similarity.kmeansStep(emb, "embedding", seeds))
+      val cands = Stage.through(
+        Similarity.ivfCandidatePairs(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", centroids, nProbe = 3),
+        dir, "e6_cands")
+      Similarity.rerankTopK(cands, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""with cands as (
+         |  select query_id, neighbor_id from ${Stage.sqlPath("e6_cands")}
+         |), pairs as (
+         |  select c.query_id, c.neighbor_id, q.embedding as qe, n.embedding as ce
+         |  from cands c
+         |  join embeddings q on q.vec_id = c.query_id
+         |  join embeddings n on n.vec_id = c.neighbor_id
+         |), flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from pairs
+         |), dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from flat group by query_id, neighbor_id
+         |), scored as (
+         |  select query_id, neighbor_id,
+         |    round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cosine
+         |  from dots
+         |)
+         |select query_id, neighbor_id, cosine, rank from (
+         |  select query_id, neighbor_id, cosine,
+         |    row_number() over (partition by query_id order by cosine desc, neighbor_id) as rank
+         |  from scored) t
+         |where rank <= 5
+         |order by query_id, rank""".stripMargin),
+    "similarity: IVF cell-probed ANN candidates (staged) + hash-verified rerank/rank")
+
   /** Multimodal metadata rollup: the synthetic media table's typed metadata
     * (payload length computed Spark-side from the binary column) is staged,
     * then both engines aggregate it — the relational face of the multimodal
@@ -202,5 +253,6 @@ object OpsQueries {
          |order by kind""".stripMargin),
     "multimodal: binary-column metadata rollup (staged metadata, hash-verified)")
 
-  def all: Seq[Q] = Seq(ingest, lshNearDup, embNearDupExact, lshAnn, mediaStats)
+  def all: Seq[Q] =
+    Seq(ingest, lshNearDup, embNearDupExact, lshAnn, ivfAnn, mediaStats)
 }

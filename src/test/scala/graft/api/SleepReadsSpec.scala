@@ -28,6 +28,33 @@ class SleepReadsSpec extends SparkSpec {
     assert(idx.toSeq == idx.sorted.toSeq)
   }
 
+  test("dashboard client transforms: in-period scope, onset re-basing, bands") {
+    val reads = new SleepReads(spark, dir)
+
+    // The chart scope is in-period epochs only (dashboard.py:168).
+    val period = reads.sleepPeriodEpochsFor(0).collect()
+    assert(period.nonEmpty)
+    assert(period.forall(_.getAs[Boolean]("is_in_sleep_period")))
+
+    // Hypnogram: x starts at 0 minutes (onset epoch), steps in halves, and
+    // every stage maps to its reference ordinal (charts.py:10,25-27).
+    val hyp = reads.hypnogramFor(0).collect()
+    assert(hyp.length == period.length)
+    val minutes = hyp.map(_.getAs[Double]("minutes_after_onset"))
+    assert(minutes.head == 0.0, s"first point ${minutes.head}, want onset 0")
+    assert(minutes.forall(m => m >= 0 && m * 2 == math.rint(m * 2)))
+    hyp.foreach { r =>
+      val pos = r.getAs[Int]("stage_position")
+      assert(reads.StageOrder(pos) == r.getAs[String]("sleep_stage"))
+    }
+
+    // Band bars: 5 rows, one per band, carrying the summary's avg powers.
+    val bands = reads.bandPowersFor(0).collect()
+    assert(bands.map(_.getAs[String]("band")).toSeq ==
+      Seq("Delta", "Theta", "Alpha", "Sigma", "Beta"))
+    assert(bands.forall(r => !r.isNullAt(r.fieldIndex("power"))))
+  }
+
   test("diagnostics counts clean seed data as clean") {
     val d = new SleepReads(spark, dir).diagnostics().head()
     assert(d.getAs[Long]("n_rows") > 0)

@@ -275,6 +275,29 @@ class AudioSpec extends graft.SparkSpec {
 class IvfSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("IVF-probed search reaches high recall against brute force") {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 5))
+    val df = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val queries = df.filter($"vec_id" < 8)
+
+    val seeds = Similarity.sampleCentroids(df, "vec_id", "embedding", 8)
+    val centroids = Similarity.kmeansStep(df, "embedding",
+      Similarity.kmeansStep(df, "embedding", seeds))
+
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5,
+      centroids, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+    df.unpersist()
+  }
+
   test("IVF cell assignment routes vectors to their nearest centroid") {
     val centroids = Array(
       Array.fill(8)(5.0),   // cell 0: all +5
