@@ -63,16 +63,44 @@ object Fft {
 
   /** One-sided magnitude-squared spectrum |X_k|^2 for real input, bins
     * 0..n/2 (DC through Nyquist).
+    *
+    * Uses the classic real-input packing: even/odd samples become the
+    * real/imaginary parts of an n/2-point complex FFT, whose output is
+    * untangled with the conjugate-symmetry identities
+    * `E_k = (Z_k + conj(Z_{n/2-k}))/2`, `O_k = -i (Z_k - conj(Z_{n/2-k}))/2`,
+    * `X_k = E_k + e^{-2πik/n} O_k` — half the butterflies of the
+    * complex-FFT spelling, which matters because the Welch kernel calls
+    * this once per (epoch, channel, segment).
     */
   def powerSpectrumReal(x: Array[Double]): Array[Double] = {
     val n = x.length
-    val re = java.util.Arrays.copyOf(x, n)
-    val im = new Array[Double](n)
-    transform(re, im)
+    require((n & (n - 1)) == 0, s"FFT size must be a power of two, got $n")
     val out = new Array[Double](n / 2 + 1)
-    var k = 0
-    while (k <= n / 2) {
-      out(k) = re(k) * re(k) + im(k) * im(k)
+    if (n == 1) { out(0) = x(0) * x(0); return out }
+    val h = n / 2
+    val re = new Array[Double](h)
+    val im = new Array[Double](h)
+    var j = 0
+    while (j < h) { re(j) = x(2 * j); im(j) = x(2 * j + 1); j += 1 }
+    transform(re, im)
+
+    // X_0 and X_{n/2} are real: sums/differences of the packed spectrum's
+    // DC components.
+    out(0) = (re(0) + im(0)) * (re(0) + im(0))
+    out(h) = (re(0) - im(0)) * (re(0) - im(0))
+    val ang = -2.0 * math.Pi / n
+    var k = 1
+    while (k < h) {
+      val kr = h - k
+      val eRe = 0.5 * (re(k) + re(kr))
+      val eIm = 0.5 * (im(k) - im(kr))
+      val oRe = 0.5 * (im(k) + im(kr))
+      val oIm = 0.5 * (re(kr) - re(k))
+      val c = math.cos(ang * k)
+      val s = math.sin(ang * k)
+      val xRe = eRe + c * oRe - s * oIm
+      val xIm = eIm + c * oIm + s * oRe
+      out(k) = xRe * xRe + xIm * xIm
       k += 1
     }
     out
