@@ -63,8 +63,15 @@ object Dedup {
       .select(col("doc_id"),
         explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // One shuffle on (band, bucket) computes both size and representative;
-    // the pair join below re-uses that partitioning.
+    cappedPairJoin(banded, maxBucketSize)
+  }
+
+  /** Distinct (d1, d2) pairs from a (doc_id, band, bucket) table with the
+    * star-expansion skew guard — shared by the MinHash band join and the
+    * SimHash chunk join. One shuffle on (band, bucket) computes both bucket
+    * size and representative; the pair join reuses that partitioning.
+    */
+  private def cappedPairJoin(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val w = Window.partitionBy("band", "bucket")
     val marked = banded
       .withColumn("bsize", count(lit(1)).over(w))
@@ -215,6 +222,97 @@ object Dedup {
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
           .as("jaccard"))
   }
+
+  /** 64-bit SimHash fingerprint per document (Charikar, public literature):
+    * each token hashes to 64 bits (xxhash64 — codegen'd, no UDF); every bit
+    * position takes a ±1 vote per occurrence; the fingerprint sets the bits
+    * with positive vote sums. Near-identical token multisets differ in few
+    * votes, so their fingerprints sit at small Hamming distance. Two
+    * shuffles: (doc, bit) vote aggregation, then per-doc bit assembly.
+    */
+  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(SimhashVotes.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Typed Aggregator folding token hashes into the 64 per-bit vote
+    * counters in one pass — integer sums, so the result is exact and
+    * order-independent, and Spark applies map-side partial aggregation
+    * (an exploded bits-as-rows spelling would shuffle 64× the rows).
+    */
+  object SimhashVotes
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], in: (Long, Long)): Array[Int] = {
+      val h = in._2
+      var b = 0
+      while (b < 64) { buf(b) += ((((h >>> b) & 1L) << 1) - 1).toInt; b += 1 }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) > 0) out |= 1L << b; b += 1 }
+      out
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Candidate pairs from SimHash chunk banding: the 64-bit fingerprint
+    * splits into `bands` equal chunks; pairs sharing any (chunk index,
+    * chunk value) collide. Pigeonhole: any pair within Hamming distance
+    * `bands - 1` keeps at least one chunk intact, so recall at distance
+    * ≤ bands-1 is exact. Same star-cap skew guard as the MinHash join.
+    */
+  def simhashCandidatePairs(sigs: DataFrame, bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val chunkBits = 64 / bands
+    val mask = (1L << chunkBits) - 1
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"shiftright(simhash, band * $chunkBits) & $mask").as("bucket"))
+    cappedPairJoin(banded, maxBucketSize)
+  }
+
+  /** End-to-end SimHash near-dup: fingerprint → chunk-banded candidates →
+    * Hamming verify (`bit_count(xor)`) at ≤ `maxHamming` (≤ bands-1 keeps
+    * candidate recall exact; higher thresholds trade recall for cost).
+    */
+  def simhashNearDuplicates(docs: DataFrame, textCol: String = "text",
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val sigs = simhash64(docs, textCol).persist()
+    hammingPairs(simhashCandidatePairs(sigs, bands), sigs)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming distance for given (d1, d2) pairs from a (doc_id, simhash)
+    * table — the verify stage, split out so it can run over STAGED
+    * signatures and be hash-checked by an independent engine.
+    */
+  def hammingPairs(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
     * random-hyperplane LSH signature so only same-bucket pairs are compared

@@ -98,6 +98,40 @@ object OpsQueries {
          |order by jaccard desc, d1, d2""".stripMargin),
     "dedup-minhash-lsh: banded candidates (staged) + hash-verified exact rerank")
 
+  /** SimHash near-dup on documents — the bit-fingerprint alternative to
+    * d1's MinHash. The 64-bit signatures (xxhash64 token bits, majority
+    * vote — not DuckDB-reproducible) and the chunk-banded candidate pairs
+    * are staged; the oracle independently recomputes the Hamming verify
+    * stage (`bit_count(xor(...))`) and the ≤3 threshold from the same
+    * staged bytes. Candidate recall (pigeonhole at distance ≤ bands-1) is
+    * spec-verified in SimhashDedupSpec.
+    */
+  val simhashNearDup = Q(
+    "d2_simhash_neardup",
+    (s, dir) => {
+      val sigs = Stage.through(
+        Dedup.simhash64(Tables.documents(s, dir)), dir, "d2_sigs")
+      val cands = Stage.through(
+        Dedup.simhashCandidatePairs(sigs), dir, "d2_pairs")
+      Dedup.hammingPairs(cands, sigs)
+        .filter(col("hamming") <= 3)
+        .orderBy(col("hamming"), col("d1"), col("d2"))
+    },
+    Some(
+      s"""with sigs as (
+         |  select doc_id, simhash from ${Stage.sqlPath("d2_sigs")}
+         |), cand as (
+         |  select d1, d2 from ${Stage.sqlPath("d2_pairs")}
+         |)
+         |select c.d1, c.d2,
+         |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+         |from cand c
+         |join sigs a on a.doc_id = c.d1
+         |join sigs b on b.doc_id = c.d2
+         |where bit_count(xor(a.simhash, b.simhash)) <= 3
+         |order by hamming, d1, d2""".stripMargin),
+    "dedup-simhash: 64-bit fingerprint chunk-banded candidates + hash-verified Hamming rerank")
+
   /** Exact embedding near-dup pairs (cosine ≥ 0.8): triangular block-grid
     * self-join ([[Similarity.blockedExactPairs]] — no driver collect, no
     * full-matrix broadcast) against DuckDB's all-pairs
@@ -254,5 +288,6 @@ object OpsQueries {
     "multimodal: binary-column metadata rollup (staged metadata, hash-verified)")
 
   def all: Seq[Q] =
-    Seq(ingest, lshNearDup, embNearDupExact, lshAnn, ivfAnn, mediaStats)
+    Seq(ingest, lshNearDup, simhashNearDup, embNearDupExact, lshAnn, ivfAnn,
+      mediaStats)
 }

@@ -180,6 +180,52 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class SimhashDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("simhash near-dup finds light edits and candidates cover Hamming<=3") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector.tabulate(400)(i => s"w$i")
+    def text() = Seq.fill(80)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    // Docs 2i/2i+1 are 1-token edits for the first 6 pairs.
+    val docs = Array.tabulate(50)(i => (i.toLong, text()))
+    (0 until 50).foreach { i =>
+      if (i % 2 == 1 && i / 2 < 6) {
+        val t = docs(i - 1)._2.split(" ")
+        t(40) = "CHANGED"
+        docs(i) = (i.toLong, t.mkString(" "))
+      }
+    }
+    val df = docs.toSeq.toDF("doc_id", "text")
+
+    val sigs = Dedup.simhash64(df).persist()
+    // Exact Hamming ≤ 3 ground truth from all pairs of signatures.
+    val all = Dedup.hammingPairs(
+      sigs.select(col("doc_id").as("d1")).crossJoin(
+        sigs.select(col("doc_id").as("d2"))).filter(col("d1") < col("d2")),
+      sigs).filter(col("hamming") <= 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+
+    val found = Dedup.simhashNearDuplicates(df, maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // Pigeonhole: 4 chunks recall EVERY pair at Hamming ≤ 3.
+    assert(found.nonEmpty)
+    assert(found == all, s"missed: ${all.diff(found)}, extra: ${found.diff(all)}")
+    // The engineered one-token edits all sit at SMALL Hamming distance
+    // (one vote stream of 80 changed), far from random pairs (~32 expected)
+    // — though not always ≤ 3, which is why maxHamming is a dial.
+    val planted = (0 until 6).map(i => (2L * i, 2L * i + 1)).toSet
+    val plantedHam = Dedup.hammingPairs(
+      planted.toSeq.toDF("d1", "d2"), sigs)
+      .as[(Long, Long, Int)].collect()
+    assert(plantedHam.length == 6)
+    plantedHam.foreach { case (d1, d2, h) =>
+      assert(h <= 12, s"planted pair ($d1,$d2) at hamming $h — not near")
+    }
+    sigs.unpersist()
+  }
+}
+
 class SkewDedupSpec extends graft.SparkSpec {
   import spark.implicits._
 
