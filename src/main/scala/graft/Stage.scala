@@ -24,10 +24,18 @@ object Stage {
 
   /** Materialize `df` under the per-sf stage dir and read it back — the
     * downstream plan consumes the parquet files, not the lineage.
+    *
+    * @param parts coalesce width for the write. Staged intermediates here
+    *        are small (candidate pairs, signatures, metadata): a handful of
+    *        files beats one per shuffle partition. Pass 0 to keep the
+    *        incoming partitioning — the right call when staging large data
+    *        on a real cluster.
     */
-  def through(df: DataFrame, sfDir: String, name: String): DataFrame = {
+  def through(df: DataFrame, sfDir: String, name: String,
+      parts: Int = 4): DataFrame = {
     val path = s"${dir(sfDir)}/$name"
-    df.write.mode("overwrite").parquet(path)
+    (if (parts > 0) df.coalesce(parts) else df)
+      .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 

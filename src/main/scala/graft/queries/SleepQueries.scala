@@ -181,7 +181,7 @@ object SleepQueries {
     val path = s"${graft.Stage.dir(dir)}/sleep_staged"
     stagedWritten.getOrElseUpdate(dir, {
       SleepModels.staging(epochsFromEvents(Tables.events(s, dir)))
-        .write.mode("overwrite").parquet(path)
+        .coalesce(4).write.mode("overwrite").parquet(path)
       true
     })
     s.read.parquet(path)
