@@ -8,6 +8,29 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.PlanAudit [sfDir] [queryName...]"`.
   */
 object PlanAudit {
+
+  /** Physical-plan shape summary — the properties that decide whether a
+    * plan survives a 100× scale-up (shuffle count, join strategies, scan
+    * pushdown, codegen coverage). Also asserted by `PlanSpec` so plan
+    * regressions fail CI, not just reading PLANS.md.
+    */
+  final case class Fingerprint(exchanges: Int, bhj: Int, smj: Int, bnlj: Int,
+      cartesian: Int, pushedFilters: Int, codegenSpans: Int)
+
+  def fingerprint(df: org.apache.spark.sql.DataFrame): Fingerprint = {
+    val s = df.queryExecution.executedPlan.toString()
+    Fingerprint(
+      exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(s).size,
+      bhj = s.linesIterator.count(_.contains("BroadcastHashJoin")),
+      smj = s.linesIterator.count(_.contains("SortMergeJoin")),
+      bnlj = s.linesIterator.count(_.contains("BroadcastNestedLoopJoin")),
+      cartesian = s.linesIterator.count(_.contains("CartesianProduct")),
+      pushedFilters = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(s)
+        .count(!_.contains("[]")),
+      codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
@@ -23,20 +46,12 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
-          val plan = df.queryExecution.executedPlan
-          val s = plan.toString()
-          val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-            .findAllIn(s).size
-          val bhj = s.linesIterator.count(_.contains("BroadcastHashJoin"))
-          val smj = s.linesIterator.count(_.contains("SortMergeJoin"))
-          val bnlj = s.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-          val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(s)
-            .count(!_.contains("[]"))
-          // Codegen spans appear as "*(n)" stage markers in the plan string.
-          val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
-          println(f"$name%-28s exch=$exchanges bhj=$bhj smj=$smj bnlj=$bnlj pushedFilters=$pushed codegenSpans=$wsc")
+          val f = fingerprint(df)
+          println(f"$name%-28s exch=${f.exchanges} bhj=${f.bhj} smj=${f.smj} " +
+            f"bnlj=${f.bnlj} pushedFilters=${f.pushedFilters} codegenSpans=${f.codegenSpans}")
           if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
-            println(s.linesIterator.take(80).mkString("\n"))
+            println(df.queryExecution.executedPlan.toString()
+              .linesIterator.take(80).mkString("\n"))
           }
         } catch {
           case e: Exception => println(s"$name FAILED: ${e.getMessage}")
