@@ -453,6 +453,56 @@ object RelationalQueries {
     group by event_type order by event_type"""),
     "JSON metadata extraction + rollup")
 
+  /** Correlated subqueries — scalar count per outer row + correlated
+    * EXISTS. Expressed in SQL so Catalyst's decorrelation rewrites do the
+    * work (scalar-subquery → left outer aggregate join, EXISTS → left
+    * semi join): the declarative form a reference user would write, planned
+    * as joins that scale.
+    */
+  val q17 = Q(
+    "q17_correlated_subqueries",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""select c.c_custkey, c.c_name,
+        (select count(*) from orders o where o.o_custkey = c.c_custkey) as n_orders
+        from customer c
+        where exists (
+          select 1 from orders o
+          where o.o_custkey = c.c_custkey and o.o_totalprice > 100000)
+        order by c.c_custkey""")
+    },
+    Some("""select c.c_custkey, c.c_name,
+      (select count(*) from orders o where o.o_custkey = c.c_custkey) as n_orders
+    from customer c
+    where exists (
+      select 1 from orders o
+      where o.o_custkey = c.c_custkey and o.o_totalprice > 100000)
+    order by c.c_custkey"""),
+    "correlated scalar + EXISTS subqueries (Catalyst decorrelation)")
+
+  /** Pivot: long→wide restatement of per-user event values — the inverse of
+    * q16-style rollups and the m1 `stack`. Explicit pivot values keep the
+    * output schema deterministic (and let Catalyst plan a single aggregate
+    * instead of a distinct-values pre-pass).
+    */
+  val q18 = Q(
+    "q18_pivot",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(round(sum("value"), 2))
+        .orderBy("user_id"),
+    Some("""select user_id,
+      round(sum(case when event_type = 'click' then value end), 2) + 0.0 as click,
+      round(sum(case when event_type = 'view' then value end), 2) + 0.0 as view,
+      round(sum(case when event_type = 'purchase' then value end), 2) + 0.0 as purchase,
+      round(sum(case when event_type = 'error' then value end), 2) + 0.0 as error
+    from events group by user_id order by user_id"""),
+    "pivot long→wide with explicit value list")
+
   def all: Seq[Q] = Seq(
-    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16)
+    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
+    q17, q18)
 }
