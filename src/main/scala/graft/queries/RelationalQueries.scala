@@ -502,7 +502,66 @@ object RelationalQueries {
     from events group by user_id order by user_id"""),
     "pivot long→wide with explicit value list")
 
+  /** Interval join: concurrent activity per session — each 12 h-gap session
+    * (q5's definition) counts OTHER users' events inside its [start, end]
+    * span. A naive `between` join is a nested-loop product; this goes
+    * through [[graft.ops.RangeJoin.pointInInterval]] (6 h bucketization →
+    * equi shuffle join + residual), the plan shape that survives at scale.
+    */
+  val q19 = Q(
+    "q19_interval_join",
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapNs = 12L * 3600 * 1000000000L
+      val sessions = events
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+        .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
+      val points = events.select(
+        col("ts"), col("user_id").as("p_user"), col("value"))
+      graft.ops.RangeJoin.pointInInterval(points, sessions,
+          "ts", "start_ts", "end_ts", bucketWidth = 6L * 3600 * 1000000000L)
+        .filter(col("p_user") =!= col("user_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_concurrent"),
+          round(sum("value"), 2).as("concurrent_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""with lagged as (
+      select user_id, event_id, ts, value,
+        case when lag(epoch_ns(ts)) over w is null
+               or epoch_ns(ts) - lag(epoch_ns(ts)) over w > 43200000000000
+             then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), numbered as (
+      select *, sum(is_new) over (partition by user_id order by ts, event_id
+        rows between unbounded preceding and current row) as session_id
+      from lagged
+    ), sessions as (
+      select user_id, cast(session_id as bigint) as session_id,
+        min(epoch_ns(ts)) as start_ts, max(epoch_ns(ts)) as end_ts
+      from numbered group by user_id, session_id
+    ), points as (
+      select epoch_ns(ts) as p_ns, user_id as p_user, value from events
+    )
+    select s.user_id, s.session_id,
+      count(*) as n_concurrent,
+      round(sum(p.value), 2) + 0.0 as concurrent_value
+    from sessions s
+    join points p on p.p_ns between s.start_ts and s.end_ts
+                 and p.p_user != s.user_id
+    group by s.user_id, s.session_id
+    order by s.user_id, s.session_id"""),
+    "interval join: bucketized point-in-interval (no nested-loop product)")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18)
+    q17, q18, q19)
 }

@@ -26,9 +26,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dedup / ANN paths never plan a quadratic join") {
+  test("dedup / ANN / interval paths never plan a quadratic join") {
     Seq("d1_lsh_neardup", "d2_simhash_neardup", "e4_embedding_neardup",
-      "e5_lsh_ann", "e6_ivf_ann").foreach { q =>
+      "e5_lsh_ann", "e6_ivf_ann", "q19_interval_join").foreach { q =>
       val f = fp(q)
       assert(f.cartesian == 0, s"$q plans a CartesianProduct")
       assert(f.bnlj == 0, s"$q plans a BroadcastNestedLoopJoin")
