@@ -42,4 +42,40 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }
+
+  /** As-of join: for every left row, the MOST RECENT right row with
+    * `rightTs <= leftTs` in the same key group (inclusive — a right row at
+    * the exact same instant matches), left-outer (no match ⇒ null struct).
+    *
+    * Implemented with the union-tag trick, which needs NO join operator:
+    * right rows (tagged 0) and left rows (tagged 1) interleave in one
+    * stream sorted by (ts, tag) per key, and a running
+    * `last(payload, ignoreNulls)` window carries the latest right payload
+    * forward onto each left row. One shuffle on the key — the plan a
+    * sort-merge as-of would need anyway, minus the join — and no
+    * replication, unlike bucketization. Ordering must be total per key
+    * (distinct timestamps) for deterministic results, same as any as-of.
+    *
+    * Returns every `left` column plus an `asof` struct holding all right
+    * columns except the key (its timestamp included, so callers can
+    * compute staleness).
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filter(_ != key)
+    val r = right.select(
+      col(key), col(rightTs).cast("long").as("__t"), lit(0).as("__side"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val l = left
+      .withColumn("__t", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__p")
+  }
 }

@@ -561,7 +561,46 @@ object RelationalQueries {
     order by s.user_id, s.session_id"""),
     "interval join: bucketized point-in-interval (no nested-loop product)")
 
+  /** As-of join: each event annotated with the user's most recent purchase
+    * at-or-before it (id, value, nanoseconds of staleness). Runs through
+    * [[graft.ops.RangeJoin.asOf]] — union-tag + running window, ONE shuffle
+    * and zero join operators — and is hash-checked against DuckDB's native
+    * `ASOF LEFT JOIN`.
+    */
+  val q20 = Q(
+    "q20_asof_join",
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          col("value").as("purchase_value"))
+      graft.ops.RangeJoin.asOf(
+          events.select("event_id", "user_id", "ts"), purchases,
+          key = "user_id", leftTs = "ts", rightTs = "ts")
+        .select(
+          col("event_id"), col("user_id"),
+          col("asof.purchase_event_id").as("last_purchase_id"),
+          // Microsecond floor on both sides: DuckDB reads the nano
+          // timestamps at its native microsecond precision.
+          (expr("ts div 1000") - expr("asof.ts div 1000"))
+            .as("us_since_purchase"),
+          col("asof.purchase_value").as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""select e.event_id, e.user_id,
+      p.event_id as last_purchase_id,
+      epoch_us(e.ts) - epoch_us(p.ts) as us_since_purchase,
+      p.value as purchase_value
+    from events e
+    asof left join (
+      select user_id, ts, event_id, value from events
+      where event_type = 'purchase') p
+      on e.user_id = p.user_id and e.ts >= p.ts
+    order by e.event_id"""),
+    "as-of join: latest-prior purchase per event (union-tag window form)")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19)
+    q17, q18, q19, q20)
 }
