@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Stage, Tables}
 import graft.ingest.Ingest
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Components, Dedup, Multimodal, Similarity}
 import graft.sleep.SleepModels
 
 /** North-star / scale-path operators surfaced through the driver contract.
@@ -131,6 +131,50 @@ object OpsQueries {
          |where bit_count(xor(a.simhash, b.simhash)) <= 3
          |order by hamming, d1, d2""".stripMargin),
     "dedup-simhash: 64-bit fingerprint chunk-banded candidates + hash-verified Hamming rerank")
+
+  /** Near-dup CLUSTERS: d1's pipeline produces verified pairs (exact
+    * Jaccard ≥ 0.3 over LSH candidates), then min-label propagation
+    * ([[Components.connectedComponents]]) folds the pairs into transitive
+    * groups — the step that picks one canonical document per duplicate
+    * family. The thresholded pairs are staged; DuckDB recomputes the
+    * transitive closure independently with a recursive CTE, so the
+    * clustering itself is hash-verified, not just the pairs.
+    */
+  val dedupClusters = Q(
+    "d3_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingles(docs, "text", 5).persist()
+      val pairs = Dedup.rerankJaccardOnShingles(
+          Dedup.candidatePairsFromShingles(sh), sh)
+        .filter(col("jaccard") >= 0.3)
+        .select("d1", "d2")
+      val staged = Stage.through(pairs, dir, "d3_pairs")
+      val comps = Components.connectedComponents(staged)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      comps
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(
+      s"""with recursive sym as (
+         |  select d1 as a, d2 as b from ${Stage.sqlPath("d3_pairs")}
+         |  union
+         |  select d2, d1 from ${Stage.sqlPath("d3_pairs")}
+         |), reach(a, b) as (
+         |  select a, b from sym
+         |  union
+         |  select r.a, s.b from reach r join sym s on r.b = s.a
+         |), lbl as (
+         |  select a as doc_id, least(a, min(b)) as cluster_id
+         |  from reach group by a
+         |)
+         |select doc_id, cluster_id,
+         |  count(*) over (partition by cluster_id) as cluster_size
+         |from lbl
+         |order by cluster_id, doc_id""".stripMargin),
+    "dedup clusters: connected components over verified near-dup pairs (recursive-CTE oracle)")
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.8): triangular block-grid
     * self-join ([[Similarity.blockedExactPairs]] — no driver collect, no
@@ -288,6 +332,6 @@ object OpsQueries {
     "multimodal: binary-column metadata rollup (staged metadata, hash-verified)")
 
   def all: Seq[Q] =
-    Seq(ingest, lshNearDup, simhashNearDup, embNearDupExact, lshAnn, ivfAnn,
-      mediaStats)
+    Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, embNearDupExact,
+      lshAnn, ivfAnn, mediaStats)
 }

@@ -600,7 +600,66 @@ object RelationalQueries {
     order by e.event_id"""),
     "as-of join: latest-prior purchase per event (union-tag window form)")
 
+  /** CUBE with GROUPING flags: all four aggregation levels over
+    * (status, priority) in one pass, subtotal rows disambiguated by the
+    * grouping bits rather than q15's sentinel strings. Catalyst plans one
+    * Expand + one hash aggregate — grouping-set fan-out happens map-side,
+    * not as four scans.
+    */
+  val q21 = Q(
+    "q21_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping("o_orderstatus").cast("int").as("g_status"),
+          grouping("o_orderpriority").cast("int").as("g_prio"),
+          count(lit(1)).as("n_orders"),
+          graft.Norm.rz(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("g_status"), col("g_prio"),
+          coalesce(col("o_orderstatus"), lit("")),
+          coalesce(col("o_orderpriority"), lit(""))),
+    Some("""select o_orderstatus, o_orderpriority,
+      cast(grouping(o_orderstatus) as int) as g_status,
+      cast(grouping(o_orderpriority) as int) as g_prio,
+      count(*) as n_orders,
+      round(sum(o_totalprice), 2) + 0.0 as total_price
+    from orders
+    group by cube (o_orderstatus, o_orderpriority)
+    order by g_status, g_prio,
+      coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')"""),
+    "grouping sets: CUBE with grouping() disambiguation bits")
+
+  /** Salted two-stage aggregation — the skew pattern for hot grouping keys
+    * at 100 TB: events hash-salt into 32 subkeys, partial (count, sum)
+    * aggregates shuffle on (key, salt) so one viral key spreads over 32
+    * reducers, and a second tiny aggregate folds the partials. The result
+    * is EXACTLY the plain group-by (verified by the oracle running the
+    * direct form) — only the shuffle distribution changes. For avg the
+    * partials must be (sum, count), never partial averages.
+    */
+  val q22 = Q(
+    "q22_salted_skew_agg",
+    (s, dir) => {
+      val partial = Tables.events(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(32L)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      partial.groupBy("event_type")
+        .agg(
+          sum("cnt").as("n_events"),
+          graft.Norm.rz(sum("sv"), 2).as("total_value"),
+          graft.Norm.rz(sum("sv") / sum("cnt"), 6).as("avg_value"))
+        .orderBy("event_type")
+    },
+    Some("""select event_type,
+      count(*) as n_events,
+      round(sum(value), 2) + 0.0 as total_value,
+      round(sum(value) / count(*), 6) + 0.0 as avg_value
+    from events group by event_type order by event_type"""),
+    "skew: salted two-stage aggregation, result identical to the direct group-by")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20)
+    q17, q18, q19, q20, q21, q22)
 }

@@ -381,5 +381,94 @@ object TextQueries {
     from documents order by doc_id"""),
     "text normalization: canonical form hash + length")
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
+  /** Token-window chunking: each document splits into 64-token chunks with
+    * a 48-token stride (16-token overlap) — the context-window packing step
+    * of a training-data pipeline. Pure column expressions (`sequence` +
+    * `explode` + `slice`): one generate per doc, no shuffle at all until
+    * the output sort.
+    */
+  val t12 = Q(
+    "t12_chunking",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .withColumn("start",
+          explode(sequence(lit(1), greatest(size(col("t")), lit(1)), lit(48))))
+        .select(
+          col("doc_id"),
+          ((col("start") - 1) / 48).cast("int").as("chunk_idx"),
+          size(slice(col("t"), col("start"), lit(64))).as("n_tokens"),
+          array_join(slice(col("t"), col("start"), lit(64)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), starts as (
+      select doc_id, t,
+        unnest(generate_series(1, greatest(len(t), 1), 48)) as start
+      from toks
+    )
+    select doc_id,
+      cast((start - 1) // 48 as int) as chunk_idx,
+      cast(len(t[start : least(start + 63, len(t))]) as int) as n_tokens,
+      array_to_string(t[start : least(start + 63, len(t))], ' ') as chunk_text
+    from starts
+    order by doc_id, chunk_idx"""),
+    "chunking: 64-token windows, 48-token stride (training context packing)")
+
+  /** Stratified sampling: per-language keep rates (downsample the dominant
+    * language, keep the tail) via the same deterministic md5 bucket as
+    * t10's split — stable under reprocessing, identical across engines,
+    * and embarrassingly parallel (a filter, no shuffle).
+    */
+  val t13 = Q(
+    "t13_stratified_sample",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", lit(20)).otherwise(lit(50))
+      Tables.documents(s, dir)
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""select doc_id, lang, source, n_chars
+    from documents
+    where cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 6)) as bigint) % 100
+          < case when lang = 'en' then 20 else 50 end
+    order by doc_id"""),
+    "stratified sample: deterministic per-language hash-bucket keep rates")
+
+  /** Distribution-rank window zoo per language: quartile bucketing
+    * (`ntile`), relative ranks (`percent_rank`, `cume_dist`), neighbor
+    * lookahead (`lead`) and partition head (`first_value`) — the quantile /
+    * curriculum-bucketing surface over document length. One shuffle on the
+    * lang partition key; every function shares the same window spec.
+    */
+  val t14 = Q(
+    "t14_length_quantiles",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          ntile(4).over(w).as("quartile"),
+          graft.Norm.rz(percent_rank().over(w), 6).as("pct_rank"),
+          graft.Norm.rz(cume_dist().over(w), 6).as("cume"),
+          lead("doc_id", 1).over(w).as("next_doc"),
+          first(col("doc_id")).over(w).as("longest_doc"))
+        .orderBy("doc_id")
+    },
+    Some("""select doc_id, lang, n_chars,
+      cast(ntile(4) over w as int) as quartile,
+      round(percent_rank() over w, 6) + 0.0 as pct_rank,
+      round(cume_dist() over w, 6) + 0.0 as cume,
+      lead(doc_id) over w as next_doc,
+      first_value(doc_id) over w as longest_doc
+    from documents
+    window w as (partition by lang order by n_chars desc, doc_id)
+    order by doc_id"""),
+    "window zoo: ntile quartiles, percent_rank/cume_dist, lead, first_value")
+
+  def all: Seq[Q] =
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
 }

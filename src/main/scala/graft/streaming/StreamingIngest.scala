@@ -70,6 +70,19 @@ object StreamingIngest {
       }.toDF()
   }
 
+  /** Streaming exact deduplication — the streaming face of the batch dedup
+    * family (TextQueries.t1): keep the first occurrence of each key across
+    * micro-batches. `dropDuplicatesWithinWatermark` bounds the dedup state
+    * by event time (keys older than the watermark are evicted), which is
+    * the only form that survives an unbounded stream — plain
+    * `dropDuplicates` on a stream accumulates state forever.
+    */
+  def dedupStream(records: DataFrame, keyCol: String = "doc_id",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Micro-batch warehouse loading: the reference's per-subject serial load
     * loop (X3) becomes `foreachBatch` appending each micro-batch through the
     * same warehouse writer used in batch mode.

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("d1", "d2"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, hubs, and singleton pairs resolve to the component minimum") {
+    // Component A: a 5-node chain 10-11-12-13-14 (worst-case diameter for
+    // propagation); component B: a hub 20-{21,22,23}; component C: one edge.
+    val got = labelsOf(Seq(
+      (11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L),
+      (20L, 21L), (20L, 22L), (23L, 20L),
+      (31L, 30L)))
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("bridged components merge into one label") {
+    // Two separate triangles, then a bridge edge connecting them.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
+    assert(labelsOf(tri).values.toSet == Set(1L, 7L))
+    assert(labelsOf(tri :+ (3L, 7L)).values.toSet == Set(1L))
+  }
+
+  test("propagation converges within the diameter bound on a long path") {
+    // Path of 12 nodes: min label must travel 11 hops; each round moves it
+    // at least one hop, and the sum-fixpoint check stops the loop exactly
+    // when labels stabilize.
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val got = labelsOf(path, maxIter = 15)
+    assert(got == (0L to 11L).map(_ -> 0L).toMap)
+  }
+
+  test("empty edge table yields an empty labeling") {
+    assert(labelsOf(Seq.empty).isEmpty)
+  }
+}

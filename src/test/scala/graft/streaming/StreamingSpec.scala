@@ -40,6 +40,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps first occurrence across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingIngest.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"))
+    val query = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", ts(0)), (2L, "b", ts(1)), (1L, "a-dup", ts(2)))
+      query.processAllAvailable()
+      // Cross-batch duplicate of key 2 within the watermark window.
+      input.addData((2L, "b-dup", ts(3)), (3L, "c", ts(4)))
+      query.processAllAvailable()
+
+      val got = spark.table("dedup_out")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally query.stop()
+  }
+
   test("stateful transition counting across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamingIngest.EpochEvent]
