@@ -33,8 +33,14 @@ object Bench {
       .map { case (name, fn) =>
         if (warmRuns) {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-          spark.sharedState.cacheManager.clearCache()
         }
+        // Each timed pass starts from a clean slate: no cached blocks left
+        // behind by earlier queries (their persist() calls would otherwise
+        // squat on storage memory for the rest of the run) and no carried
+        // garbage — the GC runs OUTSIDE the timed region so query k doesn't
+        // pay for query k-1's allocations.
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
         // A failing query reports -1, loudly — never its time-to-exception
         // masquerading as a legitimate duration.
         val t0 = System.nanoTime()

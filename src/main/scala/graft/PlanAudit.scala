@@ -57,6 +57,31 @@ object PlanAudit {
           case e: Exception => println(s"$name FAILED: ${e.getMessage}")
         }
       }
+    // Iterative operators are invisible to per-query fingerprints, so audit
+    // one REPRESENTATIVE round: inside the loop both inputs are eager
+    // localCheckpoints, so the round plan below (checkpoint-scan inputs) IS
+    // the entire recurring plan, and its shape is constant in the round
+    // number by construction.
+    if (names.isEmpty || names("d3_round")) {
+      val f = fingerprint(componentsRound(spark))
+      println(f"d3_round                     exch=${f.exchanges} bhj=${f.bhj} " +
+        f"smj=${f.smj} bnlj=${f.bnlj} pushedFilters=${f.pushedFilters} " +
+        f"codegenSpans=${f.codegenSpans}")
+    }
     spark.stop()
+  }
+
+  /** One connected-components propagation round over checkpoint-backed
+    * inputs — the recurring unit of the d3 clustering loop.
+    */
+  def componentsRound(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node"))
+      .localCheckpoint(true)
+    graft.ops.Components.propagationRound(edges, labels)
   }
 }

@@ -61,22 +61,7 @@ object Components {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val msgs = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
-      val stepped = labels.union(msgs)
-        .groupBy("node").agg(min("label").as("label"))
-      // Pointer jumping: chase one extra hop through the PREVIOUS round's
-      // labels (already materialized, so no self-join recompute and no
-      // second checkpoint per round). `label` values are always node ids
-      // of the same component, so the lookup stays within labels' key
-      // space; the left join + coalesce only guards the (impossible) miss.
-      val next = stepped
-        .join(
-          labels.select(col("node").as("label"), col("label").as("hop")),
-          Seq("label"), "left")
-        .select(col("node"), coalesce(col("hop"), col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = propagationRound(edges, labels).localCheckpoint(true)
       val s = checksum(next)
       labels = next
       converged = s == prevSum
@@ -84,6 +69,32 @@ object Components {
       it += 1
     }
     labels
+  }
+
+  /** One min-label-propagation round: every node adopts the minimum label
+    * among itself and its neighbors, then chases one pointer hop through the
+    * previous round's labels. Exposed separately so [[graft.PlanAudit]] can
+    * fingerprint the round plan — both its inputs are materialized
+    * checkpoints inside the loop, so THIS is the entire recurring plan and
+    * its shape is constant in the round number: one equi shuffle join, one
+    * hash aggregate, one compression join.
+    */
+  def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val msgs = edges
+      .join(labels.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), col("label"))
+    val stepped = labels.union(msgs)
+      .groupBy("node").agg(min("label").as("label"))
+    // Pointer jumping: chase one extra hop through the PREVIOUS round's
+    // labels (already materialized, so no self-join recompute and no
+    // second checkpoint per round). `label` values are always node ids
+    // of the same component, so the lookup stays within labels' key
+    // space; the left join + coalesce only guards the (impossible) miss.
+    stepped
+      .join(
+        labels.select(col("node").as("label"), col("label").as("hop")),
+        Seq("label"), "left")
+      .select(col("node"), coalesce(col("hop"), col("label")).as("label"))
   }
 
   /** Sum of labels — strictly decreasing under min-propagation until

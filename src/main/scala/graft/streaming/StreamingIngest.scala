@@ -71,10 +71,14 @@ object StreamingIngest {
   }
 
   /** Streaming exact deduplication — the streaming face of the batch dedup
-    * family (TextQueries.t1): keep the first occurrence of each key across
-    * micro-batches. `dropDuplicatesWithinWatermark` bounds the dedup state
-    * by event time (keys older than the watermark are evicted), which is
-    * the only form that survives an unbounded stream — plain
+    * family (TextQueries.t1): emit exactly one occurrence of each key within
+    * the watermark window. Across micro-batches the FIRST batch wins (later
+    * duplicates hit existing state and are dropped); within a single
+    * micro-batch Spark keeps whichever duplicate reaches the state store
+    * first after the shuffle, which is not guaranteed to be the
+    * event-time-earliest. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state by event time (keys older than the watermark are evicted), which
+    * is the only form that survives an unbounded stream — plain
     * `dropDuplicates` on a stream accumulates state forever.
     */
   def dedupStream(records: DataFrame, keyCol: String = "doc_id",

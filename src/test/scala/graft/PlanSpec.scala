@@ -43,4 +43,55 @@ class PlanSpec extends SparkSpec {
     assert(f.bnlj == 1 && f.cartesian == 0,
       s"e1 wants exactly one broadcast NLJ, got $f")
   }
+
+  test("connected-components round plan is constant across rounds") {
+    // The d3 loop's recurring unit: both inputs are eager localCheckpoints,
+    // so round k's plan must not depend on k. This is the executable guard
+    // against the round-2 lineage regression (un-truncated plans doubled
+    // every round: 240 s on a 477-node graph). Drive two real rounds and
+    // assert the NEXT round's pre-checkpoint plan has the same fingerprint
+    // and the same plan size as the first round's.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val labels0 = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+
+    // Join strategy may flip between broadcast and SMJ round-to-round (the
+    // checkpoint scan's stats are estimates) — both are fine at their
+    // scale. What must hold for ANY k: the plan stays the three-operator
+    // round (≤ a handful of exchanges), never a quadratic join, and its
+    // SIZE is bounded — the round-2 regression doubled the plan every
+    // round, so even two extra rounds would triple the plan string here.
+    val rounds = Iterator.iterate(labels0) { l =>
+      graft.ops.Components.propagationRound(edges, l).localCheckpoint(true)
+    }.drop(1).take(3).toSeq
+    val plans = rounds.map(l => graft.ops.Components.propagationRound(edges, l))
+    val sizes = plans.map(_.queryExecution.executedPlan.toString.length)
+    assert(sizes.max < sizes.min * 2,
+      s"round plan size is growing with the round number: $sizes")
+    plans.map(PlanAudit.fingerprint).foreach { f =>
+      assert(f.cartesian == 0 && f.bnlj == 0, s"quadratic join in a round: $f")
+      assert(f.exchanges <= 5, s"round shuffles ${f.exchanges}×, want ≤5")
+    }
+  }
+
+  test("salted skew aggregation is a bounded two-stage shuffle chain") {
+    // q22's whole point: a hot key is split across salts (stage 1 shuffle),
+    // then merged (stage 2 shuffle); the final orderBy adds a range
+    // exchange. Any plan with more exchanges than that has lost the
+    // pre-aggregation and would re-concentrate the hot key at scale.
+    val f = fp("q22_salted_skew_agg")
+    assert(f.exchanges <= 3, s"q22 wants ≤3 exchanges (salt, merge, order), got $f")
+  }
+
+  test("document chunking never shuffles the corpus") {
+    // t12 is generate-only (posexplode over substring bounds) + the output
+    // ordering; a shuffle beyond the final range exchange means chunking
+    // started moving document bodies between executors.
+    val f = fp("t12_chunking")
+    assert(f.exchanges <= 1, s"t12 wants ≤1 exchange (output order only), got $f")
+  }
 }

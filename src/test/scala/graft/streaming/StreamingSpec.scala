@@ -10,7 +10,10 @@ import graft.SparkSpec
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(minutes: Int) = new Timestamp(minutes * 60000L)
+  // Base is one day past the epoch: Spark's initial event-time watermark is
+  // epoch 0, and a row timestamped exactly 0 is dropped as late data by the
+  // watermark-filtering operators (observed on dropDuplicatesWithinWatermark).
+  private def ts(minutes: Int) = new Timestamp(86400000L + minutes * 60000L)
 
   test("session_window splits epochs at the 60-minute gap") {
     implicit val sql = spark.sqlContext
@@ -49,10 +52,14 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("dedup_out")
       .outputMode("append").start()
     try {
-      input.addData((1L, "a", ts(0)), (2L, "b", ts(1)), (1L, "a-dup", ts(2)))
+      // The cross-batch guarantee is what the operator promises: the first
+      // micro-batch's row wins because the key is already in state when the
+      // duplicate arrives. (Within ONE batch the retained duplicate is
+      // shuffle-order-dependent, so the test keeps each key's duplicates in
+      // separate batches.)
+      input.addData((1L, "a", ts(0)), (2L, "b", ts(1)))
       query.processAllAvailable()
-      // Cross-batch duplicate of key 2 within the watermark window.
-      input.addData((2L, "b-dup", ts(3)), (3L, "c", ts(4)))
+      input.addData((1L, "a-dup", ts(2)), (2L, "b-dup", ts(3)), (3L, "c", ts(4)))
       query.processAllAvailable()
 
       val got = spark.table("dedup_out")
