@@ -183,6 +183,57 @@ object OpsQueries {
          |order by cluster_id, doc_id""".stripMargin),
     "dedup clusters: connected components over verified near-dup pairs (recursive-CTE oracle)")
 
+  /** Canonical-document selection — the step a real dedup pipeline runs
+    * AFTER clustering: every document gets its duplicate-cluster id
+    * (singletons are their own cluster) and a keep/drop verdict, keep =
+    * lowest doc_id in the cluster. The output is the complete corpus
+    * keep-list a training-data run would feed downstream. Same staged-pairs
+    * + recursive-CTE verification shape as d3, extended through the
+    * left-join + arg-min selection, so the WHOLE path — clustering included
+    * — is hash-verified end to end.
+    */
+  val canonicalDocs = Q(
+    "d4_canonical_docs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingles(docs, "text", 5).persist()
+      val pairs = Dedup.rerankJaccardOnShingles(
+          Dedup.candidatePairsFromShingles(sh), sh)
+        .filter(col("jaccard") >= 0.3)
+        .select("d1", "d2")
+      val staged = Stage.through(pairs, dir, "d4_pairs")
+      val comps = Components.connectedComponents(staged)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keep",
+          col("doc_id") === min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""with recursive sym as (
+         |  select d1 as a, d2 as b from ${Stage.sqlPath("d4_pairs")}
+         |  union
+         |  select d2, d1 from ${Stage.sqlPath("d4_pairs")}
+         |), reach(a, b) as (
+         |  select a, b from sym
+         |  union
+         |  select r.a, s.b from reach r join sym s on r.b = s.a
+         |), lbl as (
+         |  select a as doc_id, least(a, min(b)) as cluster_id
+         |  from reach group by a
+         |), labeled as (
+         |  select d.doc_id, coalesce(l.cluster_id, d.doc_id) as cluster_id
+         |  from documents d left join lbl l on d.doc_id = l.doc_id
+         |)
+         |select doc_id, cluster_id,
+         |  doc_id = min(doc_id) over (partition by cluster_id) as keep
+         |from labeled
+         |order by doc_id""".stripMargin),
+    "dedup canonical selection: per-cluster arg-min keep/drop list over the full corpus")
+
   /** Exact embedding near-dup pairs (cosine ≥ 0.8): triangular block-grid
     * self-join ([[Similarity.blockedExactPairs]] — no driver collect, no
     * full-matrix broadcast) against DuckDB's all-pairs
@@ -339,6 +390,6 @@ object OpsQueries {
     "multimodal: binary-column metadata rollup (staged metadata, hash-verified)")
 
   def all: Seq[Q] =
-    Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, embNearDupExact,
-      lshAnn, ivfAnn, mediaStats)
+    Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
+      embNearDupExact, lshAnn, ivfAnn, mediaStats)
 }
