@@ -469,6 +469,142 @@ object TextQueries {
     order by doc_id"""),
     "window zoo: ntile quartiles, percent_rank/cume_dist, lead, first_value")
 
+  /** TF-IDF top terms: the keyword-extraction face of corpus statistics.
+    * Term frequency per (doc, token), document frequency per token over the
+    * whole corpus, smoothed idf `ln((N+1)/(df+1))`, top-3 terms per doc by
+    * (tfidf desc, token). Scale shape: one shuffle for the (doc, token)
+    * counts, the df side is a token-keyed aggregate of that SAME table
+    * (no second corpus scan), the corpus size joins in as a broadcast
+    * 1-row aggregate — never a driver-side scalar — and the top-k is one
+    * window on the doc partition.
+    */
+  val t15 = Q(
+    "t15_tfidf_terms",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ), tf as (
+      select doc_id, token, count(*) as tf from toks group by 1, 2
+    ), df as (
+      select token, count(*) as df from tf group by 1
+    ), n as (
+      select count(*) as n_docs from documents
+    ), scored as (
+      select tf.doc_id, tf.token, tf.tf,
+        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) + 0.0 as tfidf
+      from tf join df using (token) cross join n
+    )
+    select doc_id, token, tf, tfidf, rank from (
+      select doc_id, token, tf, tfidf,
+        cast(row_number() over (partition by doc_id
+          order by tfidf desc, token) as int) as rank
+      from scored) t
+    where rank <= 3
+    order by doc_id, rank"""),
+    "tf-idf: smoothed idf, top-3 terms per document")
+
+  /** Intra-document repetition: the fraction of a document's 3-gram
+    * windows that are repeats (`1 - distinct/total`) — the boilerplate /
+    * degenerate-generation signal LLM quality filters cut on. The distinct
+    * count rides the fused native [[graft.expressions.ShingleStrings]]
+    * pass (one per-doc loop, no explode), so the whole operator is a
+    * per-row projection: embarrassingly parallel, zero shuffles before
+    * the output sort. The oracle rebuilds the same distinct-shingle set
+    * declaratively (d1's oracle pattern) and must land the identical
+    * ratio.
+    */
+  val t16 = Q(
+    "t16_repetition",
+    (s, dir) => {
+      val t = toks(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          greatest(size(t) - 2, lit(1)).as("n_total"),
+          size(graft.expressions.ShingleStrings(t, 3)).as("n_distinct"))
+        .withColumn("repetition_ratio",
+          round(lit(1.0) - col("n_distinct") / col("n_total").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some("""with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), sub as (
+      select doc_id, t, generate_subscripts(t, 1) as i from toks
+    ), sh as (
+      select distinct doc_id, array_to_string(t[i:i+2], ' ') as shingle
+      from sub where i <= greatest(len(t) - 3, 0) + 1
+    ), dist as (
+      select doc_id, cast(count(*) as int) as n_distinct from sh group by 1
+    ), tot as (
+      select doc_id,
+        cast(greatest(len(string_split(text, ' ')) - 2, 1) as int) as n_total
+      from documents
+    )
+    select t.doc_id, t.n_total, d.n_distinct,
+      round(1.0 - d.n_distinct / cast(t.n_total as double), 6) + 0.0
+        as repetition_ratio
+    from tot t join dist d on t.doc_id = d.doc_id
+    order by t.doc_id"""),
+    "repetition: distinct/total 3-gram ratio via the fused shingle expression")
+
+  /** Greedy sequence packing: concat-and-chunk documents into fixed
+    * 2048-token training bins, per language, in deterministic doc_id order
+    * — the batch-packing step between a cleaned corpus and a trainer. A
+    * document's bin is the running token total BEFORE it, integer-divided
+    * by the budget; bin_pos numbers the documents inside each bin. Two
+    * bounded shuffles (one per window partition key), no data movement of
+    * the text itself.
+    */
+  val t17 = Q(
+    "t17_seq_packing",
+    (s, dir) => {
+      val cumW = Window.partitionBy("lang").orderBy("doc_id")
+      val binW = Window.partitionBy("lang", "bin_id").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(cumW))
+        .withColumn("bin_id",
+          ((col("cum") - col("n_tokens")) / 2048).cast("int"))
+        .withColumn("bin_pos", row_number().over(binW))
+        .select("doc_id", "lang", "n_tokens", "bin_id", "bin_pos")
+        .orderBy("doc_id")
+    },
+    Some("""with d as (
+      select doc_id, lang,
+        cast(len(string_split(text, ' ')) as int) as n_tokens
+      from documents
+    ), c as (
+      select doc_id, lang, n_tokens,
+        sum(n_tokens) over (partition by lang order by doc_id) as cum
+      from d
+    )
+    select doc_id, lang, n_tokens,
+      cast((cum - n_tokens) // 2048 as int) as bin_id,
+      cast(row_number() over (partition by lang, (cum - n_tokens) // 2048
+        order by doc_id) as int) as bin_pos
+    from c
+    order by doc_id"""),
+    "sequence packing: 2048-token greedy bins per language + in-bin position")
+
   def all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
+      t16, t17)
 }
