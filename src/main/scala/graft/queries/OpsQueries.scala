@@ -389,7 +389,45 @@ object OpsQueries {
          |order by kind""".stripMargin),
     "multimodal: binary-column metadata rollup (staged metadata, hash-verified)")
 
+  /** Decode-in-the-loop image features: the synthetic media table's image
+    * payloads run through the REAL decode path ([[Multimodal.imageFeatures]]
+    * — `javax.imageio` for container formats, raw-raster fallback for the
+    * synthetic payloads) inside typed `mapPartitions`; the per-image
+    * features (decoded dims, mean luma, 16-bin histogram) are staged, and
+    * both engines independently roll them up into intensity bands — so the
+    * decode plumbing is exercised in the query path, not just in specs, and
+    * everything downstream of the codec is hash-verified.
+    */
+  val imageFeatures = Q(
+    "m2_image_features",
+    (s, dir) => {
+      val feats = Multimodal.imageFeatures(Multimodal.syntheticMedia(s, 300))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          graft.Norm.rz(col("mean_intensity"), 6).as("mean_intensity"),
+          col("intensity_histogram"))
+      Stage.through(feats, dir, "m2_image_feats")
+        .groupBy(floor(col("mean_intensity") / 16).cast("int")
+          .as("intensity_band"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          graft.Norm.rz(avg("mean_intensity"), 6).as("avg_intensity"),
+          sum(element_at(col("intensity_histogram"), 1)).as("dark_pixels"),
+          sum(element_at(col("intensity_histogram"), 16)).as("bright_pixels"))
+        .orderBy("intensity_band")
+    },
+    Some(
+      s"""select cast(floor(mean_intensity / 16) as int) as intensity_band,
+         |  count(*) as n_images,
+         |  round(avg(mean_intensity), 6) + 0.0 as avg_intensity,
+         |  cast(sum(intensity_histogram[1]) as bigint) as dark_pixels,
+         |  cast(sum(intensity_histogram[16]) as bigint) as bright_pixels
+         |from ${Stage.sqlPath("m2_image_feats")}
+         |group by 1
+         |order by 1""".stripMargin),
+    "multimodal: decode-in-the-loop image features (staged) + hash-verified band rollup")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      embNearDupExact, lshAnn, ivfAnn, mediaStats)
+      embNearDupExact, lshAnn, ivfAnn, mediaStats, imageFeatures)
 }

@@ -659,7 +659,71 @@ object RelationalQueries {
     from events group by event_type order by event_type"""),
     "skew: salted two-stage aggregation, result identical to the direct group-by")
 
+  /** Ordered funnel analysis over the event stream: per user, the first
+    * `view`, the first `click` at-or-after that view, the first `purchase`
+    * at-or-after that click; users roll up into the deepest stage reached
+    * plus the mean view→purchase latency of converters. Scale shape: the
+    * three dependent "first event after X" lookups are chained
+    * MIN-over-user windows — all on the SAME partition key, so Catalyst
+    * plans ONE user_id shuffle for the whole chain, and the per-user
+    * collapse reuses that partitioning; only the 4-row stage rollup
+    * re-shuffles.
+    */
+  val q23 = Q(
+    "q23_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val perEvent = Tables.events(s, dir)
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("ts") >= col("v"),
+            col("ts"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("c"),
+            col("ts"))).over(w))
+      val perUser = perEvent.groupBy("user_id")
+        .agg(max("v").as("v"), max("c").as("c"), max("p").as("p"))
+        .withColumn("funnel_stage",
+          when(col("p").isNotNull, 3)
+            .when(col("c").isNotNull, 2)
+            .when(col("v").isNotNull, 1)
+            .otherwise(0))
+      perUser.groupBy("funnel_stage")
+        .agg(
+          count(lit(1)).as("n_users"),
+          graft.Norm.rz(avg((col("p") - col("v")) / 1e9), 6)
+            .as("avg_seconds_to_purchase"))
+        .orderBy("funnel_stage")
+    },
+    Some("""with e1 as (
+      select user_id, ts, event_type,
+        min(case when event_type = 'view' then epoch_ns(ts) end)
+          over (partition by user_id) as v
+      from events
+    ), e2 as (
+      select *, min(case when event_type = 'click' and epoch_ns(ts) >= v
+          then epoch_ns(ts) end) over (partition by user_id) as c
+      from e1
+    ), e3 as (
+      select *, min(case when event_type = 'purchase' and epoch_ns(ts) >= c
+          then epoch_ns(ts) end) over (partition by user_id) as p
+      from e2
+    ), per_user as (
+      select user_id, max(v) as v, max(c) as c, max(p) as p
+      from e3 group by 1
+    )
+    select case when p is not null then 3
+                when c is not null then 2
+                when v is not null then 1
+                else 0 end as funnel_stage,
+      count(*) as n_users,
+      round(avg((p - v) / 1e9), 6) + 0.0 as avg_seconds_to_purchase
+    from per_user
+    group by 1 order by 1"""),
+    "funnel: chained first-event-after windows on one user shuffle + stage rollup")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22)
+    q17, q18, q19, q20, q21, q22, q23)
 }

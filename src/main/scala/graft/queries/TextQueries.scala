@@ -485,11 +485,15 @@ object TextQueries {
       val tf = docs
         .select(col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // df as a window over the tf table (tf is unique per (doc, token), so
+      // rows-per-token = docs-per-token): one token shuffle instead of a
+      // groupBy + join back.
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token"))
-      tf.join(df, "token")
+      withDf
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))

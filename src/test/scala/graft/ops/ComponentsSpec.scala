@@ -48,4 +48,19 @@ class ComponentsSpec extends SparkSpec {
   test("empty edge table yields an empty labeling") {
     assert(labelsOf(Seq.empty).isEmpty)
   }
+
+  test("a 1000-node path closes in the log-diameter round budget") {
+    // Diameter 999: plain propagation would need ~1000 rounds; pointer
+    // jumping must close it within maxIter=15 (≈ log2(999) + slack) or the
+    // convergence loop exits at the cap with wrong labels — so correctness
+    // of the result IS the round-count assertion. Also re-checks that
+    // per-round planning cost stays flat at a depth the 12-node test
+    // doesn't reach.
+    val t0 = System.nanoTime()
+    val got = labelsOf((0L until 999L).map(i => (i, i + 1)), maxIter = 15)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size == 1000)
+    assert(got.values.forall(_ == 0L), "min label did not reach every node")
+    assert(secs < 60.0, s"1000-node path took $secs s")
+  }
 }
