@@ -26,10 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in this one JVM — size the heap like
-  // 32 executor cores' worth of memory, not a driver's. The box has 128 GiB.
-  // Xms=Xmx so GC never gives pages back to the OS: an elastic heap makes
-  // allocation-heavy queries pay page-commit costs mid-measurement.
+)
+// run (Bench/Verify/PlanAudit at local[32]) gets 32 executor cores' worth of
+// heap — the box has 128 GiB — with Xms=Xmx so GC never gives pages back to
+// the OS (an elastic heap makes allocation-heavy queries pay page-commit
+// costs mid-measurement). Tests run at local[4] on small fixtures; a big
+// pinned heap only slows their JVM startup and GC, so they keep 8g.
+run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+Test / javaOptions += "-Xmx8g"
