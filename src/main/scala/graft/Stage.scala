@@ -26,13 +26,13 @@ object Stage {
     * downstream plan consumes the parquet files, not the lineage.
     *
     * @param parts coalesce width for the write. Staged intermediates here
-    *        are small (candidate pairs, signatures, metadata): a handful of
-    *        files beats one per shuffle partition. Pass 0 to keep the
-    *        incoming partitioning — the right call when staging large data
-    *        on a real cluster.
+    *        are small (candidate pairs, signatures, metadata): one file
+    *        minimizes task-commit overhead, which dominates tiny staged
+    *        writes. Pass 0 to keep the incoming partitioning — the right
+    *        call when staging large data on a real cluster.
     */
   def through(df: DataFrame, sfDir: String, name: String,
-      parts: Int = 4): DataFrame = {
+      parts: Int = 1): DataFrame = {
     val path = s"${dir(sfDir)}/$name"
     (if (parts > 0) df.coalesce(parts) else df)
       .write.mode("overwrite").parquet(path)
