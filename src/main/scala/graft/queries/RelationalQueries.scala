@@ -723,7 +723,36 @@ object RelationalQueries {
     group by 1 order by 1"""),
     "funnel: chained first-event-after windows on one user shuffle + stage rollup")
 
+  /** Exact interpolated percentiles — the sort-based aggregate (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, identical linear
+    * interpolation, so the hash match is bitwise). The multi-quantile
+    * array form is exercised via the p75 element. The 100 TB path for
+    * quantiles is `percentile_approx` (t-digest, spec-verified in
+    * `ApproxSpec` at ≤5% error); this query is the exact face a report
+    * runs at reduced scale.
+    */
+  val q24 = Q(
+    "q24_percentiles",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.Norm.rz(expr("percentile(l_extendedprice, 0.5)"), 4)
+            .as("median_price"),
+          graft.Norm.rz(expr("percentile(l_extendedprice, array(0.25, 0.75))[1]"), 4)
+            .as("p75_price"),
+          graft.Norm.rz(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""select l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 as median_price,
+      round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0 as p75_price,
+      round(quantile_cont(l_quantity, 0.9), 4) + 0.0 as p90_qty,
+      count(*) as n
+    from lineitem group by 1 order by 1"""),
+    "exact interpolated percentiles (median/p75/p90) per group")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23)
+    q17, q18, q19, q20, q21, q22, q23, q24)
 }
