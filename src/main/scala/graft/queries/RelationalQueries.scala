@@ -752,7 +752,81 @@ object RelationalQueries {
     from lineitem group by 1 order by 1"""),
     "exact interpolated percentiles (median/p75/p90) per group")
 
+  /** Full outer join — the one join type the registry didn't pin: customers
+    * with no orders AND order-side groups with no customer row survive, with
+    * null-side accounting. Same equi-key shuffle shape as an inner join (one
+    * exchange per side, null rows emitted from unmatched hash buckets).
+    */
+  val q25 = Q(
+    "q25_full_outer",
+    (s, dir) => {
+      val bigSpenders = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(graft.Norm.rz(sum("o_totalprice"), 2).as("total_spent"))
+        .filter(col("total_spent") > 400000)
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+        .join(bigSpenders, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          col("total_spent"),
+          col("c_custkey").isNull.as("customer_missing"),
+          col("o_custkey").isNull.as("spend_missing"))
+        .orderBy("custkey")
+    },
+    Some("""with spend as (
+      select o_custkey, round(sum(o_totalprice), 2) + 0.0 as total_spent
+      from orders group by 1
+      having round(sum(o_totalprice), 2) + 0.0 > 400000
+    ), cust as (
+      select c_custkey, c_name from customer where c_mktsegment = 'BUILDING'
+    )
+    select coalesce(c.c_custkey, s.o_custkey) as custkey,
+      c.c_name,
+      s.total_spent,
+      c.c_custkey is null as customer_missing,
+      s.o_custkey is null as spend_missing
+    from cust c full outer join spend s on c.c_custkey = s.o_custkey
+    order by custkey"""),
+    "full outer join with null-side accounting on both sides")
+
+  /** Value-based window frame (RANGE BETWEEN): per-user rolling 1-hour
+    * event count and value sum over the nanosecond event-time axis — the
+    * sliding-window shape `rowsBetween` can't express when events are
+    * irregularly spaced. One shuffle on the user partition; the frame is
+    * resolved by ordering value, not row position.
+    */
+  val q26 = Q(
+    "q26_range_frame",
+    (s, dir) => {
+      // Microsecond axis on BOTH engines: DuckDB truncates TIMESTAMP(NANOS)
+      // to µs at parquet read, so the frame must be resolved at µs or
+      // boundary rows could land on different sides of the 1-hour edge.
+      // Integer `div`, NOT `/`: at ~1.7e18 ns the implicit long→double of
+      // floating division loses the low ~8 bits and flips the last µs digit.
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-hourUs, 0)
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("events_last_hour"),
+          graft.Norm.rz(sum("value").over(w), 2).as("value_last_hour"))
+        .orderBy("event_id")
+    },
+    Some("""select event_id, user_id, epoch_us(ts) as ts_us,
+      count(*) over w as events_last_hour,
+      round(sum(value) over w, 2) + 0.0 as value_last_hour
+    from events
+    window w as (partition by user_id order by epoch_us(ts)
+      range between 3600000000 preceding and current row)
+    order by event_id"""),
+    "value-range window frame: rolling 1-hour per-user aggregates on event time")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
 }
