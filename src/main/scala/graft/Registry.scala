@@ -24,7 +24,8 @@ object Registry {
       queries.SleepQueries.all ++
       queries.TextQueries.all ++
       queries.SimilarityQueries.all ++
-      queries.OpsQueries.all
+      queries.OpsQueries.all ++
+      queries.StreamQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

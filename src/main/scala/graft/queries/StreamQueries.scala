@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Stage, Tables}
+import graft.streaming.BoundedStream
+
+/** Structured Streaming made oracle-faced (SURVEY §2.12): each query runs a
+  * REAL streaming job — file source, event-time watermark, stateful
+  * aggregation, append-mode sink, three micro-batches — through
+  * [[graft.streaming.BoundedStream]], whose heartbeat punctuation makes the
+  * emitted set byte-deterministic. The DuckDB oracle recomputes the full
+  * aggregation in batch SQL from the SAME staged input file, so the
+  * streaming path (watermark semantics, window assignment, session merge,
+  * incremental state) is hash-verified against an independent batch engine.
+  *
+  * The reference is strictly batch; these are the engine's streaming growth
+  * path (see [[graft.streaming.StreamingIngest]]) promoted to first-class
+  * verified operators.
+  */
+object StreamQueries {
+
+  private val HbType = "_hb"
+
+  /** events table with `ts` as a micros timestamp (the raw parquet is
+    * TIMESTAMP(NANOS), which Spark reads as a nanos long — see
+    * [[graft.Tables.events]]); truncation to micros can never move an event
+    * across a window boundary because boundaries are whole seconds.
+    */
+  private def eventsWithTimestamp(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").as("ts"))
+
+  /** One-row heartbeat frame, schema-identical to [[eventsWithTimestamp]],
+    * `hours` past the real maximum event time.
+    */
+  private def heartbeat(s: SparkSession, maxTs: Timestamp, hours: Int,
+      id: Long): DataFrame = {
+    import s.implicits._
+    Seq((id, -1L, HbType, 0.0,
+      new Timestamp(maxTs.getTime + hours * 3600 * 1000L)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+  }
+
+  private def runBounded(s: SparkSession, dir: String, name: String)(
+      aggregate: DataFrame => DataFrame): DataFrame = {
+    val real = eventsWithTimestamp(s, dir)
+    val maxTs = real.agg(max("ts")).head.getTimestamp(0)
+    BoundedStream.run(s, s"${Stage.dir(dir)}/$name", real,
+      (heartbeat(s, maxTs, 10, -1L), heartbeat(s, maxTs, 20, -2L)), aggregate)
+  }
+
+  /** Tumbling-window streaming aggregation: hourly event counts and value
+    * sums per event type, emitted in append mode as the watermark closes
+    * each window — the canonical unbounded-ingest monitoring topology. At
+    * scale this is one shuffle per micro-batch into windowed state; state
+    * size is bounded by (windows within watermark) × |event_type|.
+    */
+  val s1 = Q(
+    "s1_stream_windows",
+    (s, dir) =>
+      runBounded(s, dir, "s1_stream") { st =>
+        st.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+          .select(
+            col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"), col("sum_value"))
+      }
+        .filter(col("event_type") =!= HbType)
+        .select(
+          col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"), graft.Norm.rz(col("sum_value"), 4).as("total_value"))
+        .orderBy("window_start", "event_type"),
+    Some(
+      s"""select date_trunc('hour', ts) as window_start,
+         |  date_trunc('hour', ts) + interval '1 hour' as window_end,
+         |  event_type, count(*) as n_events,
+         |  round(sum(value), 4) + 0.0 as total_value
+         |from '${Stage.Placeholder}/s1_stream/in/00_events.parquet'
+         |where event_type <> '$HbType'
+         |group by 1, 2, 3
+         |order by window_start, event_type""".stripMargin),
+    "§2.12: streaming tumbling-window agg (watermark + append) vs batch oracle")
+
+  /** Gap-based streaming sessionization: `session_window` with a 30-minute
+    * inactivity gap per user — the streaming restatement of q5's
+    * gaps-and-islands, state merged incrementally and emitted when the
+    * watermark passes each session's end. The oracle recomputes sessions in
+    * batch with LAG gap detection; Spark's session window is half-open
+    * `[first, last+gap)`, so a gap of EXACTLY 30 minutes starts a new
+    * session — the oracle mirrors with `>=`.
+    */
+  val s2 = Q(
+    "s2_stream_sessions",
+    (s, dir) =>
+      runBounded(s, dir, "s2_stream") { st =>
+        st.withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("sum_value"))
+      }
+        .filter(col("user_id") >= 0)
+        .select(
+          col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), graft.Norm.rz(col("sum_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_start"),
+    Some(
+      s"""with lagged as (
+         |  select user_id, ts, value,
+         |    case when lag(ts) over w is null
+         |           or ts - lag(ts) over w >= interval '30 minutes'
+         |         then 1 else 0 end as is_new
+         |  from '${Stage.Placeholder}/s2_stream/in/00_events.parquet'
+         |  where user_id >= 0
+         |  window w as (partition by user_id order by ts)
+         |), sessions as (
+         |  select *, sum(is_new) over (partition by user_id order by ts
+         |    rows between unbounded preceding and current row) as sid
+         |  from lagged
+         |)
+         |select user_id, min(ts) as session_start,
+         |  max(ts) + interval '30 minutes' as session_end,
+         |  count(*) as n_events,
+         |  round(sum(value), 4) + 0.0 as total_value
+         |from sessions
+         |group by user_id, sid
+         |order by user_id, session_start""".stripMargin),
+    "§2.12: streaming session_window sessionization vs batch gaps-and-islands oracle")
+
+  def all: Seq[Q] = Seq(s1, s2)
+}

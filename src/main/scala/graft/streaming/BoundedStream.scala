@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Deterministic execution of an event-time streaming aggregation over a
+  * FINITE input — the harness that lets a real Structured Streaming job
+  * (file source → watermark → stateful agg → append sink) be hash-verified
+  * against a batch oracle.
+  *
+  * Append mode only emits a window once the watermark passes its end, and
+  * the watermark only advances from observed event time — so a naive
+  * one-batch run of a finite input emits NOTHING. Production stream
+  * processors solve end-of-input with punctuation / heartbeat records that
+  * push the watermark forward; this harness does exactly that,
+  * deterministically:
+  *
+  *  1. the real input is staged as ONE parquet file;
+  *  2. two heartbeat files carrying a single sentinel row each (event time
+  *     `maxTs + 10h` and `+20h`) are staged next to it with strictly
+  *     increasing modification times;
+  *  3. the query runs with `maxFilesPerTrigger=1` + `Trigger.AvailableNow`,
+  *     so the file source serves exactly three micro-batches in mtime
+  *     order.
+  *
+  * Batch k emits windows whose end ≤ the watermark as of the end of batch
+  * k-1. After heartbeat #1 the watermark stands at `maxTs + 10h − delay`,
+  * past every real window, so by the end of heartbeat #2's batch every
+  * real window has been emitted exactly once. The heartbeats' own windows
+  * end after the final watermark and never emit (callers also filter the
+  * sentinel key as belt-and-braces). Output is therefore exactly the
+  * batch-mode aggregation of the real input — byte-deterministic, which is
+  * what the DuckDB oracle hash-checks.
+  *
+  * At scale nothing here is toy-shaped: the same topology (file/queue
+  * source → watermark → windowed state → append sink) runs unbounded on a
+  * cluster; only the heartbeats become the upstream's own punctuation.
+  */
+object BoundedStream {
+
+  /** Write `df` as a single flat parquet FILE (not a directory) at
+    * `dir/name`, with the given modification time. The file streaming
+    * source lists flat files; distinct mtimes pin the batch order.
+    */
+  private def stageFile(df: DataFrame, dir: Path, name: String,
+      mtimeMs: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_stream_in")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst.orElseThrow(() => new IllegalStateException("no part file"))
+    Files.createDirectories(dir)
+    val dest = dir.resolve(name)
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** Run `aggregate` (a watermarked stateful transform) over `realEvents`
+    * plus heartbeats, three micro-batches, append mode; returns the
+    * emitted rows read back from the staged sink.
+    *
+    * @param realEvents finite batch input; must contain event-time column
+    *        `ts` (TimestampType). Staged to `<base>/in/00_events.parquet` —
+    *        oracles read the same bytes.
+    * @param heartbeats two single-row DataFrames, schema-identical to
+    *        `realEvents`, with event times past every real window end.
+    */
+  def run(spark: SparkSession, base: String, realEvents: DataFrame,
+      heartbeats: (DataFrame, DataFrame),
+      aggregate: DataFrame => DataFrame): DataFrame = {
+    val basePath = Paths.get(base)
+    deleteRecursively(basePath)
+    val inDir = basePath.resolve("in")
+    val t0 = System.currentTimeMillis()
+    stageFile(realEvents, inDir, "00_events.parquet", t0 - 30000)
+    stageFile(heartbeats._1, inDir, "01_heartbeat.parquet", t0 - 20000)
+    stageFile(heartbeats._2, inDir, "02_heartbeat.parquet", t0 - 10000)
+
+    val stream = spark.readStream
+      .schema(realEvents.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+
+    val outPath = basePath.resolve("out").toString
+    val query = aggregate(stream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", basePath.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+}
