@@ -259,4 +259,64 @@ object Similarity {
       nProbe: Int = 2, roundTo: Option[Int] = None): DataFrame =
     rerankTopK(ivfCandidatePairs(corpus, queries, idCol, vecCol, centroids, nProbe),
       corpus, idCol, vecCol, k, roundTo)
+
+  /** Symmetric per-vector int8 scalar quantization — the memory-bound
+    * scale path for embedding search: a float vector is 4 B/component, its
+    * int8 form 1 B + one double scale per vector, so the scan side of a
+    * similarity pass moves ~4× less data and an in-memory index holds ~4×
+    * more vectors. `scale = max|x| / 127`, `q_i = round(x_i / scale)` ∈
+    * [-127, 127]; an all-zero vector quantizes to zeros with scale 0 (its
+    * cosine is NULL-guarded downstream). Pure column expressions — one
+    * linear pass, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol),
+        (aggregate(col(vecCol), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / lit(127.0))
+          .as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col(vecCol),
+          x => round(x.cast("double") / col("scale")).cast("int")).as("qvec"))
+
+  /** Cosine of two int8-quantized vectors: the dot and norms accumulate in
+    * LONG (exact, order-independent — the property that makes quantized
+    * scoring hash-verifiable across engines); only the per-vector scale
+    * multiplications are floating-point.
+    */
+  def dequantizedCosine(qScale: Column, qVec: Column, cScale: Column,
+      cVec: Column): Column = {
+    val idot = aggregate(
+      zip_with(qVec, cVec, (a, b) => a.cast("long") * b),
+      lit(0L), (acc, x) => acc + x)
+    val inorm = (v: Column) => aggregate(
+      transform(v, x => x.cast("long") * x), lit(0L), (acc, x) => acc + x)
+    (idot.cast("double") * qScale * cScale) /
+      nullif(
+        sqrt(inorm(qVec).cast("double")) * qScale *
+          (sqrt(inorm(cVec).cast("double")) * cScale),
+        lit(0.0))
+  }
+
+  /** Top-k neighbors scored on quantized vectors (see [[quantizeInt8]]):
+    * same broadcast-queries topology as [[bruteForceTopK]], but the
+    * streamed corpus side reads int8 data. `scoreTransform` lets callers
+    * rank on a rounded score (oracle parity needs ranking on the value
+    * both engines agree on bit-for-bit).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      k: Int, scoreTransform: Column => Column = identity): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col("scale").as("qs"),
+      col("qvec").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col("scale").as("cs"),
+      col("qvec").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        scoreTransform(
+          dequantizedCosine(col("qs"), col("qv"), col("cs"), col("cv")))
+          .as("qcosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.{Q, Stage, Tables}
 
 /** Similarity-search operators over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, per-label
@@ -131,5 +131,60 @@ object SimilarityQueries {
     order by vec_id"""),
     "similarity: vector norms and component stats")
 
-  def all: Seq[Q] = Seq(e1, e2, e3)
+  /** Int8 scalar quantization + quantized top-k — the memory-bound scale
+    * path for embedding search: a 64-dim float vector is 256 B, its int8
+    * form 64 B + one float scale, so a 100 TB embedding corpus scans 4×
+    * less and holds 4× more of the index in executor memory. Per-vector
+    * symmetric quantization (`scale = max|x| / 127`, `q_i = round(x_i /
+    * scale)`) runs once in Spark and is STAGED; both engines then
+    * dequantize and rank top-5 from the same staged bytes, so the entire
+    * quantized scoring path is hash-verified. Integer products make the
+    * dot exact; only the double scale multiplications round.
+    */
+  val e7 = Q(
+    "e7_quantized_ann",
+    (s, dir) => {
+      val quantized = Stage.through(
+        graft.ops.Similarity.quantizeInt8(
+          Tables.embeddings(s, dir), "vec_id", "embedding"),
+        dir, "e7_qvecs")
+      graft.ops.Similarity.quantizedTopK(
+        quantized, quantized.filter(col("vec_id") < 20), "vec_id", 5,
+        c => round(c, 4))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("cid"),
+          col("qcosine"), col("rank").as("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some(
+      s"""with qv as (
+         |  select vec_id, scale, qvec from ${Stage.sqlPath("e7_qvecs")}
+         |), pairs as (
+         |  select q.vec_id as qid, c.vec_id as cid, q.scale as qs,
+         |    c.scale as cs, q.qvec as qv, c.qvec as cv
+         |  from qv q, qv c
+         |  where q.vec_id < 20 and c.vec_id != q.vec_id
+         |), flat as (
+         |  select qid, cid, qs, cs,
+         |    unnest(qv)::bigint as a, unnest(cv)::bigint as b
+         |  from pairs
+         |), dots as (
+         |  select qid, cid, any_value(qs) as qs, any_value(cs) as cs,
+         |    sum(a * b) as dp, sum(a * a) as nq, sum(b * b) as nc
+         |  from flat group by qid, cid
+         |), scored as (
+         |  select qid, cid,
+         |    round((dp::double * qs * cs) /
+         |      nullif(sqrt(nq::double) * qs * (sqrt(nc::double) * cs), 0),
+         |      4) + 0.0 as qcosine
+         |  from dots
+         |)
+         |select qid, cid, qcosine, rn from (
+         |  select qid, cid, qcosine,
+         |    row_number() over (partition by qid order by qcosine desc, cid) as rn
+         |  from scored) t
+         |where rn <= 5
+         |order by qid, rn""".stripMargin),
+    "similarity: int8 scalar quantization + quantized top-k (staged qvecs, hash-verified rerank)")
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e7)
 }

