@@ -91,15 +91,24 @@ object BoundedStream {
       .parquet(inDir.toString)
 
     val outPath = basePath.resolve("out").toString
-    val query = aggregate(stream).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", basePath.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outPath)
-      }
-      .start()
-    query.awaitTermination()
+    // Stateful streaming cost here is per-(batch × state partition) commit
+    // overhead, not data volume: scope the state partitioning down for the
+    // run (a real deployment sizes `spark.sql.shuffle.partitions` to its
+    // state volume the same way) and restore the session conf after.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+      val query = aggregate(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", basePath.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outPath)
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set(shuffleKey, prevShuffle)
     spark.read.parquet(outPath)
   }
 }
