@@ -137,5 +137,56 @@ object StreamQueries {
          |order by user_id, session_start""".stripMargin),
     "§2.12: streaming session_window sessionization vs batch gaps-and-islands oracle")
 
-  def all: Seq[Q] = Seq(s1, s2)
+  /** Stream-static enrichment — the most common production streaming
+    * topology: each micro-batch joins a broadcast dimension (here a
+    * deterministic per-user cohort, md5-bucketed exactly like t10's split
+    * so DuckDB reproduces it bit-for-bit), then feeds a windowed stateful
+    * aggregation. The watermark is observed BEFORE the inner join: the
+    * heartbeat punctuation rows carry no dim match and would otherwise be
+    * dropped ahead of the watermark node, stalling emission — the ordering
+    * any production enrich-then-window pipeline must get right.
+    */
+  val s3 = Q(
+    "s3_stream_enrich",
+    (s, dir) => {
+      val cohort = concat(lit("c"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 4).cast("string"))
+      val dim = eventsWithTimestamp(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("cohort", cohort)
+      runBounded(s, dir, "s3_stream") { st =>
+        st.withWatermark("ts", "1 hour")
+          .join(broadcast(dim), Seq("user_id"))
+          .groupBy(window(col("ts"), "1 hour"), col("cohort"))
+          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+          .select(
+            col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("cohort"), col("n_events"), col("sum_value"))
+      }
+        .select(
+          col("window_start"), col("window_end"), col("cohort"),
+          col("n_events"), graft.Norm.rz(col("sum_value"), 4).as("total_value"))
+        .orderBy("window_start", "cohort")
+    },
+    Some(
+      s"""with dim as (
+         |  select distinct user_id,
+         |    'c' || cast(cast(concat('0x',
+         |      substr(md5(cast(user_id as varchar)), 1, 6)) as bigint) % 4
+         |      as varchar) as cohort
+         |  from '${Stage.Placeholder}/s3_stream/in/00_events.parquet'
+         |)
+         |select date_trunc('hour', e.ts) as window_start,
+         |  date_trunc('hour', e.ts) + interval '1 hour' as window_end,
+         |  d.cohort, count(*) as n_events,
+         |  round(sum(e.value), 4) + 0.0 as total_value
+         |from '${Stage.Placeholder}/s3_stream/in/00_events.parquet' e
+         |join dim d using (user_id)
+         |group by 1, 2, 3
+         |order by window_start, cohort""".stripMargin),
+    "§2.12: stream-static broadcast enrichment + windowed agg vs batch oracle")
+
+  def all: Seq[Q] = Seq(s1, s2, s3)
 }
