@@ -169,6 +169,26 @@ object Multimodal {
     }
   }
 
+  final case class FrameStats(media_id: Long, frame_idx: Int, n_bytes: Int,
+      mean_intensity: Double)
+
+  /** Per-sampled-frame byte statistics — the feature-extraction step after
+    * [[sampleFrames]]: one linear pass per frame inside the same typed
+    * pipeline (no payload leaves the executor). Bytes are unsigned
+    * intensities (0–255).
+    */
+  def frameStats(media: Dataset[MediaRow], stride: Int): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, stride).map { f =>
+      val n = f.payload.length
+      var s = 0L
+      var i = 0
+      while (i < n) { s += (f.payload(i) & 0xff); i += 1 }
+      FrameStats(f.media_id, f.frame_idx, n,
+        if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
   /** Deterministic synthetic media table for tests/demos. */
   def syntheticMedia(spark: SparkSession, n: Int, width: Int = 32,
       height: Int = 32): Dataset[MediaRow] = {

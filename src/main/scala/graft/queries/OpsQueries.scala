@@ -427,7 +427,43 @@ object OpsQueries {
          |order by 1""".stripMargin),
     "multimodal: decode-in-the-loop image features (staged) + hash-verified band rollup")
 
+  /** Video frame sampling: every 2nd frame of each synthetic video becomes
+    * a row (typed mapPartitions slice — the payload never leaves the
+    * executor), per-frame byte statistics are extracted in the same pass
+    * and STAGED; the per-video rollup downstream of the staged frames is
+    * hash-verified. The Spark-side plumbing (binary column, frame slicing,
+    * stride) is the real thing; the "decode" is the documented synthetic
+    * raster (this container ships no video codec).
+    */
+  val frameSample = Q(
+    "m3_frame_sample",
+    (s, dir) => {
+      val frames = Multimodal.frameStats(Multimodal.syntheticMedia(s, 300), 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+          graft.Norm.rz(col("mean_intensity"), 6).as("mean_intensity"))
+      Stage.through(frames, dir, "m3_frames")
+        .groupBy("media_id")
+        .agg(
+          count(lit(1)).as("n_frames_sampled"),
+          sum("n_bytes").as("total_bytes"),
+          graft.Norm.rz(avg("mean_intensity"), 6).as("avg_intensity"),
+          graft.Norm.rz(min("mean_intensity"), 6).as("min_intensity"),
+          graft.Norm.rz(max("mean_intensity"), 6).as("max_intensity"))
+        .orderBy("media_id")
+    },
+    Some(
+      s"""select media_id, count(*) as n_frames_sampled,
+         |  cast(sum(n_bytes) as bigint) as total_bytes,
+         |  round(avg(mean_intensity), 6) + 0.0 as avg_intensity,
+         |  round(min(mean_intensity), 6) + 0.0 as min_intensity,
+         |  round(max(mean_intensity), 6) + 0.0 as max_intensity
+         |from ${Stage.sqlPath("m3_frames")}
+         |group by media_id
+         |order by media_id""".stripMargin),
+    "multimodal: stride frame sampling + per-frame stats (staged) + hash-verified per-video rollup")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      embNearDupExact, lshAnn, ivfAnn, mediaStats, imageFeatures)
+      embNearDupExact, lshAnn, ivfAnn, mediaStats, imageFeatures, frameSample)
 }
