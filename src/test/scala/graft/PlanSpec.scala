@@ -78,6 +78,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k keeps e1's deliberate broadcast scan shape") {
+    // e7 scores int8 vectors with the same broadcast-queries × streamed-
+    // corpus topology as e1; it must not degrade to a shuffled cartesian,
+    // and its quantization pass must not add shuffles beyond the stage
+    // write + final sort.
+    val f = fp("e7_quantized_ann")
+    assert(f.bnlj == 1 && f.cartesian == 0,
+      s"e7 wants exactly one broadcast NLJ, got $f")
+    assert(f.exchanges <= 2, s"e7 wants ≤2 exchanges, got $f")
+  }
+
+  test("streaming read-backs stay a single output sort") {
+    // s1–s3's stateful work happens inside the streaming runtime; the
+    // registry-visible plan is the sink read-back and must stay one range
+    // exchange — more means post-processing crept into the batch side.
+    Seq("s1_stream_windows", "s2_stream_sessions", "s3_stream_enrich")
+      .foreach { q =>
+        val f = fp(q)
+        assert(f.exchanges <= 1, s"$q wants ≤1 exchange, got $f")
+        assert(f.cartesian == 0 && f.bnlj == 0, s"quadratic join in $q: $f")
+      }
+  }
+
   test("salted skew aggregation is a bounded two-stage shuffle chain") {
     // q22's whole point: a hot key is split across salts (stage 1 shuffle),
     // then merged (stage 2 shuffle); the final orderBy adds a range

@@ -196,6 +196,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.payload.length == 64))
   }
 
+  test("per-frame stats match a direct byte-loop computation") {
+    val media = Multimodal.syntheticMedia(spark, 9, 8, 8)
+    val got = Multimodal.frameStats(media, stride = 2).collect()
+      .map(f => (f.media_id, f.frame_idx) -> (f.n_bytes, f.mean_intensity))
+      .toMap
+    val want = Multimodal.sampleFrames(media, stride = 2).collect().map { f =>
+      val mean = f.payload.map(b => (b & 0xff).toDouble).sum / f.payload.length
+      (f.media_id, f.frame_idx) -> ((f.payload.length, mean))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, m)) =>
+      assert(n == want(k)._1)
+      assert(math.abs(m - want(k)._2) < 1e-9, s"$k: $m vs ${want(k)._2}")
+    }
+  }
+
   test("media stats rollup") {
     val media = Multimodal.syntheticMedia(spark, 9, 8, 8).toDF()
     val stats = Multimodal.mediaStats(media).collect()
