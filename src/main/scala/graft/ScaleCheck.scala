@@ -27,20 +27,37 @@ object ScaleCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Extra session confs for experiments: SPARK_GRAFT_CONF="k=v;k=v".
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // GC OUTSIDE every timed region (the graft.Bench discipline): a prior
+    // step's tenured garbage otherwise taxes this step's shuffles — a
+    // same-size control leg measured the cluster step 3.5× slower purely
+    // from heap aging, which reads as a scaling cliff that isn't one.
     def time(f: => Long): (Double, Long) = {
+      System.gc()
       val t0 = System.nanoTime()
       val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
     reps.foreach { r =>
+      // Leg isolation (same discipline as graft.Bench): an earlier leg's
+      // cached blocks and garbage must not tax this leg's timings —
+      // blocking unpersists + a GC outside every timed region. Without
+      // this the R=4 leg measured 3× slower than R=10 (rep 1's
+      // still-evicting blocks), which read as a scaling cliff that wasn't.
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val docs = replicate(Tables.documents(spark, sfDir), "doc_id", r)
         .persist()
       val nDocs = docs.count() // materialize outside the timed region
@@ -55,13 +72,14 @@ object ScaleCheck {
           .filter(col("jaccard") >= 0.3).select("d1", "d2")
         val n = Components.connectedComponents(pairs)
           .select(countDistinct("label")).head.getLong(0)
-        sh.unpersist(blocking = false)
+        sh.unpersist(blocking = true)
         n
       }
       val (tSim, nSim) = time {
         Dedup.simhashNearDuplicates(docs).count()
       }
-      docs.unpersist(blocking = false)
+      docs.unpersist(blocking = true)
+      System.gc()
 
       val emb = replicate(Tables.embeddings(spark, sfDir), "vec_id", r)
         .persist()
@@ -70,12 +88,47 @@ object ScaleCheck {
         Similarity.lshCandidatePairs(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding").count()
       }
-      emb.unpersist(blocking = false)
+      val (tQuant, nQuant) = time {
+        val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").persist()
+        val n = Similarity.quantizedTopK(
+          q, q.filter(col("vec_id") < 20), "vec_id", 5).count()
+        q.unpersist(blocking = true)
+        n
+      }
+      emb.unpersist(blocking = true)
+
+      // Streaming scaling: replicas share timestamps, so the data volume
+      // grows R× while the window-state size stays CONSTANT — exactly the
+      // property (state bounded by watermark, not input) that makes the
+      // topology survive an unbounded stream.
+      val evCols = Seq("event_id", "user_id", "event_type", "value", "ts")
+      val ev = replicate(Tables.events(spark, sfDir), "event_id", r)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").as("ts"))
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      def hb(hours: Int, id: Long) = {
+        import spark.implicits._
+        Seq((id, -1L, "_hb", 0.0,
+          new java.sql.Timestamp(maxTs.getTime + hours * 3600 * 1000L)))
+          .toDF(evCols: _*)
+      }
+      val (tStream, nWindows) = time {
+        graft.streaming.BoundedStream.run(
+          spark, s"${Stage.Root}/scalecheck_rep$r", ev,
+          (hb(10, -1L), hb(20, -2L)),
+          st => st.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_events")))
+          .filter(col("event_type") =!= "_hb").count()
+      }
 
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +
         f""""dedup_cluster_s":$tFull%.2f,"clusters":$nClusters,""" +
         f""""simhash_s":$tSim%.2f,"sim_pairs":$nSim,""" +
-        f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn}""")
+        f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
+        f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
+        f""""stream_s":$tStream%.2f,"stream_windows":$nWindows}""")
     }
     spark.stop()
   }

@@ -120,11 +120,25 @@ class SimilaritySpec extends SparkSpec {
   test("int8 quantization bounds components and reconstructs closely") {
     val df = clustered(50)
     val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
-    // Components in range, and dequantized cosine vs exact cosine agree
-    // to ~quantization error on a sample pair set.
     val bad = q.select(explode($"qvec").as("c"))
       .filter($"c" > 127 || $"c" < -127).count()
     assert(bad == 0, s"$bad components outside [-127,127]")
+
+    // Round-to-nearest reconstruction bound: |x - q*scale| ≤ scale/2 for
+    // every component — the invariant that caps the cosine error.
+    val orig = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    q.collect().foreach { r =>
+      val id = r.getLong(0)
+      val scale = r.getDouble(1)
+      val qv = r.getSeq[Int](2)
+      val x = orig(id)
+      qv.indices.foreach { i =>
+        val err = math.abs(x(i).toDouble - qv(i) * scale)
+        assert(err <= scale / 2 + 1e-12,
+          s"vec $id comp $i: err $err > scale/2 ${scale / 2}")
+      }
+    }
   }
 
   test("quantized top-k reaches high recall against exact brute force") {
