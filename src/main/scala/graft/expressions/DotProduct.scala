@@ -125,6 +125,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "quantized_dot takes exactly 2 arguments")
+        QuantizedDot(children.head, children(1))
+      }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

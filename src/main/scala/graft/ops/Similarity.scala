@@ -281,15 +281,15 @@ object Similarity {
   /** Cosine of two int8-quantized vectors: the dot and norms accumulate in
     * LONG (exact, order-independent — the property that makes quantized
     * scoring hash-verifiable across engines); only the per-vector scale
-    * multiplications are floating-point.
+    * multiplications are floating-point. The integer dots run through the
+    * native codegen'd [[graft.expressions.QuantizedDot]] — bit-identical
+    * to the `zip_with`/`aggregate` spelling, minus its per-element
+    * higher-order-function overhead on the O(|queries|·|corpus|) scan.
     */
   def dequantizedCosine(qScale: Column, qVec: Column, cScale: Column,
       cVec: Column): Column = {
-    val idot = aggregate(
-      zip_with(qVec, cVec, (a, b) => a.cast("long") * b),
-      lit(0L), (acc, x) => acc + x)
-    val inorm = (v: Column) => aggregate(
-      transform(v, x => x.cast("long") * x), lit(0L), (acc, x) => acc + x)
+    val idot = graft.expressions.QuantizedDot(qVec, cVec)
+    val inorm = (v: Column) => graft.expressions.QuantizedDot(v, v)
     (idot.cast("double") * qScale * cScale) /
       nullif(
         sqrt(inorm(qVec).cast("double")) * qScale *

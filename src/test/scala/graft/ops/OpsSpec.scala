@@ -141,6 +141,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native quantized_dot is bit-identical to the declarative spelling") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextInt(255) - 127),
+        Array.fill(64)(rng.nextInt(255) - 127))
+    }.toDF("id", "a", "b")
+    val both = df.select(
+      graft.expressions.QuantizedDot($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("long") * y),
+        lit(0L), (acc, x) => acc + x).as("declarative"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, d) => assert(n == d, s"$n != $d") }
+  }
+
   test("quantized top-k reaches high recall against exact brute force") {
     val df = clustered(200).cache()
     val queries = df.filter($"vec_id" < 8)
