@@ -132,6 +132,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         QuantizedDot(children.head, children(1))
       }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

@@ -194,16 +194,31 @@ object Dedup {
       shingleLen: Int = 5): DataFrame =
     rerankJaccardOnShingles(pairs, shingles(docs, textCol, shingleLen))
 
-  /** [[rerankJaccard]] over a pre-built UNCAPPED (doc_id, shingle) table. */
+  /** [[rerankJaccard]] over a pre-built UNCAPPED (doc_id, shingle) table.
+    *
+    * Shape: per-doc shingle sets are collected ONCE into sorted arrays
+    * (one hash aggregate over the shingle table — the same shuffle the old
+    * per-doc size count already paid), then each candidate pair is scored
+    * by a single fused merge loop
+    * ([[graft.expressions.SortedIntersectCount]]). The relational
+    * explode-join spelling this replaces shuffled |pairs| × |set| rows
+    * (~50M at the 10× ScaleCheck leg) through TWO joins plus a count
+    * aggregate; this moves |pairs| rows + two array lookups and no
+    * per-element rows at all. Intersection counts are exact integers, so
+    * jaccard values are bit-identical to the explode-join spelling and
+    * the DuckDB oracle.
+    */
   def rerankJaccardOnShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("shingle"))).as("sset"))
+      .select(col("doc_id"), col("sset"), size(col("sset")).as("n"))
+    pairs
+      .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1"),
+        col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2"),
+        col("n").as("n2")), "d2")
+      .withColumn("inter",
+        graft.expressions.SortedIntersectCount(col("s1"), col("s2")))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
           .as("jaccard"))

@@ -141,6 +141,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count matches Scala set intersection") {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 40).map { i =>
+      val a = Array.fill(rng.nextInt(50) + 1)(rng.nextInt(60).toLong)
+        .distinct.sorted
+      val b = Array.fill(rng.nextInt(50) + 1)(rng.nextInt(60).toLong)
+        .distinct.sorted
+      (i.toLong, a, b, a.toSet.intersect(b.toSet).size.toLong)
+    }
+    val got = rows.toDF("id", "a", "b", "want")
+      .select($"id", $"want",
+        graft.expressions.SortedIntersectCount($"a", $"b").as("got"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, want, g) => assert(g == want, s"row $id: $g != $want") }
+  }
+
   test("native quantized_dot is bit-identical to the declarative spelling") {
     val rng = new scala.util.Random(11)
     val df = (0 until 50).map { i =>
