@@ -608,7 +608,104 @@ object TextQueries {
     order by doc_id"""),
     "sequence packing: 2048-token greedy bins per language + in-bin position")
 
+  /** The whole training-data pipeline as ONE composed job — exact dedup
+    * (t1's canonical-per-content-hash) → quality gate (t3's blended score)
+    * → language gate (t4's heuristic) → context-window chunking (t12's
+    * 64/48 windows) → split assignment (t10's hash buckets) → per-split
+    * rollup. This is the query a user of the engine actually runs end to
+    * end; the oracle recomputes the FULL chain in one SQL statement, so
+    * the composition (not just each stage alone) is hash-verified.
+    *
+    * Both gates threshold the ROUND-6 value: t3/t4's hash matches prove
+    * the engines agree post-round, so membership can't flip on a last-ulp
+    * raw-double difference. Plan shape: one shuffle for the dedup hash
+    * group, a broadcast-or-shuffle semi join back, then generate-only
+    * chunking into one final rollup shuffle — at 100 TB the corpus moves
+    * twice (dedup key, split rollup), never per-chunk.
+    */
+  val t18 = Q(
+    "t18_training_pipeline",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val nStop = size(filter(t, x => x.isInCollection(stopwords))).cast("double")
+      val meanTokLen = (length(col("text")) - (size(t) - 1)).cast("double") / nTok
+      val quality = round(
+        least(nTok / 100.0, lit(1.0)) * 0.5
+          + (nStop / nTok) * 2.0
+          + when(meanTokLen.between(3.0, 8.0), 0.3).otherwise(0.0), 6)
+      val enRatio = round(nStop / nTok, 6)
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100)
+
+      val docs = Tables.documents(s, dir)
+      val canonical = docs
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(canonical, Seq("doc_id"))
+        .withColumn("quality", quality)
+        .filter(col("quality") >= 0.7 && enRatio >= 0.05)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"), col("quality"), toks(col("text")).as("t"))
+        .withColumn("start",
+          explode(sequence(lit(1), greatest(size(col("t")), lit(1)), lit(48))))
+        .select(col("doc_id"), col("split"), col("quality"),
+          size(slice(col("t"), col("start"), lit(64))).as("n_tokens"))
+        .groupBy("split")
+        .agg(
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("split")
+    },
+    Some(s"""with canon as (
+      select min(doc_id) as doc_id from documents group by md5(text)
+    ), feat as (
+      select d.doc_id, d.text,
+        cast(len(string_split(d.text, ' ')) as double) as n_tok,
+        cast(len(list_filter(string_split(d.text, ' '),
+          x -> x in (${stopwords.map("'" + _ + "'").mkString(",")}))) as double) as n_stop,
+        cast(length(d.text) - (len(string_split(d.text, ' ')) - 1) as double)
+          / cast(len(string_split(d.text, ' ')) as double) as mean_tok_len
+      from documents d join canon c using (doc_id)
+    ), kept as (
+      select doc_id, text,
+        round(least(n_tok / 100.0, cast(1.0 as double)) * 0.5
+              + (n_stop / n_tok) * 2.0
+              + case when mean_tok_len between 3.0 and 8.0 then 0.3 else 0.0 end,
+          6) + 0.0 as quality
+      from feat
+      where round(least(n_tok / 100.0, cast(1.0 as double)) * 0.5
+              + (n_stop / n_tok) * 2.0
+              + case when mean_tok_len between 3.0 and 8.0 then 0.3 else 0.0 end,
+            6) + 0.0 >= 0.7
+        and round(n_stop / n_tok, 6) + 0.0 >= 0.05
+    ), assigned as (
+      select doc_id, text, quality,
+        case when cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 6)) as bigint) % 100 < 80 then 'train'
+             when cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 6)) as bigint) % 100 < 90 then 'val'
+             else 'test' end as split
+      from kept
+    ), chunks as (
+      select doc_id, split, quality,
+        cast(len(t[start : least(start + 63, len(t))]) as int) as n_tokens
+      from (
+        select doc_id, split, quality, string_split(text, ' ') as t,
+          unnest(generate_series(1, greatest(len(string_split(text, ' ')), 1), 48)) as start
+        from assigned) s
+    )
+    select split, count(distinct doc_id) as n_docs, count(*) as n_chunks,
+      cast(sum(n_tokens) as bigint) as n_tokens,
+      round(avg(quality), 6) + 0.0 as avg_quality
+    from chunks
+    group by split
+    order by split"""),
+    "training pipeline: dedup → quality gate → lang gate → chunk → split, composed and hash-verified end to end")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17)
+      t16, t17, t18)
 }
