@@ -826,7 +826,111 @@ object RelationalQueries {
     order by event_id"""),
     "value-range window frame: rolling 1-hour per-user aggregates on event time")
 
+  /** W-family completion: the navigation / distribution window functions
+    * not otherwise exercised — first_value, last_value + nth_value over an
+    * explicit full frame (the default frame stops at CURRENT ROW, the
+    * classic last_value footgun), lead, dense_rank, cume_dist. Total
+    * order inside each partition via the (date, key) tie-break so both
+    * engines rank identically. One shuffle: every function shares the one
+    * per-customer sort.
+    */
+  val q27 = Q(
+    "q27_window_nav",
+    (s, dir) => {
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = byDate.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first_value(col("o_orderkey")).over(byDate).as("first_order"),
+          last_value(col("o_orderkey")).over(full).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+          lead(col("o_orderkey"), 1).over(byDate).as("next_order"),
+          dense_rank().over(byDate).as("rk"),
+          round(cume_dist().over(byDate), 6).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""select o_custkey, o_orderkey,
+      first_value(o_orderkey) over w as first_order,
+      last_value(o_orderkey) over wf as last_order,
+      nth_value(o_orderkey, 2) over wf as second_order,
+      lead(o_orderkey, 1) over w as next_order,
+      dense_rank() over w as rk,
+      round(cume_dist() over w, 6) + 0.0 as cd
+    from orders
+    where o_custkey < 200
+    window w as (partition by o_custkey order by o_orderdate, o_orderkey),
+      wf as (partition by o_custkey order by o_orderdate, o_orderkey
+        rows between unbounded preceding and unbounded following)
+    order by o_custkey, o_orderkey"""),
+    "window navigation: first/last/nth_value, lead, dense_rank, cume_dist")
+
+  /** Data profiling — the inventory pass a warehouse runs before modeling:
+    * per column, row/null/distinct counts and min/max (stringified on a
+    * type-stable path: bigint / varchar / date). One pass over the table
+    * computes every column's stats in a single aggregate (no per-column
+    * rescan), then unpivots to one row per column.
+    */
+  val q28 = Q(
+    "q28_profile",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def prof(c: String, v: Column) = struct(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(v).cast("string").as("min_value"),
+        max(v).cast("string").as("max_value")).as(c)
+      li.agg(
+          prof("l_orderkey", col("l_orderkey")),
+          prof("l_linenumber", col("l_linenumber")),
+          prof("l_returnflag", col("l_returnflag")),
+          prof("l_shipdate", col("l_shipdate").cast("date")))
+        .select(expr(
+          """stack(4,
+            |'l_orderkey', l_orderkey,
+            |'l_linenumber', l_linenumber,
+            |'l_returnflag', l_returnflag,
+            |'l_shipdate', l_shipdate) as (column_name, p)""".stripMargin))
+        .select(col("column_name"),
+          col("p.n_rows").as("n_rows"), col("p.n_nulls").as("n_nulls"),
+          col("p.n_distinct").as("n_distinct"),
+          col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
+        .orderBy("column_name")
+    },
+    Some("""with src as (select * from lineitem)
+    select 'l_orderkey' as column_name, count(*) as n_rows,
+      sum(case when l_orderkey is null then 1 else 0 end) as n_nulls,
+      count(distinct l_orderkey) as n_distinct,
+      cast(min(l_orderkey) as varchar) as min_value,
+      cast(max(l_orderkey) as varchar) as max_value
+    from src
+    union all
+    select 'l_linenumber', count(*),
+      sum(case when l_linenumber is null then 1 else 0 end),
+      count(distinct l_linenumber),
+      cast(min(l_linenumber) as varchar), cast(max(l_linenumber) as varchar)
+    from src
+    union all
+    select 'l_returnflag', count(*),
+      sum(case when l_returnflag is null then 1 else 0 end),
+      count(distinct l_returnflag),
+      cast(min(l_returnflag) as varchar), cast(max(l_returnflag) as varchar)
+    from src
+    union all
+    select 'l_shipdate', count(*),
+      sum(case when l_shipdate is null then 1 else 0 end),
+      count(distinct l_shipdate),
+      cast(min(cast(l_shipdate as date)) as varchar),
+      cast(max(cast(l_shipdate as date)) as varchar)
+    from src
+    order by column_name"""),
+    "data profiling: per-column null/distinct/min/max in one pass + unpivot")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }
