@@ -188,5 +188,44 @@ object StreamQueries {
          |order by window_start, cohort""".stripMargin),
     "§2.12: stream-static broadcast enrichment + windowed agg vs batch oracle")
 
-  def all: Seq[Q] = Seq(s1, s2, s3)
+  /** Streaming exact deduplication at ingest — the streaming face of t1:
+    * `dropDuplicatesWithinWatermark` on the content hash, state bounded by
+    * event time. WHICH duplicate survives a micro-batch is shuffle-order-
+    * dependent (see [[graft.streaming.StreamingIngest.dedupStream]]), so
+    * the query projects ONLY the dedup key — the emitted key set is
+    * deterministic (exactly one row per distinct hash) no matter which
+    * copy won, which is what makes a streaming dedup oracle-checkable at
+    * all. Event time is synthesized deterministically from doc_id (the
+    * documents table carries none); the oracle is a plain DISTINCT over
+    * the same staged input.
+    */
+  val s4 = Q(
+    "s4_stream_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        md5(col("text")).as("text_hash"),
+        timestamp_seconds(lit(86400L) + (col("doc_id") % 1000) * 60).as("ts"))
+      val maxTs = docs.agg(max("ts")).head.getTimestamp(0)
+      def hb(hours: Int) = {
+        import s.implicits._
+        Seq(("_hb", new java.sql.Timestamp(maxTs.getTime + hours * 3600 * 1000L)))
+          .toDF("text_hash", "ts")
+      }
+      BoundedStream.run(s, s"${Stage.dir(dir)}/s4_stream", docs,
+        (hb(10), hb(20)),
+        st => st.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("text_hash")
+          .select(col("text_hash")))
+        .filter(col("text_hash") =!= "_hb")
+        .select(col("text_hash"))
+        .orderBy("text_hash")
+    },
+    Some(
+      s"""select distinct text_hash
+         |from '${Stage.Placeholder}/s4_stream/in/00_events.parquet'
+         |where text_hash <> '_hb'
+         |order by text_hash""".stripMargin),
+    "§2.12: streaming exact dedup (dropDuplicatesWithinWatermark) vs batch DISTINCT oracle")
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4)
 }
