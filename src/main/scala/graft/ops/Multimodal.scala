@@ -202,6 +202,29 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic audio table: each row is a pure tone (PCM16
+    * little-endian, the [[audioFeatures]] decode contract) whose frequency
+    * steps with the row id — so the Welch dominant-frequency estimate has
+    * a known per-row answer and downstream rollups group rows by tone.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int, sampleRate: Int = 4000,
+      seconds: Int = 2): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val freq = 50.0 + (i % 20) * 20.0
+      val samples = sampleRate * seconds
+      val payload = new Array[Byte](samples * 2)
+      var j = 0
+      while (j < samples) {
+        val v = (math.sin(2 * math.Pi * freq * j / sampleRate) * 0.5 * 32767).toInt
+        payload(2 * j) = (v & 0xff).toByte
+        payload(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      MediaRow(i, "audio", payload, 0, 0, sampleRate, 0)
+    }
+  }
+
   /** Metadata rollup over a media DataFrame — the relational face of the
     * multimodal table (works on any DataFrame with the MediaRow columns).
     */

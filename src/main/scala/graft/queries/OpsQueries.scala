@@ -463,7 +463,43 @@ object OpsQueries {
          |order by media_id""".stripMargin),
     "multimodal: stride frame sampling + per-frame stats (staged) + hash-verified per-video rollup")
 
+  /** Audio feature extraction: deterministic PCM16 tones → per-row RMS /
+    * zero-crossing rate / Welch dominant frequency (the SAME spectral
+    * kernel that powers EEG band extraction), staged; the per-tone rollup
+    * downstream is hash-verified. Completes the multimodal trio — image
+    * (m2), video (m3), audio (m4) — each with its decode/extract step in
+    * typed executor-side code and everything after it oracle-checked.
+    */
+  val audioFeatures = Q(
+    "m4_audio_features",
+    (s, dir) => {
+      val feats = Multimodal.audioFeatures(Multimodal.syntheticAudio(s, 100))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          graft.Norm.rz(col("rms"), 6).as("rms"),
+          graft.Norm.rz(col("zero_crossing_rate"), 6).as("zcr"),
+          graft.Norm.rz(col("dominant_freq_hz"), 3).as("dominant_freq_hz"))
+      Stage.through(feats, dir, "m4_audio_feats")
+        .groupBy("dominant_freq_hz")
+        .agg(
+          count(lit(1)).as("n_clips"),
+          graft.Norm.rz(avg("rms"), 6).as("avg_rms"),
+          graft.Norm.rz(avg("zcr"), 6).as("avg_zcr"),
+          min("media_id").as("min_media_id"))
+        .orderBy("dominant_freq_hz")
+    },
+    Some(
+      s"""select dominant_freq_hz, count(*) as n_clips,
+         |  round(avg(rms), 6) + 0.0 as avg_rms,
+         |  round(avg(zcr), 6) + 0.0 as avg_zcr,
+         |  min(media_id) as min_media_id
+         |from ${Stage.sqlPath("m4_audio_feats")}
+         |group by dominant_freq_hz
+         |order by dominant_freq_hz""".stripMargin),
+    "multimodal: PCM16 decode + Welch dominant-freq features (staged) + hash-verified per-tone rollup")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      embNearDupExact, lshAnn, ivfAnn, mediaStats, imageFeatures, frameSample)
+      embNearDupExact, lshAnn, ivfAnn, mediaStats, imageFeatures, frameSample,
+      audioFeatures)
 }
