@@ -870,35 +870,31 @@ object RelationalQueries {
 
   /** Data profiling — the inventory pass a warehouse runs before modeling:
     * per column, row/null/distinct counts and min/max (stringified on a
-    * type-stable path: bigint / varchar / date). One pass over the table
-    * computes every column's stats in a single aggregate (no per-column
-    * rescan), then unpivots to one row per column.
+    * type-stable path: bigint / varchar / date), one output row per
+    * column. Shape: one single-distinct aggregate per column, unioned —
+    * NOT one aggregate with four `count(distinct ...)`s, which Catalyst
+    * plans as an Expand that multiplies every input row by the number of
+    * distinct columns before the shuffle (measured 7 s vs ~1 s at sf0.1).
+    * Each leg scans only its own column (pruned parquet read) with
+    * map-side partial aggregation.
     */
   val q28 = Q(
     "q28_profile",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      def prof(c: String, v: Column) = struct(
-        count(lit(1)).cast("long").as("n_rows"),
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(v).cast("string").as("min_value"),
-        max(v).cast("string").as("max_value")).as(c)
-      li.agg(
-          prof("l_orderkey", col("l_orderkey")),
-          prof("l_linenumber", col("l_linenumber")),
-          prof("l_returnflag", col("l_returnflag")),
-          prof("l_shipdate", col("l_shipdate").cast("date")))
-        .select(expr(
-          """stack(4,
-            |'l_orderkey', l_orderkey,
-            |'l_linenumber', l_linenumber,
-            |'l_returnflag', l_returnflag,
-            |'l_shipdate', l_shipdate) as (column_name, p)""".stripMargin))
-        .select(col("column_name"),
-          col("p.n_rows").as("n_rows"), col("p.n_nulls").as("n_nulls"),
-          col("p.n_distinct").as("n_distinct"),
-          col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
+      def prof(c: String, v: Column) =
+        li.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(v).cast("string").as("min_value"),
+          max(v).cast("string").as("max_value"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      prof("l_orderkey", col("l_orderkey"))
+        .unionAll(prof("l_linenumber", col("l_linenumber")))
+        .unionAll(prof("l_returnflag", col("l_returnflag")))
+        .unionAll(prof("l_shipdate", col("l_shipdate").cast("date")))
         .orderBy("column_name")
     },
     Some("""with src as (select * from lineitem)

@@ -50,8 +50,11 @@ object BoundedStream {
       mtimeMs: Long): Unit = {
     val tmp = Files.createTempDirectory("graft_stream_in")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst.orElseThrow(() => new IllegalStateException("no part file"))
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow(() => new IllegalStateException("no part file"))
+      finally listing.close()
     Files.createDirectories(dir)
     val dest = dir.resolve(name)
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
@@ -60,9 +63,12 @@ object BoundedStream {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   /** Run `aggregate` (a watermarked stateful transform) over `realEvents`
     * plus heartbeats, three micro-batches, append mode; returns the
