@@ -705,7 +705,164 @@ object TextQueries {
     order by split"""),
     "training pipeline: dedup → quality gate → lang gate → chunk → split, composed and hash-verified end to end")
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 5-gram with the held-out eval split (t10's hash buckets: eval =
+    * bucket ≥ 90, train = bucket < 80) — the n-gram-overlap contamination
+    * check every LLM data pipeline runs before training. The eval side is
+    * a fixed benchmark suite, small by construction, so its distinct
+    * shingle set is an explicit `broadcast()`: the 100 TB train side is
+    * touched in ONE pass with a map-side broadcast join — no shuffle of
+    * the corpus at all before the tiny per-doc aggregate. Shingling rides
+    * the fused [[graft.expressions.ShingleStrings]] pass (t16).
+    */
+  val t19 = Q(
+    "t19_decontamination",
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100)
+      val docs = Tables.documents(s, dir).withColumn("bucket", bucket)
+      def shingles(d: DataFrame) = d.select(col("doc_id"),
+        explode(graft.expressions.ShingleStrings(toks(col("text")), 5)).as("shingle"))
+      val evalSh = shingles(docs.filter(col("bucket") >= 90))
+        .select("shingle").distinct().withColumn("hit", lit(1))
+      shingles(docs.filter(col("bucket") < 80))
+        .join(broadcast(evalSh), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+        .filter(col("n_contaminated") > 0)
+        .withColumn("contamination_ratio",
+          round(col("n_contaminated") / col("n_shingles").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some("""with b as (
+      select doc_id, text,
+        cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 6)) as bigint) % 100 as bucket
+      from documents
+    ), tok as (
+      select doc_id, bucket, string_split(text, ' ') as t from b
+    ), sub as (
+      select doc_id, bucket, t, generate_subscripts(t, 1) as i from tok
+    ), sh as (
+      select distinct doc_id, bucket, array_to_string(t[i:i+4], ' ') as shingle
+      from sub where i <= greatest(len(t) - 5, 0) + 1
+    ), ev as (
+      select distinct shingle from sh where bucket >= 90
+    ), agg as (
+      select s.doc_id,
+        count(*) as n_shingles,
+        cast(sum(case when e.shingle is not null then 1 else 0 end) as bigint)
+          as n_contaminated
+      from sh s left join ev e on s.shingle = e.shingle
+      where s.bucket < 80
+      group by s.doc_id
+    )
+    select doc_id, n_shingles, n_contaminated,
+      round(n_contaminated / cast(n_shingles as double), 6) + 0.0
+        as contamination_ratio
+    from agg where n_contaminated > 0
+    order by doc_id"""),
+    "decontamination: train docs sharing 5-grams with the eval split, broadcast eval-shingle semi-match")
+
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * how many distinct 8-grams they share — the governance report behind
+    * "which crawls duplicate each other". One shuffle on the shingle key;
+    * pair expansion per shingle is bounded by C(#sources, 2) — a constant
+    * (sources are a catalog, not data), so the hot-boilerplate-shingle
+    * skew that motivates d1's doc-frequency caps cannot blow up here.
+    */
+  val t20 = Q(
+    "t20_cross_source_overlap",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.expressions.ShingleStrings(toks(col("text")), 8)).as("shingle"))
+        .distinct()
+      sh.join(
+          sh.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("shingle", "shingle_b"),
+          col("shingle") === col("shingle_b") && col("source") < col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""with tok as (
+      select doc_id, source, string_split(text, ' ') as t from documents
+    ), sub as (
+      select doc_id, source, t, generate_subscripts(t, 1) as i from tok
+    ), sh as (
+      select distinct source, array_to_string(t[i:i+7], ' ') as shingle
+      from sub where i <= greatest(len(t) - 8, 0) + 1
+    )
+    select a.source as source_a, b.source as source_b,
+      count(*) as n_shared_shingles
+    from sh a join sh b on a.shingle = b.shingle and a.source < b.source
+    group by 1, 2
+    order by source_a, source_b"""),
+    "cross-source overlap: distinct shared 8-grams per source pair")
+
+  /** Temperature-weighted mixture sampling: per-source sampling targets
+    * ∝ √(corpus mass), documents chosen by deterministic hash order — the
+    * source-mixture rebalancing step between a cleaned corpus and a
+    * trainer (upweight small high-quality sources, downweight the giant
+    * crawl). All threshold arithmetic is INTEGER-exact (long mass,
+    * floor(sqrt) weights, floor-div targets, md5-order ranks), so
+    * membership can never flip on a floating-point last-ulp difference
+    * between engines — the property that makes a sampling step
+    * hash-verifiable at all. One groupBy for the per-source stats
+    * (broadcast back), one window for the rank: the corpus moves once.
+    */
+  val t21 = Q(
+    "t21_mixture_sampling",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perSrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("mass"))
+        .withColumn("weight", floor(sqrt(col("mass"))).cast("long"))
+      val wTot = perSrc.agg(sum("weight").as("w_total"))
+      val tgt = perSrc.crossJoin(broadcast(wTot))
+        .withColumn("target_n",
+          least(col("n_docs"),
+            floor((lit(200.0) * col("weight")) / col("w_total")).cast("long")))
+        .select("source", "n_docs", "weight", "target_n")
+      val ranked = docs
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")))))
+      ranked.join(broadcast(tgt), Seq("source"))
+        .filter(col("rk") <= col("target_n"))
+        .groupBy("source", "n_docs", "weight", "target_n")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_docs_sum"))
+        .orderBy("source")
+    },
+    Some("""with per_src as (
+      select source, count(*) as n_docs, sum(n_chars) as mass
+      from documents group by 1
+    ), w as (
+      select source, n_docs, cast(floor(sqrt(mass)) as bigint) as weight
+      from per_src
+    ), tot as (
+      select cast(sum(weight) as bigint) as w_total from w
+    ), tgt as (
+      select source, n_docs, weight,
+        least(n_docs, cast(floor((200.0 * weight) / w_total) as bigint)) as target_n
+      from w cross join tot
+    ), ranked as (
+      select doc_id, source,
+        row_number() over (partition by source
+          order by md5(cast(doc_id as varchar))) as rk
+      from documents
+    )
+    select t.source, t.n_docs, t.weight, t.target_n,
+      count(*) as n_kept, cast(sum(r.doc_id) as bigint) as kept_docs_sum
+    from ranked r join tgt t on r.source = t.source
+    where r.rk <= t.target_n
+    group by 1, 2, 3, 4
+    order by t.source"""),
+    "mixture sampling: √mass source weights, integer-exact targets, md5-order selection")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18)
+      t16, t17, t18, t19, t20, t21)
 }

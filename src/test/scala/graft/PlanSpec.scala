@@ -117,4 +117,26 @@ class PlanSpec extends SparkSpec {
     val f = fp("t12_chunking")
     assert(f.exchanges <= 1, s"t12 wants ≤1 exchange (output order only), got $f")
   }
+
+  test("decontamination touches the train corpus in one broadcast pass") {
+    // t19's eval side is a fixed benchmark suite — small by construction —
+    // so the contamination probe must be a broadcast hash join into the
+    // train scan. An SMJ here means the 100 TB train corpus gets shuffled
+    // on the shingle key just to answer a membership probe.
+    val f = fp("t19_decontamination")
+    assert(f.bhj >= 1 && f.smj == 0,
+      s"t19 wants the eval-shingle set broadcast (bhj>=1, smj=0), got $f")
+    assert(f.cartesian == 0 && f.bnlj == 0, s"t19 plans a product: $f")
+  }
+
+  test("mixture sampling moves the corpus once") {
+    // t21: per-source stats + the 1-row weight total are broadcast back;
+    // the corpus itself is touched by exactly one window shuffle (rank
+    // within source) — everything else is sketch-sized. The scalar total
+    // rides a 1-row broadcast NLJ (intended); no shuffled join allowed.
+    val f = fp("t21_mixture_sampling")
+    assert(f.smj == 0 && f.cartesian == 0,
+      s"t21 must not shuffle-join or product-join the corpus, got $f")
+    assert(f.bnlj <= 1, s"t21 allows only the 1-row scalar broadcast, got $f")
+  }
 }
