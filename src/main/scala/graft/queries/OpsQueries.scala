@@ -234,6 +234,43 @@ object OpsQueries {
          |order by doc_id""".stripMargin),
     "dedup canonical selection: per-cluster arg-min keep/drop list over the full corpus")
 
+  /** Incremental-ingest dedup: which documents of a new batch (hash
+    * buckets ≥ 80) are genuinely new against the already-ingested corpus
+    * (buckets < 80)? Runs [[Dedup.incrementalNew]]: a distributed-built
+    * Bloom sketch of the corpus keys probed map-side, with only the
+    * bloom-positive sliver paying the exact anti-join verify — the shape
+    * that keeps per-batch cost O(|batch|) instead of O(|batch| ⋈ |corpus|)
+    * on a 100 TB corpus. The sketch is pure prefilter (no false
+    * negatives + exact verify of positives), so the result is
+    * byte-identical to the plain anti join the oracle runs.
+    */
+  val bloomIncremental = Q(
+    "d5_bloom_incremental",
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100)
+      val docs = Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("h", md5(col("text")))
+      val corpus = docs.filter(col("bucket") < 80).select("h")
+      val batch = docs.filter(col("bucket") >= 80).select("doc_id", "h")
+      Dedup.incrementalNew(corpus, batch, "h", expectedItems = corpus.count())
+        .select(col("doc_id"), col("h").as("text_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""with b as (
+      select doc_id, text,
+        cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 6)) as bigint) % 100 as bucket
+      from documents
+    )
+    select n.doc_id, md5(n.text) as text_hash
+    from b n
+    where n.bucket >= 80
+      and not exists (
+        select 1 from b c where c.bucket < 80 and md5(c.text) = md5(n.text))
+    order by doc_id"""),
+    "incremental dedup: bloom-sketch prefilter + exact verify of the positive sliver")
+
   /** Exact embedding near-dup pairs (cosine ≥ 0.8): triangular block-grid
     * self-join ([[Similarity.blockedExactPairs]] — no driver collect, no
     * full-matrix broadcast) against DuckDB's all-pairs
@@ -500,6 +537,6 @@ object OpsQueries {
 
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      embNearDupExact, lshAnn, ivfAnn, mediaStats, imageFeatures, frameSample,
-      audioFeatures)
+      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, mediaStats,
+      imageFeatures, frameSample, audioFeatures)
 }
