@@ -227,5 +227,54 @@ object StreamQueries {
          |order by text_hash""".stripMargin),
     "§2.12: streaming exact dedup (dropDuplicatesWithinWatermark) vs batch DISTINCT oracle")
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4)
+  /** Stream-stream inner join: the view→purchase attribution topology —
+    * two live streams, equality key + event-time range condition
+    * (purchase within 30 min of the view), watermarks on BOTH sides so
+    * each side's join state evicts once the other's watermark passes the
+    * range bound. At scale the state held per side is bounded by
+    * (watermark delay + range span) × arrival rate — the property that
+    * lets the join run forever — while inner matches emit as soon as the
+    * later side arrives. The oracle recomputes the same interval join in
+    * batch from the two staged input files. Heartbeats pass through the
+    * watermark nodes (advancing them) and are then filtered before the
+    * join, so they drive eviction without ever matching.
+    */
+  val s5 = Q(
+    "s5_stream_join",
+    (s, dir) => {
+      val ev = eventsWithTimestamp(s, dir)
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      def hb(hours: Int, id: Long) = heartbeat(s, maxTs, hours, id)
+      BoundedStream.runPair(s, s"${Stage.dir(dir)}/s5_stream",
+        ev.filter(col("event_type") === "view"), (hb(10, -1L), hb(20, -2L)),
+        ev.filter(col("event_type") === "purchase"), (hb(10, -3L), hb(20, -4L)),
+        (l, r) => {
+          val views = l.withWatermark("ts", "1 hour")
+            .filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+          val purchases = r.withWatermark("ts", "1 hour")
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+          views.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("view_ts") &&
+              col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+            .select(col("user_id"), col("view_id"), col("purchase_id"),
+              col("view_ts"), col("purchase_ts"))
+        })
+        .orderBy("user_id", "view_ts", "purchase_ts", "view_id", "purchase_id")
+    },
+    Some(
+      s"""select v.user_id, v.event_id as view_id, p.event_id as purchase_id,
+         |  v.ts as view_ts, p.ts as purchase_ts
+         |from '${Stage.Placeholder}/s5_stream/in_l/00_events.parquet' v
+         |join '${Stage.Placeholder}/s5_stream/in_r/00_events.parquet' p
+         |  on v.user_id = p.user_id
+         | and p.ts >= v.ts and p.ts <= v.ts + interval '30 minutes'
+         |order by v.user_id, view_ts, purchase_ts, view_id, purchase_id""".stripMargin),
+    "§2.12: stream-stream interval join (dual watermarks + range state eviction) vs batch oracle")
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5)
 }

@@ -86,16 +86,52 @@ object BoundedStream {
     val basePath = Paths.get(base)
     deleteRecursively(basePath)
     val inDir = basePath.resolve("in")
+    stageInputs(inDir, realEvents, heartbeats)
+    runQuery(spark, basePath,
+      aggregate(source(spark, inDir, realEvents.schema)))
+  }
+
+  /** Two-stream variant for stream-stream JOINS: each side gets its own
+    * input dir (real file + two heartbeats), its own file source, and its
+    * own watermark; `join` composes them. Inner-join matches emit in the
+    * micro-batch where the later side arrives (the watermark governs state
+    * EVICTION, not inner-join emission), so with both real files served in
+    * batch 1 the emitted set is exactly the batch inner join of the two
+    * real inputs — which the oracle recomputes from the same staged bytes.
+    * The heartbeats then advance both watermarks past every real event,
+    * driving the state-cleanup path the unbounded deployment relies on.
+    */
+  def runPair(spark: SparkSession, base: String,
+      left: DataFrame, leftHb: (DataFrame, DataFrame),
+      right: DataFrame, rightHb: (DataFrame, DataFrame),
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val basePath = Paths.get(base)
+    deleteRecursively(basePath)
+    val inL = basePath.resolve("in_l")
+    val inR = basePath.resolve("in_r")
+    stageInputs(inL, left, leftHb)
+    stageInputs(inR, right, rightHb)
+    runQuery(spark, basePath,
+      join(source(spark, inL, left.schema), source(spark, inR, right.schema)))
+  }
+
+  private def stageInputs(dir: Path, real: DataFrame,
+      heartbeats: (DataFrame, DataFrame)): Unit = {
     val t0 = System.currentTimeMillis()
-    stageFile(realEvents, inDir, "00_events.parquet", t0 - 30000)
-    stageFile(heartbeats._1, inDir, "01_heartbeat.parquet", t0 - 20000)
-    stageFile(heartbeats._2, inDir, "02_heartbeat.parquet", t0 - 10000)
+    stageFile(real, dir, "00_events.parquet", t0 - 30000)
+    stageFile(heartbeats._1, dir, "01_heartbeat.parquet", t0 - 20000)
+    stageFile(heartbeats._2, dir, "02_heartbeat.parquet", t0 - 10000)
+  }
 
-    val stream = spark.readStream
-      .schema(realEvents.schema)
+  private def source(spark: SparkSession, dir: Path,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(inDir.toString)
+      .parquet(dir.toString)
 
+  private def runQuery(spark: SparkSession, basePath: Path,
+      streamed: => DataFrame): DataFrame = {
     val outPath = basePath.resolve("out").toString
     // Checkpoint I/O is dozens of tiny rename-committed files per run
     // (offset/commit logs + state deltas × batches × partitions) that
@@ -114,7 +150,7 @@ object BoundedStream {
     val prevShuffle = spark.conf.get(shuffleKey)
     spark.conf.set(shuffleKey, "2")
     try {
-      val query = aggregate(stream).writeStream
+      val query = streamed.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckptRoot)
         .trigger(Trigger.AvailableNow())

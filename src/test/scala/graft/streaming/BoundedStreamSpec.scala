@@ -45,4 +45,49 @@ class BoundedStreamSpec extends SparkSpec {
       (ts(60), "view", 1L, 3.0),
       (ts(120), "click", 1L, 4.0)))
   }
+
+  test("stream-stream interval join emits exactly the batch inner join") {
+    // Left: views at t+0, t+40; right: purchases at t+10 (matches view 1
+    // within 30 min), t+45 (matches view 2), t+120 (matches nothing).
+    // User 20's purchase must not match user 10's view.
+    val views = Seq(
+      (1L, 10L, "view", 0.0, ts(0)),
+      (2L, 10L, "view", 0.0, ts(40)),
+      (3L, 20L, "view", 0.0, ts(0)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val purchases = Seq(
+      (4L, 10L, "purchase", 1.0, ts(10)),
+      (5L, 10L, "purchase", 2.0, ts(45)),
+      (6L, 10L, "purchase", 3.0, ts(120)),
+      (7L, 20L, "purchase", 4.0, ts(25)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val hb = (h: Int, id: Long) =>
+      Seq((id, -1L, "_hb", 0.0, ts(150 + h * 60)))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+
+    val out = BoundedStream.runPair(
+      spark, tmpDir("bounded_pair"),
+      views, (hb(10, -1L), hb(20, -2L)),
+      purchases, (hb(10, -3L), hb(20, -4L)),
+      (l, r) => {
+        val lv = l.withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        val rv = r.withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        lv.join(rv,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+      })
+
+    val got = out.select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().sorted
+    // view1(u10)×p@10, view2(u10)×p@45, view3(u20)×p@25 — and p@120 drops.
+    assert(got.toSeq == Seq((10L, 1L, 4L), (10L, 2L, 5L), (20L, 3L, 7L)))
+  }
 }
