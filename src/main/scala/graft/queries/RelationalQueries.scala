@@ -926,7 +926,59 @@ object RelationalQueries {
     order by column_name"""),
     "data profiling: per-column null/distinct/min/max in one pass + unpivot")
 
+  /** Type-2 slowly-changing-dimension merge — the MERGE INTO a warehouse
+    * runs when a dimension update batch lands: changed rows get their
+    * current version closed (valid_to stamped, is_current=false) plus a
+    * new open version; unchanged rows pass through. Built from one
+    * broadcast semi/anti pair + a union: the update batch is deltas —
+    * small by nature — so the 100 TB dimension is never shuffled, only
+    * scanned twice (closed + unchanged legs; one scan with a conditional
+    * explode would trade that for a wider row — not worth it while the
+    * scans stay pruned). The update batch here is derived
+    * deterministically (hash bucket < 20 gets a balance adjustment) so
+    * the merge is hash-verifiable.
+    */
+  val q29 = Q(
+    "q29_scd2_merge",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val bucket = (conv(substring(md5(col("c_custkey").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100)
+      val updates = cust.filter(bucket < 20)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_acctbal"))
+      val d0 = to_date(lit("2024-01-01"))
+      val d1 = to_date(lit("2024-06-01"))
+      val changed = updates.select("c_custkey")
+      val noDate = lit(null).cast("date")
+      val closed = cust.join(broadcast(changed), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"), d0.as("valid_from"),
+          d1.as("valid_to"), lit(false).as("is_current"))
+      val unchanged = cust.join(broadcast(changed), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"), d0.as("valid_from"),
+          noDate.as("valid_to"), lit(true).as("is_current"))
+      val fresh = updates
+        .select(col("c_custkey"), col("new_acctbal").as("c_acctbal"),
+          d1.as("valid_from"), noDate.as("valid_to"), lit(true).as("is_current"))
+      closed.unionByName(unchanged).unionByName(fresh)
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""with upd as (
+      select c_custkey, c_acctbal + 100.0 as new_acctbal
+      from customer
+      where cast(concat('0x', substr(md5(cast(c_custkey as varchar)), 1, 6)) as bigint) % 100 < 20
+    )
+    select c.c_custkey, c.c_acctbal, date '2024-01-01' as valid_from,
+      date '2024-06-01' as valid_to, false as is_current
+    from customer c where exists (select 1 from upd u where u.c_custkey = c.c_custkey)
+    union all
+    select c.c_custkey, c.c_acctbal, date '2024-01-01', null, true
+    from customer c where not exists (select 1 from upd u where u.c_custkey = c.c_custkey)
+    union all
+    select u.c_custkey, u.new_acctbal, date '2024-06-01', null, true from upd u
+    order by c_custkey, valid_from"""),
+    "SCD2 merge: close changed versions, open new ones, broadcast delta batch")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
