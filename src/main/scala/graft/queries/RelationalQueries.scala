@@ -978,7 +978,68 @@ object RelationalQueries {
     order by c_custkey, valid_from"""),
     "SCD2 merge: close changed versions, open new ones, broadcast delta batch")
 
+  /** Table reconciliation: locate where two snapshots of a table diverge
+    * WITHOUT comparing rows — per-bucket order-independent checksums
+    * (bit_xor of a portable row hash), compared bucket-by-bucket. At
+    * 100 TB this is how replicas are audited: each side reduces to
+    * |buckets| rows map-side (xor is commutative — partial aggregation
+    * does almost all the work before the one tiny shuffle), and only
+    * diverging buckets are re-read row-level afterwards. The "replica" is
+    * the same orders table with a deterministic 0.2% balance corruption
+    * so the diff is hash-verifiable; the row hash is md5-derived (engine-
+    * portable) over integer-exact cents — never a stringified double.
+    */
+  val q30 = Q(
+    "q30_table_diff",
+    (s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val corrupt = (conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 1000) < 2
+      val replica = base.withColumn("cents",
+        when(corrupt, col("cents") + 100L).otherwise(col("cents")))
+      def buckets(df: DataFrame) = df
+        .select((col("o_orderkey") % 256).as("bucket"),
+          conv(substring(md5(concat_ws("|",
+            col("o_orderkey").cast("string"), col("cents").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("rh"))
+        .groupBy("bucket")
+        .agg(expr("bit_xor(rh)").as("checksum"), count(lit(1)).as("n_rows"))
+      buckets(base).as("a")
+        .join(buckets(replica).as("b"), Seq("bucket"), "full_outer")
+        .filter(!(col("a.checksum") <=> col("b.checksum")))
+        .select(col("bucket"),
+          col("a.n_rows").as("n_rows_a"), col("b.n_rows").as("n_rows_b"))
+        .orderBy("bucket")
+    },
+    Some("""with base as (
+      select o_orderkey, cast(round(o_totalprice * 100) as bigint) as cents
+      from orders
+    ), replica as (
+      select o_orderkey,
+        case when cast(concat('0x', substr(md5(cast(o_orderkey as varchar)), 1, 6)) as bigint) % 1000 < 2
+          then cents + 100 else cents end as cents
+      from base
+    ), ca as (
+      select o_orderkey % 256 as bucket,
+        bit_xor(cast(concat('0x', substr(md5(concat(cast(o_orderkey as varchar), '|', cast(cents as varchar))), 1, 15)) as bigint)) as checksum,
+        count(*) as n_rows
+      from base group by 1
+    ), cb as (
+      select o_orderkey % 256 as bucket,
+        bit_xor(cast(concat('0x', substr(md5(concat(cast(o_orderkey as varchar), '|', cast(cents as varchar))), 1, 15)) as bigint)) as checksum,
+        count(*) as n_rows
+      from replica group by 1
+    )
+    select coalesce(ca.bucket, cb.bucket) as bucket,
+      ca.n_rows as n_rows_a, cb.n_rows as n_rows_b
+    from ca full outer join cb on ca.bucket = cb.bucket
+    where ca.checksum is distinct from cb.checksum
+    order by bucket"""),
+    "table diff: per-bucket xor checksums locate divergence with a |buckets|-row exchange")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }
