@@ -78,6 +78,19 @@ object ScaleCheck {
       val (tSim, nSim) = time {
         Dedup.simhashNearDuplicates(docs).count()
       }
+      // Incremental dedup: corpus = replica 0, batch = everything else —
+      // at R=10 the batch is 9× the corpus and EVERY batch row is a true
+      // duplicate (replicas share text), the bloom prefilter's worst case:
+      // nothing is proven-new, all rows reach the verify join. Cost must
+      // stay ≈ one corpus pass + one batch-sized join, linear in R.
+      val (tBloom, nNew) = time {
+        val corpus = docs.filter(col("doc_id") < 10000000L)
+          .select(md5(col("text")).as("h"))
+        val batch = docs.filter(col("doc_id") >= 10000000L)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        Dedup.incrementalNew(corpus, batch, "h",
+          expectedItems = nDocs).count()
+      }
       docs.unpersist(blocking = true)
       System.gc()
 
@@ -126,6 +139,7 @@ object ScaleCheck {
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +
         f""""dedup_cluster_s":$tFull%.2f,"clusters":$nClusters,""" +
         f""""simhash_s":$tSim%.2f,"sim_pairs":$nSim,""" +
+        f""""bloom_incr_s":$tBloom%.2f,"new_docs":$nNew,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
         f""""stream_s":$tStream%.2f,"stream_windows":$nWindows}""")
