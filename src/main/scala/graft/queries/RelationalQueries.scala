@@ -1039,7 +1039,50 @@ object RelationalQueries {
     order by bucket"""),
     "table diff: per-bucket xor checksums locate divergence with a |buckets|-row exchange")
 
+  /** Incremental materialized-view maintenance: a per-customer order
+    * rollup kept current by MERGING the stored aggregate with the delta
+    * batch's partial aggregate — never rescanning history. Algebraic
+    * aggregates only (count and an integer-exact cents sum; avg derived
+    * at read time), because algebraic merge is what makes the maintenance
+    * exact: sum/count partials combine associatively, so
+    * merge(agg(old), agg(delta)) ≡ agg(old ∪ delta) — which is precisely
+    * the equivalence the oracle checks by recomputing the rollup from ALL
+    * orders. At 100 TB the "base" leg is a stored MV read, and each
+    * refresh costs one delta scan + a |customers|-row merge. Sums stay in
+    * bigint cents: double partials would merge in a different order than
+    * the oracle's single pass and drift by ulps.
+    */
+  val q31 = Q(
+    "q31_incremental_agg",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val cutoff = lit("1997-01-01").cast("date")
+      def partial(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      val base = partial(orders.filter(col("o_orderdate") < cutoff))
+      val delta = partial(orders.filter(col("o_orderdate") >= cutoff))
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n_orders").as("n_orders"), sum("sum_cents").as("sum_cents"))
+        .withColumn("avg_price",
+          round(col("sum_cents") / (col("n_orders") * 100.0), 6))
+        .orderBy("o_custkey")
+    },
+    Some("""select o_custkey,
+      count(*) as n_orders,
+      cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) as sum_cents,
+      round(sum(cast(round(o_totalprice * 100) as bigint))
+        / (count(*) * 100.0), 6) + 0.0 as avg_price
+    from orders
+    group by o_custkey
+    order by o_custkey"""),
+    "incremental MV maintenance: algebraic partial-agg merge == full recompute")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31)
 }
