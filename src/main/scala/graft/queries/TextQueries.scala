@@ -862,7 +862,108 @@ object TextQueries {
     order by t.source"""),
     "mixture sampling: √mass source weights, integer-exact targets, md5-order selection")
 
+  /** Non-distinct bigram occurrences per document: "w1 w2" strings with
+    * multiplicity, for the count-based LM queries (t22/t23). One generate
+    * per doc, no shuffle.
+    */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+
+  /** Count-based bigram language model — the statistic behind
+    * perplexity-style quality filters: corpus-wide bigram counts and the
+    * conditional probability P(w2|w1) = n(w1 w2) / n(w1 ·). One explode
+    * and one bigram shuffle build the whole model; the conditional
+    * denominator rides a window over the grouped table (rows per w1 =
+    * distinct continuations, not corpus positions), so no second
+    * aggregate-and-join pass. Integer counts; the probability is one
+    * exact division rounded at the output.
+    */
+  val t22 = Q(
+    "t22_bigram_model",
+    (s, dir) => {
+      val counts = bigrams(Tables.documents(s, dir))
+        .select(split(col("bigram"), " ").getItem(0).as("w1"), col("bigram"))
+        .groupBy("w1", "bigram").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("n_w1",
+          sum("n").over(Window.partitionBy("w1")))
+        .withColumn("p_cond", round(col("n") / col("n_w1").cast("double"), 6))
+        .select(col("bigram"), col("n"), col("n_w1").cast("long").as("n_w1"),
+          col("p_cond"))
+        .orderBy("bigram")
+    },
+    Some("""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+      where len(string_split(text, ' ')) >= 2
+    ), bg as (
+      select doc_id, t[i] || ' ' || t[i + 1] as bigram
+      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
+      where i <= len(t) - 1
+    ), counts as (
+      select string_split(bigram, ' ')[1] as w1, bigram, count(*) as n
+      from bg group by 1, 2
+    )
+    select bigram, n,
+      cast(sum(n) over (partition by w1) as bigint) as n_w1,
+      round(n / cast(sum(n) over (partition by w1) as double), 6) + 0.0 as p_cond
+    from counts
+    order by bigram"""),
+    "bigram LM: corpus counts + conditional P(w2|w1) in one shuffle + one window")
+
+  /** Per-document cross-entropy under the corpus bigram model (t22) — the
+    * perplexity-style quality score: mean −ln P(w2|w1) over the document's
+    * bigram occurrences. The model is built and joined in one job; the
+    * join key is the bigram string, so the corpus moves twice (model
+    * build, score join) and nothing is quadratic. Docs scoring near 0 are
+    * the degenerate/repetitive ones (their transitions dominate the
+    * corpus), the same signal real LM-based filters cut on.
+    */
+  val t23 = Q(
+    "t23_cross_entropy",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bg = bigrams(docs)
+      val model = bg
+        .select(split(col("bigram"), " ").getItem(0).as("w1"), col("bigram"))
+        .groupBy("w1", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("p_cond",
+          col("n") / sum("n").over(Window.partitionBy("w1")).cast("double"))
+        .select("bigram", "p_cond")
+      bg.join(model, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(col("p_cond"))), 6).as("cross_entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+      where len(string_split(text, ' ')) >= 2
+    ), bg as (
+      select doc_id, t[i] || ' ' || t[i + 1] as bigram
+      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
+      where i <= len(t) - 1
+    ), counts as (
+      select string_split(bigram, ' ')[1] as w1, bigram, count(*) as n
+      from bg group by 1, 2
+    ), model as (
+      select bigram,
+        n / cast(sum(n) over (partition by w1) as double) as p_cond
+      from counts
+    )
+    select b.doc_id, count(*) as n_bigrams,
+      round(avg(-ln(m.p_cond)), 6) + 0.0 as cross_entropy
+    from bg b join model m on b.bigram = m.bigram
+    group by b.doc_id
+    order by b.doc_id"""),
+    "LM cross-entropy: mean −ln P(w2|w1) per doc under the corpus bigram model")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21)
+      t16, t17, t18, t19, t20, t21, t22, t23)
 }
