@@ -189,6 +189,80 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash per image — the perceptual fingerprint behind
+    * image dedup: decode (real container or raw raster), shrink to 8×8
+    * (nearest-neighbor — scale-invariant detail reduction), threshold each
+    * cell against the integer mean. Bit i is cell (i/8, i%8). All-integer
+    * arithmetic, so the hash is bit-deterministic across engines and runs;
+    * downstream banding/Hamming reuse the [[Dedup]] SimHash machinery —
+    * a perceptual hash IS a simhash as far as the candidate join cares.
+    * One typed mapPartitions pass: payloads never leave the executor.
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { m =>
+        val px = FakeCodec.resize(Codec.decode(m.payload, m.width, m.height), 8, 8)
+        var sum = 0L
+        px.foreach(_.foreach(sum += _))
+        val mean = sum / 64
+        var h = 0L
+        var bit = 0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (px(r)(c) > mean) h |= (1L << bit)
+            bit += 1; c += 1
+          }
+          r += 1
+        }
+        (m.media_id, h)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Synthetic image corpus with PLANTED near-duplicates: each group of 3
+    * ids shares a pseudo-random base raster — member 0 is the base, member
+    * 1 perturbs five pixels (a re-encode/watermark analog), member 2 is an
+    * unrelated raster. The expected detection set is the (3g, 3g+1) pairs;
+    * cross-group hashes are ~32 bits apart (random rasters), far above any
+    * sane Hamming threshold.
+    */
+  def syntheticImages(spark: SparkSession, n: Int, width: Int = 32,
+      height: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val g = i / 3
+      // splitmix64: iid-quality bytes per (seed, pixel), so unrelated
+      // rasters land ~32 bits apart in ahash space — a weaker mix left
+      // whole bit-plane structure shared across seeds and every image
+      // "near-matched" every other.
+      def mix(x0: Long): Long = {
+        var z = x0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def raster(seed: Long) = Array.tabulate(width * height)(j =>
+        (mix(seed * 1048576L + j) & 0xff).toByte)
+      val payload = (i % 3) match {
+        case 0 => raster(g)
+        case 1 =>
+          val p = raster(g)
+          var k = 0
+          while (k < 5) {
+            val idx = ((g * 37 + k * 211) % (width * height)).toInt
+            p(idx) = (p(idx) + 96).toByte
+            k += 1
+          }
+          p
+        case _ => raster(g + 1000000L)
+      }
+      MediaRow(i, "image", payload, width, height, 0, 1)
+    }
+  }
+
   /** Deterministic synthetic media table for tests/demos. */
   def syntheticMedia(spark: SparkSession, n: Int, width: Int = 32,
       height: Int = 32): Dataset[MediaRow] = {

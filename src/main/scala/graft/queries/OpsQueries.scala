@@ -535,8 +535,48 @@ object OpsQueries {
          |order by dominant_freq_hz""".stripMargin),
     "multimodal: PCM16 decode + Welch dominant-freq features (staged) + hash-verified per-tone rollup")
 
+  /** Image near-dup via perceptual hash: decode → 8×8 average-hash →
+    * chunk-banded candidate pairs → Hamming verify — image dedup with the
+    * exact machinery of d2 (a perceptual hash IS a 64-bit fingerprint to
+    * the banded join). The synthetic corpus plants a near-duplicate in
+    * every id-triple (five perturbed pixels — a re-encode analog), so the
+    * expected pairs are known; hashes and candidates are staged and the
+    * oracle recomputes `bit_count(xor)` and the threshold independently.
+    * At 100 TB: one decode pass (payloads never leave executors), one
+    * bounded band shuffle over 8-byte hashes — the payload bytes are
+    * never joined.
+    */
+  val imageNearDup = Q(
+    "m5_image_neardup",
+    (s, dir) => {
+      val sigs = Multimodal.imageHashes(Multimodal.syntheticImages(s, 300))
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+        .persist()
+      Stage.through(sigs, dir, "m5_hashes")
+      val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
+      val staged = Stage.through(pairs, dir, "m5_pairs")
+      sigs.unpersist(blocking = false)
+      staged
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("d1"), col("d2"))
+    },
+    Some(
+      s"""with sigs as (
+         |  select doc_id, simhash from ${Stage.sqlPath("m5_hashes")}
+         |), cand as (
+         |  select d1, d2 from ${Stage.sqlPath("m5_pairs")}
+         |)
+         |select c.d1, c.d2,
+         |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+         |from cand c
+         |join sigs a on a.doc_id = c.d1
+         |join sigs b on b.doc_id = c.d2
+         |where bit_count(xor(a.simhash, b.simhash)) <= 6
+         |order by hamming, d1, d2""".stripMargin),
+    "multimodal: perceptual-hash image near-dup (decode → ahash → banded candidates → hash-verified Hamming)")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, mediaStats,
-      imageFeatures, frameSample, audioFeatures)
+      imageFeatures, frameSample, audioFeatures, imageNearDup)
 }

@@ -262,6 +262,21 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_items")).toMap
     assert(stats == Map("image" -> 6L, "video" -> 3L))
   }
+
+  test("perceptual-hash near-dup finds exactly the planted image pairs") {
+    import org.apache.spark.sql.functions.col
+    val sigs = Multimodal.imageHashes(Multimodal.syntheticImages(spark, 90))
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+    val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
+      .filter(col("hamming") <= 6)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 30 groups of (base, 5-pixel perturbation, unrelated): detection must
+    // be exactly the 30 planted (3g, 3g+1) pairs — full recall, zero false
+    // positives against the unrelated rasters.
+    val planted = (0L until 30L).map(g => (3 * g, 3 * g + 1)).toSet
+    assert(pairs == planted, s"got ${pairs.size} pairs, want 30 planted")
+  }
 }
 
 class SimhashDedupSpec extends graft.SparkSpec {
