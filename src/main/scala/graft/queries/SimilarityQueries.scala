@@ -186,5 +186,124 @@ object SimilarityQueries {
          |order by qid, rn""".stripMargin),
     "similarity: int8 scalar quantization + quantized top-k (staged qvecs, hash-verified rerank)")
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e7)
+  /** Hybrid retrieval: BM25 keyword score over `documents` fused with
+    * cosine similarity over the aligned `embeddings` row (doc i ↔ vec i)
+    * by reciprocal-rank fusion — the retrieval stack of a modern RAG
+    * pipeline as ONE declarative job. Scale shape: the term postings are
+    * a 3-literal filter (tiny — broadcast-joined stats), the corpus is
+    * touched once per modality, and fusion happens on two 50-row ranked
+    * lists. Determinism discipline: every double score is ROUNDED before
+    * ranking (id tie-breaks), and the RRF sum is two exact integer
+    * reciprocals — so the fused ranking cannot flip on a cross-engine
+    * ulp.
+    */
+  val e8 = Q(
+    "e8_hybrid_search",
+    (s, dir) => {
+      val terms = Seq("spark", "join", "window")
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("len"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        (sum("len") / count(lit(1))).as("avg_len"))
+      val tf = docs
+        .select(col("doc_id"), col("len"), explode(col("t")).as("token"))
+        .filter(col("token").isInCollection(terms))
+        .groupBy("doc_id", "len", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val bm25 = tf
+        .join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avg_len"))))
+        .groupBy("doc_id")
+        .agg(round(sum("contrib"), 4).as("bm25"))
+        .withColumn("rank_b", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rank_b") <= 50)
+        .select(col("doc_id").as("id"), col("bm25"), col("rank_b"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), sqrt(norm2(col("embedding"))).as("qn"))
+      val cos = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(dot(col("qe"), col("embedding")) /
+            nullif(col("qn") * sqrt(norm2(col("embedding"))), lit(0.0)), 4)
+            .as("cosine"))
+        .withColumn("rank_v", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank_v") <= 50)
+        .select(col("vec_id").as("id"), col("cosine"), col("rank_v"))
+      bm25.join(cos, Seq("id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("id"))))
+        .filter(col("rank") <= 20)
+        .select(col("id"), col("bm25"), col("cosine"), col("rrf"), col("rank"))
+        .orderBy("rank")
+    },
+    Some("""with docs as (
+      select doc_id, string_split(text, ' ') as t,
+        len(string_split(text, ' ')) as len
+      from documents
+    ), stats as (
+      select count(*) as n_docs, sum(len) / count(*) as avg_len from docs
+    ), tf as (
+      select doc_id, len, token, count(*) as tf
+      from (select doc_id, len, unnest(t) as token from docs) x
+      where token in ('spark', 'join', 'window')
+      group by 1, 2, 3
+    ), dfs as (
+      select token, count(distinct doc_id) as df from tf group by 1
+    ), bm25 as (
+      select doc_id,
+        round(sum(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))),
+          4) + 0.0 as bm25
+      from tf join dfs using (token) cross join stats
+      group by doc_id
+    ), blist as (
+      select doc_id as id, bm25,
+        cast(row_number() over (order by bm25 desc, doc_id) as int) as rank_b
+      from bm25 qualify rank_b <= 50
+    ), qv as (
+      select embedding as qe from embeddings where vec_id = 0
+    ), flat as (
+      select vec_id, unnest(embedding)::double as y,
+        unnest(qe)::double as x
+      from embeddings cross join qv
+    ), dots as (
+      select vec_id, sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+      from flat group by vec_id
+    ), clist as (
+      select vec_id as id,
+        round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cosine,
+        cast(row_number() over (
+          order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+            vec_id) as int) as rank_v
+      from dots qualify rank_v <= 50
+    )
+    , fused as (
+      select coalesce(b.id, c.id) as id, b.bm25, c.cosine,
+        round(coalesce(1.0 / (60 + b.rank_b), 0.0)
+          + coalesce(1.0 / (60 + c.rank_v), 0.0), 6) + 0.0 as rrf
+      from blist b full outer join clist c on b.id = c.id
+    )
+    select id, bm25, cosine, rrf,
+      cast(row_number() over (order by rrf desc, id) as int) as rank
+    from fused
+    qualify rank <= 20
+    order by rank"""),
+    "hybrid retrieval: BM25 + vector cosine fused by reciprocal rank (round-before-rank discipline)")
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8)
 }
