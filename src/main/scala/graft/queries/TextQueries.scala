@@ -963,7 +963,69 @@ object TextQueries {
     order by b.doc_id"""),
     "LM cross-entropy: mean −ln P(w2|w1) per doc under the corpus bigram model")
 
+  /** Containment dedup: documents whose ENTIRE 5-gram set appears inside
+    * another document — the quote/concatenation/superset case Jaccard
+    * misses (a doc embedded in one 10× its size scores j ≈ 0.1 but is
+    * still 100% redundant). Same shingle-blocked machinery as t6; the
+    * containment test is `inter == min(|A|, |B|)`, integer-exact. The
+    * smaller side is oriented as the contained doc (min doc_id on exact
+    * set equality), which is the row a pipeline drops.
+    */
+  val t24 = Q(
+    "t24_containment",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shingled = docs.select(
+        col("doc_id"),
+        explode(graft.expressions.ShingleHashes(toks(col("text")), 5))
+          .as("shingle"))
+      val sizes = shingled.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val pairs = shingled.as("a")
+        .join(shingled.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n_shingles", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n_shingles", "n2"), "d2")
+        .filter(col("inter") === least(col("n1"), col("n2")))
+        .select(
+          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+            .as("contained_doc"),
+          when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+            .as("container_doc"),
+          least(col("n1"), col("n2")).cast("long").as("n_shared_shingles"))
+        .orderBy("contained_doc", "container_doc")
+    },
+    Some("""with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), sub as (
+      select doc_id, t, generate_subscripts(t, 1) as i from toks
+    ), sh as (
+      select distinct doc_id, array_to_string(t[i:i+4], ' ') as shingle
+      from sub where i <= greatest(len(t) - 5, 0) + 1
+    ), sizes as (
+      select doc_id, count(*) as n_shingles from sh group by doc_id
+    ), pairs as (
+      select a.doc_id as d1, b.doc_id as d2, count(*) as inter
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select
+      case when s1.n_shingles <= s2.n_shingles then d1 else d2 end as contained_doc,
+      case when s1.n_shingles <= s2.n_shingles then d2 else d1 end as container_doc,
+      cast(least(s1.n_shingles, s2.n_shingles) as bigint) as n_shared_shingles
+    from pairs
+    join sizes s1 on d1 = s1.doc_id
+    join sizes s2 on d2 = s2.doc_id
+    where inter = least(s1.n_shingles, s2.n_shingles)
+    order by contained_doc, container_doc"""),
+    "containment dedup: full shingle-subset pairs (the redundancy Jaccard misses)")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
