@@ -276,5 +276,59 @@ object StreamQueries {
          |order by v.user_id, view_ts, purchase_ts, view_id, purchase_id""".stripMargin),
     "§2.12: stream-stream interval join (dual watermarks + range state eviction) vs batch oracle")
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5)
+  /** Stream-stream LEFT OUTER join — conversion attribution with
+    * explicit non-conversions: every view either pairs with a purchase in
+    * its 30-minute window or emits a null row once BOTH watermarks prove
+    * no match can still arrive. The two hard semantics this pins down:
+    * (1) outer nulls are emitted by the EVICTION phase, which an
+    * empty-input batch skips — so the heartbeats must flow INTO the join
+    * (they can never match; the output filters them) rather than be
+    * filtered before it; (2) the eviction-and-emit batch must START with
+    * the watermark past expiry, needing one more batch than the inner
+    * join — hence three heartbeats. The oracle is the batch LEFT JOIN
+    * over the staged real inputs (heartbeats live in separate files).
+    */
+  val s6 = Q(
+    "s6_stream_outer_join",
+    (s, dir) => {
+      val ev = eventsWithTimestamp(s, dir)
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      def hb(hours: Int, id: Long) = heartbeat(s, maxTs, hours, id)
+      BoundedStream.runPairHb(s, s"${Stage.dir(dir)}/s6_stream",
+        ev.filter(col("event_type") === "view"),
+        Seq(hb(10, -1L), hb(20, -2L), hb(30, -5L)),
+        ev.filter(col("event_type") === "purchase"),
+        Seq(hb(10, -3L), hb(20, -4L), hb(30, -6L)),
+        (l, r) => {
+          val lv = l.withWatermark("ts", "1 hour")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"), col("event_type").as("l_type"))
+          val rv = r.withWatermark("ts", "1 hour")
+            .select(col("user_id").as("p_user"),
+              col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          lv.join(rv,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("view_ts") &&
+              col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+            "left_outer")
+            .select(col("user_id"), col("view_id"), col("purchase_id"),
+              col("l_type"))
+        })
+        .filter(col("l_type") =!= HbType)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("purchase_id").isNotNull.as("converted"))
+        .orderBy(col("user_id"), col("view_id"),
+          col("purchase_id").asc_nulls_first)
+    },
+    Some(
+      s"""select v.user_id, v.event_id as view_id, p.event_id as purchase_id,
+         |  p.event_id is not null as converted
+         |from '${Stage.Placeholder}/s6_stream/in_l/00_events.parquet' v
+         |left join '${Stage.Placeholder}/s6_stream/in_r/00_events.parquet' p
+         |  on v.user_id = p.user_id
+         | and p.ts >= v.ts and p.ts <= v.ts + interval '30 minutes'
+         |order by v.user_id, view_id, purchase_id asc nulls first""".stripMargin),
+    "§2.12: stream-stream LEFT OUTER join (watermark-proven non-matches) vs batch oracle")
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6)
 }

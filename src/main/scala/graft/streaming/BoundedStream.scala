@@ -86,7 +86,7 @@ object BoundedStream {
     val basePath = Paths.get(base)
     deleteRecursively(basePath)
     val inDir = basePath.resolve("in")
-    stageInputs(inDir, realEvents, heartbeats)
+    stageInputs(inDir, realEvents, Seq(heartbeats._1, heartbeats._2))
     runQuery(spark, basePath,
       aggregate(source(spark, inDir, realEvents.schema)))
   }
@@ -101,9 +101,16 @@ object BoundedStream {
     * The heartbeats then advance both watermarks past every real event,
     * driving the state-cleanup path the unbounded deployment relies on.
     */
-  def runPair(spark: SparkSession, base: String,
-      left: DataFrame, leftHb: (DataFrame, DataFrame),
-      right: DataFrame, rightHb: (DataFrame, DataFrame),
+  /** As [[runPair]] but with an explicit heartbeat LIST per side — outer
+    * stream-stream joins need one more batch than inner ones: a null row
+    * emits in the batch that EVICTS its state, which must START with both
+    * watermarks already past the row's expiry, so the eviction-and-emit
+    * batch has to be a batch AFTER the one whose heartbeat advanced the
+    * watermark. Three heartbeats give that trailing batch deterministically.
+    */
+  def runPairHb(spark: SparkSession, base: String,
+      left: DataFrame, leftHb: Seq[DataFrame],
+      right: DataFrame, rightHb: Seq[DataFrame],
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val basePath = Paths.get(base)
     deleteRecursively(basePath)
@@ -115,12 +122,21 @@ object BoundedStream {
       join(source(spark, inL, left.schema), source(spark, inR, right.schema)))
   }
 
+  def runPair(spark: SparkSession, base: String,
+      left: DataFrame, leftHb: (DataFrame, DataFrame),
+      right: DataFrame, rightHb: (DataFrame, DataFrame),
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    runPairHb(spark, base, left, Seq(leftHb._1, leftHb._2),
+      right, Seq(rightHb._1, rightHb._2), join)
+
   private def stageInputs(dir: Path, real: DataFrame,
-      heartbeats: (DataFrame, DataFrame)): Unit = {
+      heartbeats: Seq[DataFrame]): Unit = {
     val t0 = System.currentTimeMillis()
     stageFile(real, dir, "00_events.parquet", t0 - 30000)
-    stageFile(heartbeats._1, dir, "01_heartbeat.parquet", t0 - 20000)
-    stageFile(heartbeats._2, dir, "02_heartbeat.parquet", t0 - 10000)
+    heartbeats.zipWithIndex.foreach { case (hb, i) =>
+      stageFile(hb, dir, f"${i + 1}%02d_heartbeat.parquet",
+        t0 - 20000 + i * 5000)
+    }
   }
 
   private def source(spark: SparkSession, dir: Path,
@@ -154,7 +170,9 @@ object BoundedStream {
         .outputMode("append")
         .option("checkpointLocation", ckptRoot)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+            System.err.println(s"[stream] batch $id rows=${batch.count()}")
           batch.write.mode("append").parquet(outPath)
         }
         .start()

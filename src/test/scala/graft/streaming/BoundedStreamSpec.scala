@@ -90,4 +90,54 @@ class BoundedStreamSpec extends SparkSpec {
     // view1(u10)×p@10, view2(u10)×p@45, view3(u20)×p@25 — and p@120 drops.
     assert(got.toSeq == Seq((10L, 1L, 4L), (10L, 2L, 5L), (20L, 3L, 7L)))
   }
+
+  test("stream-stream LEFT OUTER join emits null rows once the watermark expires state") {
+    // Views 1 and 3 match purchases; view 8 (user 30) never matches — its
+    // null row may only emit after BOTH watermarks pass its join-state
+    // expiry, which the heartbeats drive deterministically.
+    val views = Seq(
+      (1L, 10L, "view", 0.0, ts(0)),
+      (3L, 20L, "view", 0.0, ts(5)),
+      (8L, 30L, "view", 0.0, ts(10)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val purchases = Seq(
+      (4L, 10L, "purchase", 1.0, ts(10)),
+      (7L, 20L, "purchase", 4.0, ts(25)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val hb = (h: Int, id: Long) =>
+      Seq((id, -1L, "_hb", 0.0, ts(150 + h * 60)))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+
+    val out = BoundedStream.runPairHb(
+      spark, tmpDir("bounded_pair_outer"),
+      views, Seq(hb(10, -1L), hb(20, -2L), hb(30, -5L)),
+      purchases, Seq(hb(10, -3L), hb(20, -4L), hb(30, -6L)),
+      (l, r) => {
+        // Sentinels flow INTO the join (they can never match — negative
+        // user ids differ per side) and are filtered at the output: an
+        // empty-input batch skips the join's eviction phase, so the
+        // watermark-advancing rows must reach the operator for the outer
+        // nulls to flush.
+        val lv = l.withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"), col("event_type").as("l_type"))
+        val rv = r.withWatermark("ts", "10 minutes")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        lv.join(rv,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            col("l_type"))
+      })
+
+    val got = out.filter(col("l_type") =!= "_hb")
+      .select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (10L, 1L, Some(4L)), (20L, 3L, Some(7L)), (30L, 8L, None)),
+      s"got ${got.toSeq}")
+  }
 }
