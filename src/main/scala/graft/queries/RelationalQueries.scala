@@ -1081,8 +1081,55 @@ object RelationalQueries {
     order by o_custkey"""),
     "incremental MV maintenance: algebraic partial-agg merge == full recompute")
 
+  /** Triangle counting on the frequent-co-purchase graph — the graph
+    * analytics shape (market-basket edges → wedge join → closing join)
+    * that stresses join explosion control. The support threshold
+    * (co-occurrence in ≥2 orders) is the load-bearing scale decision:
+    * random one-off co-occurrence makes the raw graph near-complete (49M
+    * wedges at sf0.1, and degree-orientation barely helps on a
+    * near-regular graph), while support pruning collapses it 5000× before
+    * any quadratic step — prune-first beats clever-join-order here.
+    * Wedges are rooted at the smallest-id endpoint so each triangle is
+    * counted exactly once. All counts integer-exact.
+    */
+  val q32 = Q(
+    "q32_triangle_count",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val e = li.join(li.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("l_partkey").as("u"), col("p2").as("v"))
+        .persist()
+      val wedges = e.join(e.select(col("u"), col("v").as("c")), Seq("u"))
+        .filter(col("v") < col("c"))
+      val closed = wedges.join(
+        e.select(col("u").as("v"), col("v").as("c")), Seq("v", "c"))
+      val out = e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      out
+    },
+    Some("""with e as (
+      select a.l_partkey as u, b.l_partkey as v
+      from lineitem a join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by 1, 2 having count(*) >= 2
+    ), w as (
+      select e1.u as a, e1.v as b, e2.v as c
+      from e e1 join e e2 on e1.u = e2.u and e1.v < e2.v
+    ), t as (
+      select 1 from w join e on w.b = e.u and w.c = e.v
+    )
+    select (select count(*) from e) as n_edges,
+           (select count(*) from w) as n_wedges,
+           (select count(*) from t) as n_triangles"""),
+    "triangle count: support-pruned co-purchase graph, wedge + closing joins")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31)
+    q31, q32)
 }
