@@ -1025,7 +1025,113 @@ object TextQueries {
     order by contained_doc, container_doc"""),
     "containment dedup: full shingle-subset pairs (the redundancy Jaccard misses)")
 
+  /** Sequence packing: concatenate documents in id order within each source
+    * shard and assign each doc to the fixed-token-budget training sequence
+    * where it starts (the standard pack-then-chop batching step before LLM
+    * training). Packing is per-`source` on purpose: a single global running
+    * sum would serialize through one partition, while per-shard packing is
+    * embarrassingly parallel — at 100 TB each input shard packs
+    * independently and `seq_id` is (shard, local offset / budget). The
+    * within-shard running sum is one window over the shard's doc order.
+    */
+  val t25 = Q(
+    "t25_sequence_packing",
+    (s, dir) => {
+      val budget = 512.0
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(
+          col("source"),
+          col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("prev_cum", sum("n_tok").over(w) - col("n_tok"))
+        .withColumn("seq_id", floor(col("prev_cum") / lit(budget)).cast("long"))
+        .groupBy("source", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("seq_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("source", "seq_id")
+    },
+    Some("""with t as (
+      select source, doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tok
+      from documents
+    ), c as (
+      select source, doc_id, n_tok,
+        sum(n_tok) over (partition by source order by doc_id
+          rows between unbounded preceding and current row) - n_tok as prev_cum
+      from t
+    )
+    select source, cast(floor(prev_cum / 512.0) as bigint) as seq_id,
+      count(*) as n_docs,
+      sum(n_tok) as seq_tokens,
+      min(doc_id) as first_doc,
+      max(doc_id) as last_doc
+    from c group by 1, 2
+    order by source, seq_id"""),
+    "sequence packing: per-shard token-budget bins for LLM batch assembly")
+
+  /** Repetition statistics (Gopher-style repetition filters, Rae et al.
+    * 2021 §A1.1): per-doc distinct-token ratio and most-frequent-token mass,
+    * plus the keep/drop verdict. Two shuffles total — (doc, tok) count then
+    * doc-level rollup — and the top-token tie is broken lexicographically
+    * (max tok among max counts) so the answer is order-independent and
+    * hash-verifiable cross-engine.
+    */
+  val t26 = Q(
+    "t26_repetition_stats",
+    (s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("n"))
+      val agg = cnt.groupBy("doc_id").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("n").as("top_n"))
+      val top = cnt.join(agg, Seq("doc_id"))
+        .where(col("n") === col("top_n"))
+        .groupBy("doc_id")
+        .agg(max("tok").as("top_tok"))
+      val dr = col("n_distinct").cast("double") / col("n_tokens")
+      val tr = col("top_n").cast("double") / col("n_tokens")
+      agg.join(top, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_distinct"),
+          round(dr, 6).as("distinct_ratio"),
+          col("top_tok"),
+          round(tr, 6).as("top_tok_ratio"),
+          (dr >= 0.2 && tr <= 0.2).as("keep_doc"))
+        .orderBy("doc_id")
+    },
+    Some("""with w as (
+      select doc_id, unnest(string_split(text, ' ')) as tok from documents
+    ), cnt as (
+      select doc_id, tok, count(*) as n from w group by 1, 2
+    ), agg as (
+      select doc_id, cast(sum(n) as bigint) as n_tokens,
+        count(*) as n_distinct, max(n) as top_n
+      from cnt group by 1
+    ), top as (
+      select c.doc_id, max(c.tok) as top_tok
+      from cnt c join agg a on c.doc_id = a.doc_id and c.n = a.top_n
+      group by 1
+    )
+    select a.doc_id, a.n_tokens, a.n_distinct,
+      round(a.n_distinct / cast(a.n_tokens as double), 6) + 0.0 as distinct_ratio,
+      t.top_tok,
+      round(a.top_n / cast(a.n_tokens as double), 6) + 0.0 as top_tok_ratio,
+      (a.n_distinct / cast(a.n_tokens as double) >= 0.2
+        and a.top_n / cast(a.n_tokens as double) <= 0.2) as keep_doc
+    from agg a join top t on a.doc_id = t.doc_id
+    order by a.doc_id"""),
+    "repetition filter: distinct-token ratio + top-token mass, Gopher-style")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }
