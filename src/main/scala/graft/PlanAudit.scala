@@ -68,7 +68,30 @@ object PlanAudit {
         f"smj=${f.smj} bnlj=${f.bnlj} pushedFilters=${f.pushedFilters} " +
         f"codegenSpans=${f.codegenSpans}")
     }
+    if (names.isEmpty || names("q33_round")) {
+      val f = fingerprint(pagerankRound(spark))
+      println(f"q33_round                    exch=${f.exchanges} bhj=${f.bhj} " +
+        f"smj=${f.smj} bnlj=${f.bnlj} pushedFilters=${f.pushedFilters} " +
+        f"codegenSpans=${f.codegenSpans}")
+    }
     spark.stop()
+  }
+
+  /** One BSP PageRank round over checkpoint-backed ranks and a persisted
+    * degree-annotated edge list — the recurring unit of the q33 loop (the
+    * whole-query fingerprint's exchange count mostly reprints the cached
+    * edges subtree once per iteration reference; THIS is what each round
+    * actually executes).
+    */
+  def pagerankRound(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val withDeg = Seq((1L, 2L, 2.0), (2L, 1L, 1.0), (1L, 3L, 2.0),
+        (3L, 1L, 1.0)).toDF("u", "v", "d")
+      .localCheckpoint(true)
+    val ranks = Seq((1L, 0.4), (2L, 0.3), (3L, 0.3)).toDF("node", "pr")
+      .localCheckpoint(true)
+    graft.ops.Graphs.pagerankRound(ranks, withDeg, n = 3.0, d = 0.85)
   }
 
   /** One connected-components propagation round over checkpoint-backed

@@ -110,6 +110,28 @@ object ScaleCheck {
       }
       emb.unpersist(blocking = true)
 
+      // Graph scaling: offset BOTH orderkey and partkey per replica, so the
+      // replicated lineitem forms R disjoint copies of the same co-purchase
+      // graph — edges/wedges/triangles grow exactly R×, and any
+      // super-linearity in the timing is the algorithm, not the data.
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey")
+        .crossJoin(spark.range(r).select(col("id").as("__rep")))
+        .select(
+          (col("l_orderkey") + col("__rep") * 100000000L).as("l_orderkey"),
+          (col("l_partkey") + col("__rep") * 10000000L).as("l_partkey"))
+      val (tGraph, nTri) = time {
+        val e = graft.ops.Graphs.coPurchaseEdges(li, minSupport = 2).persist()
+        val tri = graft.ops.Graphs.triangleStats(e)
+          .head.getAs[Long]("n_triangles")
+        e.unpersist(blocking = true)
+        tri
+      }
+      val (tPr, nNodes) = time {
+        val e = graft.ops.Graphs.coPurchaseEdges(li, minSupport = 2)
+        graft.ops.Graphs.pagerank(e, iters = 3, d = 0.85).count()
+      }
+
       // Streaming scaling: replicas share timestamps, so the data volume
       // grows R× while the window-state size stays CONSTANT — exactly the
       // property (state bounded by watermark, not input) that makes the
@@ -142,6 +164,8 @@ object ScaleCheck {
         f""""bloom_incr_s":$tBloom%.2f,"new_docs":$nNew,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
+        f""""graph_tri_s":$tGraph%.2f,"triangles":$nTri,""" +
+        f""""pagerank_s":$tPr%.2f,"pr_nodes":$nNodes,""" +
         f""""stream_s":$tStream%.2f,"stream_windows":$nWindows}""")
     }
     spark.stop()

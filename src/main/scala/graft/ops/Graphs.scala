@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over item co-occurrence (reference analog: none — this
+  * is north-star territory; the graph is the co-purchase relation the
+  * dedup-cluster machinery in [[Components]] doesn't cover).
+  *
+  * Scale shape: `coPurchaseEdges` prunes FIRST (support >= minSupport
+  * collapses a near-complete co-occurrence graph orders of magnitude
+  * before any quadratic step); `triangleStats` roots every wedge at its
+  * smallest endpoint so each triangle is counted exactly once; `pagerank`
+  * is the canonical BSP join-reaggregate with a FIXED iteration count, so
+  * lineage stays bounded without checkpointing (the unbounded-iteration
+  * pattern with lineage truncation lives in [[Components]]). The only
+  * driver-side value anywhere is pagerank's node count — one scalar.
+  */
+object Graphs {
+
+  /** Undirected support-pruned co-purchase edges (u < v) from a lineitem
+    * projection (`l_orderkey`, `l_partkey`): parts co-occurring in at
+    * least `minSupport` distinct orders.
+    */
+  def coPurchaseEdges(li: DataFrame, minSupport: Int): DataFrame = {
+    val p = li.select("l_orderkey", "l_partkey")
+    p.join(p.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("l_partkey").as("u"), col("p2").as("v"))
+  }
+
+  /** One row: n_edges, n_wedges, n_triangles for an oriented (u < v) edge
+    * list. Wedges are rooted at the smallest endpoint, so the closing join
+    * touches each triangle exactly once.
+    */
+  def triangleStats(e: DataFrame): DataFrame = {
+    val wedges = e.join(e.select(col("u"), col("v").as("c")), Seq("u"))
+      .filter(col("v") < col("c"))
+    val closed = wedges.join(
+      e.select(col("u").as("v"), col("v").as("c")), Seq("v", "c"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** PageRank over the symmetrization of an oriented edge list, `iters`
+    * fixed BSP iterations at damping `d`. The symmetrized graph has no
+    * dangling nodes (every node has degree >= 1), so no dangling-mass
+    * term is needed and total rank mass stays exactly 1 per iteration.
+    * Returns (node, pr) unrounded — callers round at the output edge.
+    */
+  def pagerank(e0: DataFrame, iters: Int, d: Double): DataFrame = {
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).cast("double").as("d"))
+    val withDeg = edges.join(deg, "u").persist()
+    val n = withDeg.select(countDistinct(col("u"))).head().getLong(0).toDouble
+    var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) ranks = pagerankRound(ranks, withDeg, n, d)
+    ranks
+  }
+
+  /** One BSP PageRank round — the recurring unit of [[pagerank]]: scatter
+    * rank/degree along out-edges, gather by destination, apply damping.
+    * One shuffle (the gather aggregate); the edges side is persisted by the
+    * caller so each round pays exactly this plan. Audited as `q33_round` in
+    * `PlanAudit` (whole-query fingerprints of iterative operators count the
+    * printed cached-subtree references, not the recurring execution cost).
+    */
+  def pagerankRound(ranks: DataFrame, withDeg: DataFrame, n: Double,
+      d: Double): DataFrame =
+    ranks
+      .join(withDeg, ranks("node") === withDeg("u"))
+      .select(col("v").as("node"), (col("pr") / col("d")).as("c"))
+      .groupBy("node")
+      .agg(sum("c").as("m"))
+      .select(col("node"), (lit((1.0 - d) / n) + lit(d) * col("m")).as("pr"))
+}

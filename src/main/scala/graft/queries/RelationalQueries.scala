@@ -1095,22 +1095,10 @@ object RelationalQueries {
   val q32 = Q(
     "q32_triangle_count",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      val e = li.join(li.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
-        .filter(col("l_partkey") < col("p2"))
-        .groupBy(col("l_partkey"), col("p2"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("l_partkey").as("u"), col("p2").as("v"))
+      val e = graft.ops.Graphs
+        .coPurchaseEdges(Tables.lineitem(s, dir), minSupport = 2)
         .persist()
-      val wedges = e.join(e.select(col("u"), col("v").as("c")), Seq("u"))
-        .filter(col("v") < col("c"))
-      val closed = wedges.join(
-        e.select(col("u").as("v"), col("v").as("c")), Seq("v", "c"))
-      val out = e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
-      out
+      graft.ops.Graphs.triangleStats(e)
     },
     Some("""with e as (
       select a.l_partkey as u, b.l_partkey as v
@@ -1128,8 +1116,68 @@ object RelationalQueries {
            (select count(*) from t) as n_triangles"""),
     "triangle count: support-pruned co-purchase graph, wedge + closing joins")
 
+  /** PageRank (3 fixed iterations, d=0.85) over the same support-pruned
+    * co-purchase graph as q32, symmetrized. Each iteration is one
+    * join-and-reaggregate on the edge list — the canonical BSP step that
+    * scales by partitioning on node id; with a fixed iteration count the
+    * lineage stays bounded (the unbounded-iteration variant with lineage
+    * truncation lives in `ops.Components`). The graph has no dangling
+    * nodes by construction (symmetrized, every node has degree >= 1), so
+    * no dangling-mass redistribution term is needed. The only driver-side
+    * value is the node count — a single scalar. Oracle: the same three
+    * iterations unrolled as chained CTEs; only the final rank is rounded.
+    */
+  val q33 = Q(
+    "q33_pagerank",
+    (s, dir) => {
+      val e0 = graft.ops.Graphs
+        .coPurchaseEdges(Tables.lineitem(s, dir), minSupport = 2)
+      graft.ops.Graphs.pagerank(e0, iters = 3, d = 0.85)
+        .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    },
+    Some("""with e0 as (
+      select a.l_partkey as u, b.l_partkey as v
+      from lineitem a join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by 1, 2 having count(*) >= 2
+    ), edges as (
+      select u, v from e0 union all select v, u from e0
+    ), deg as (
+      select u, cast(count(*) as double) as d from edges group by 1
+    ), nn as (
+      select cast(count(*) as double) as n from deg
+    ), r0 as (
+      select u as node, cast(1.0 as double) / nn.n as pr from deg, nn
+    ), c1 as (
+      select e.v as node, sum(r.pr / d.d) as m
+      from r0 r join deg d on d.u = r.node join edges e on e.u = r.node
+      group by 1
+    ), r1 as (
+      select node, (cast(1.0 as double) - cast(0.85 as double)) / nn.n
+        + cast(0.85 as double) * m as pr
+      from c1, nn
+    ), c2 as (
+      select e.v as node, sum(r.pr / d.d) as m
+      from r1 r join deg d on d.u = r.node join edges e on e.u = r.node
+      group by 1
+    ), r2 as (
+      select node, (cast(1.0 as double) - cast(0.85 as double)) / nn.n
+        + cast(0.85 as double) * m as pr
+      from c2, nn
+    ), c3 as (
+      select e.v as node, sum(r.pr / d.d) as m
+      from r2 r join deg d on d.u = r.node join edges e on e.u = r.node
+      group by 1
+    ), r3 as (
+      select node, (cast(1.0 as double) - cast(0.85 as double)) / nn.n
+        + cast(0.85 as double) * m as pr
+      from c3, nn
+    )
+    select node, round(pr, 6) + 0.0 as pr from r3 order by node"""),
+    "pagerank: 3 BSP iterations over the support-pruned co-purchase graph")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32)
+    q31, q32, q33)
 }

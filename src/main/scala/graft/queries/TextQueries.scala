@@ -1025,60 +1025,13 @@ object TextQueries {
     order by contained_doc, container_doc"""),
     "containment dedup: full shingle-subset pairs (the redundancy Jaccard misses)")
 
-  /** Sequence packing: concatenate documents in id order within each source
-    * shard and assign each doc to the fixed-token-budget training sequence
-    * where it starts (the standard pack-then-chop batching step before LLM
-    * training). Packing is per-`source` on purpose: a single global running
-    * sum would serialize through one partition, while per-shard packing is
-    * embarrassingly parallel — at 100 TB each input shard packs
-    * independently and `seq_id` is (shard, local offset / budget). The
-    * within-shard running sum is one window over the shard's doc order.
-    */
-  val t25 = Q(
-    "t25_sequence_packing",
-    (s, dir) => {
-      val budget = 512.0
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(
-          col("source"),
-          col("doc_id"),
-          size(toks(col("text"))).cast("long").as("n_tok"))
-        .withColumn("prev_cum", sum("n_tok").over(w) - col("n_tok"))
-        .withColumn("seq_id", floor(col("prev_cum") / lit(budget)).cast("long"))
-        .groupBy("source", "seq_id")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_tok").as("seq_tokens"),
-          min("doc_id").as("first_doc"),
-          max("doc_id").as("last_doc"))
-        .orderBy("source", "seq_id")
-    },
-    Some("""with t as (
-      select source, doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tok
-      from documents
-    ), c as (
-      select source, doc_id, n_tok,
-        sum(n_tok) over (partition by source order by doc_id
-          rows between unbounded preceding and current row) - n_tok as prev_cum
-      from t
-    )
-    select source, cast(floor(prev_cum / 512.0) as bigint) as seq_id,
-      count(*) as n_docs,
-      sum(n_tok) as seq_tokens,
-      min(doc_id) as first_doc,
-      max(doc_id) as last_doc
-    from c group by 1, 2
-    order by source, seq_id"""),
-    "sequence packing: per-shard token-budget bins for LLM batch assembly")
-
-  /** Repetition statistics (Gopher-style repetition filters, Rae et al.
-    * 2021 §A1.1): per-doc distinct-token ratio and most-frequent-token mass,
-    * plus the keep/drop verdict. Two shuffles total — (doc, tok) count then
-    * doc-level rollup — and the top-token tie is broken lexicographically
-    * (max tok among max counts) so the answer is order-independent and
-    * hash-verifiable cross-engine.
+  /** Repetition statistics at the TOKEN level (Gopher-style word-frequency
+    * filters, Rae et al. 2021 §A1.1) — complements [[t16]]'s 3-gram novelty
+    * ratio with the other rule family: distinct-token ratio and
+    * most-frequent-token mass, plus the composed keep/drop verdict. Two
+    * shuffles total — (doc, tok) count then doc-level rollup — and the
+    * top-token tie is broken lexicographically (max tok among max counts)
+    * so the answer is order-independent and hash-verifiable cross-engine.
     */
   val t26 = Q(
     "t26_repetition_stats",
@@ -1133,5 +1086,5 @@ object TextQueries {
 
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26)
 }

@@ -2,39 +2,29 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Invariants for t25 sequence packing and t26 repetition stats that the
-  * hash oracle can't express: conservation (every doc lands in exactly one
-  * sequence, token mass is preserved) and per-shard bin contiguity.
+/** Invariants for t17 sequence packing and t26 repetition stats that the
+  * hash oracle can't express: packing conservation/contiguity and a
+  * from-scratch hand check of the repetition rule on one document.
   */
 class TextPackingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("t25 packing conserves docs and tokens and bins are contiguous per source") {
-    val packed = Registry.byName("t25_sequence_packing").run(spark, dir).cache()
-    val docs = Tables.documents(spark, dir)
-      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
-      .head()
+  test("t17 packing covers every doc once with contiguous in-bin positions") {
+    val packed = Registry.byName("t17_seq_packing").run(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(packed.count() == nDocs)
+    assert(packed.select("doc_id").distinct().count() == nDocs)
 
-    val totals = packed.agg(sum("n_docs"), sum("seq_tokens")).head()
-    assert(totals.getLong(0) == docs.getAs[Long]("n_docs"))
-    assert(totals.getLong(1) == docs.getAs[Long]("n_tok"))
-
-    // Within each source, seq ids start at 0 and are gap-free: docs are
-    // assigned to the bin where their running offset starts, and a bin is
-    // only skipped if a single doc spans >budget tokens — then the next
-    // doc's bin still equals floor(prev_cum/budget), so gaps can only
-    // follow oversized docs. Check the common case: max one gap per jump.
-    val perSource = packed.groupBy("source")
-      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"),
+    // bin ids start at 0 per lang; bin_pos is 1..k gap-free inside a bin.
+    val badBins = packed.groupBy("lang", "bin_id")
+      .agg(min("bin_pos").as("lo"), max("bin_pos").as("hi"),
         count(lit(1)).as("n"))
-      .collect()
-    perSource.foreach { r =>
-      assert(r.getAs[Long]("lo") == 0L, s"source ${r.getString(0)} min seq_id")
-      assert(r.getAs[Long]("hi") < r.getAs[Long]("n") + docs.getAs[Long]("n_docs"),
-        "seq ids bounded")
-    }
+      .where(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(badBins.isEmpty, "in-bin positions are 1..n")
+    val firstBins = packed.groupBy("lang").agg(min("bin_id").as("b0"))
+      .where(col("b0") =!= 0)
+    assert(firstBins.isEmpty, "every lang starts at bin 0")
   }
 
   test("t26 repetition stats match a hand check on one document") {
