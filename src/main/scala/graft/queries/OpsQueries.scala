@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Stage, Tables}
@@ -575,8 +576,81 @@ object OpsQueries {
          |order by hamming, d1, d2""".stripMargin),
     "multimodal: perceptual-hash image near-dup (decode → ahash → banded candidates → hash-verified Hamming)")
 
+  /** Semantic dedup scoring (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings into IVF cells, then for every
+    * vector find its nearest neighbor WITHIN its cell and flag it a
+    * duplicate when the cosine crosses the threshold — the quadratic step
+    * is confined to one cell, so at corpus scale nCells grows with n and
+    * the per-cell work stays bounded (the whole point of the recipe). One
+    * cell-keyed shuffle + one per-vector window; the cell assignment
+    * (kmeans, spec-verified in OpsSpec) is staged, and the oracle
+    * recomputes pairing, cosines, argmax, and verdicts from the staged
+    * cells independently. Ranking uses the ROUNDED cosine (ties broken by
+    * neighbor id) so the argmax can't flip on cross-engine summation-order
+    * ulps — same discipline as e5/e6. Singleton-cell vectors keep null
+    * neighbors and are never duplicates. The synthetic embeddings top out
+    * at cosine ~0.51, so every verdict here is false — the VALUES under
+    * test are the per-vector nearest-neighbor scores.
+    */
+  val semanticDedup = Q(
+    "d6_semantic_dedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val seeds = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val centroids = Similarity.kmeansStep(emb, "embedding",
+        Similarity.kmeansStep(emb, "embedding", seeds))
+      val cells = Stage.through(
+        Similarity.ivfAssign(emb, "embedding", centroids)
+          .select(col("vec_id"), col("cell")),
+        dir, "d6_cells")
+      val v = cells.join(emb, "vec_id")
+      val pairs = v.as("a").join(v.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+          graft.Norm.rz(
+            Similarity.cosine(col("a.embedding"), col("b.embedding")), 4)
+            .as("nn_cos"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("nn_cos").desc, col("nn_id"))
+      val best = pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      cells.select("vec_id").join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("nn_id"), col("nn_cos"),
+          coalesce(col("nn_cos") >= 0.95, lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""with cells as (
+         |  select vec_id, cell from ${Stage.sqlPath("d6_cells")}
+         |), v as (
+         |  select c.vec_id, c.cell, e.embedding
+         |  from cells c join embeddings e on e.vec_id = c.vec_id
+         |), f as (
+         |  select a.vec_id as vec_id, b.vec_id as nn_id,
+         |    unnest(a.embedding)::double as x, unnest(b.embedding)::double as y
+         |  from v a join v b on a.cell = b.cell and a.vec_id <> b.vec_id
+         |), d as (
+         |  select vec_id, nn_id,
+         |    round(sum(x * y) / nullif(sqrt(sum(x * x)) * sqrt(sum(y * y)), 0), 4)
+         |      + 0.0 as nn_cos
+         |  from f group by vec_id, nn_id
+         |), best as (
+         |  select vec_id, nn_id, nn_cos from (
+         |    select vec_id, nn_id, nn_cos,
+         |      row_number() over (partition by vec_id
+         |        order by nn_cos desc, nn_id) as rk
+         |    from d) t
+         |  where rk = 1
+         |)
+         |select c.vec_id, b.nn_id, b.nn_cos,
+         |  coalesce(b.nn_cos >= 0.95, false) as is_dup
+         |from cells c left join best b on b.vec_id = c.vec_id
+         |order by c.vec_id""".stripMargin),
+    "semantic dedup: IVF-cell nearest-neighbor cosine + duplicate verdict (SemDeDup)")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, mediaStats,
-      imageFeatures, frameSample, audioFeatures, imageNearDup)
+      imageFeatures, frameSample, audioFeatures, imageNearDup, semanticDedup)
 }

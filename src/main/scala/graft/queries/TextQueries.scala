@@ -1084,7 +1084,54 @@ object TextQueries {
     order by a.doc_id"""),
     "repetition filter: distinct-token ratio + top-token mass, Gopher-style")
 
+  /** Lexicon-based masking — the C4 "bad words" filtering step (Raffel et
+    * al. 2020 §2.2 use a public blocklist; here a stand-in lexicon that
+    * actually occurs in the synthetic corpus): mask every blocklisted
+    * token, count hits, and keep documents whose hit ratio stays under 5%.
+    * The verdict uses integer math (`n_hits * 20 <= n_tok`) so membership
+    * can't flip on a double ulp, and the masked text itself is verified by
+    * md5 — catching masking bugs the counts alone would miss. Zero-shuffle
+    * projection over the corpus (the blocklist is a compile-time literal
+    * in the codegen'd predicate; a large lexicon would broadcast-join);
+    * only the output sort moves data.
+    */
+  val t27 = Q(
+    "t27_blocklist_mask",
+    (s, dir) => {
+      val blocked = Seq("customer", "vector", "stream", "spark")
+      val hit = (t: Column) => t.isInCollection(blocked)
+      val tk = toks(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(tk).cast("long").as("n_tok"),
+          size(filter(tk, hit)).cast("long").as("n_hits"),
+          md5(array_join(
+            transform(tk, t => when(hit(t), lit("[MASKED]")).otherwise(t)),
+            " ")).as("masked_md5"))
+        .select(col("doc_id"), col("n_tok"), col("n_hits"),
+          (col("n_hits") * 20 <= col("n_tok")).as("keep"),
+          col("masked_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""with t as (
+      select doc_id, string_split(text, ' ') as tk from documents
+    ), m as (
+      select doc_id,
+        cast(len(tk) as bigint) as n_tok,
+        cast(len(list_filter(tk,
+          x -> x in ('customer', 'vector', 'stream', 'spark'))) as bigint)
+          as n_hits,
+        md5(array_to_string(list_transform(tk,
+          x -> case when x in ('customer', 'vector', 'stream', 'spark')
+               then '[MASKED]' else x end), ' ')) as masked_md5
+      from t
+    )
+    select doc_id, n_tok, n_hits, n_hits * 20 <= n_tok as keep, masked_md5
+    from m order by doc_id"""),
+    "blocklist masking: lexicon hit counts, keep verdict, masked-text md5")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27)
 }
