@@ -305,5 +305,84 @@ object SimilarityQueries {
     order by rank"""),
     "hybrid retrieval: BM25 + vector cosine fused by reciprocal rank (round-before-rank discipline)")
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8)
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the most-similar corpus vector sharing its label (the positive) and
+    * the most-similar one with a DIFFERENT label (the hard negative), plus
+    * the margin between them — the triplets an embedding-training pipeline
+    * feeds to a triplet/InfoNCE loss. Same broadcast-queries ×
+    * streamed-corpus topology as [[e1]] (at 100 TB the candidate side
+    * would be ANN candidates from e5/e6 instead of the full corpus);
+    * ranking happens on the ROUNDED cosine with id tie-breaks, and the
+    * margin subtracts the two already-rounded doubles, so both engines do
+    * identical IEEE arithmetic on identical inputs.
+    */
+  val e9 = Q(
+    "e9_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("label").as("ql"), sqrt(norm2(col("embedding"))).as("qn"))
+      val cands = emb
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("label").as("cl"), sqrt(norm2(col("embedding"))).as("cn"))
+      val scored = cands.crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("query_id"))
+        .select(col("query_id"), col("cid"),
+          (col("cl") === col("ql")).as("same"),
+          round(
+            dot(col("qe"), col("ce")) / nullif(col("qn") * col("cn"), lit(0.0)),
+            4).as("cos"))
+      val w = Window.partitionBy("query_id", "same")
+        .orderBy(col("cos").desc, col("cid"))
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val pos = best.filter(col("same"))
+        .select(col("query_id"), col("cid").as("pos_id"),
+          col("cos").as("pos_cos"))
+      val neg = best.filter(!col("same"))
+        .select(col("query_id"), col("cid").as("neg_id"),
+          col("cos").as("neg_cos"))
+      pos.join(neg, Seq("query_id"))
+        .select(col("query_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+        .orderBy("query_id")
+    },
+    Some("""with q as (
+      select vec_id as query_id, embedding as qe, label as ql
+      from embeddings where vec_id < 50
+    ), pairs as (
+      select q.query_id, c.vec_id as cid, (c.label = q.ql) as same,
+        q.qe as qe, c.embedding as ce
+      from q join embeddings c on c.vec_id <> q.query_id
+    ), flat as (
+      select query_id, cid, same,
+        unnest(qe)::double as x, unnest(ce)::double as y
+      from pairs
+    ), dots as (
+      select query_id, cid, same,
+        sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+      from flat group by query_id, cid, same
+    ), scored as (
+      select query_id, cid, same,
+        round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cos
+      from dots
+    ), best as (
+      select query_id, cid, same, cos from (
+        select query_id, cid, same, cos,
+          row_number() over (partition by query_id, same
+            order by cos desc, cid) as rn
+        from scored) t
+      where rn = 1
+    )
+    select p.query_id, p.cid as pos_id, p.cos as pos_cos,
+      n.cid as neg_id, n.cos as neg_cos,
+      round(p.cos - n.cos, 4) + 0.0 as margin
+    from best p join best n on n.query_id = p.query_id
+    where p.same and not n.same
+    order by p.query_id"""),
+    "similarity: hard-negative mining (nearest same-label + nearest cross-label + margin)")
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9)
 }

@@ -1131,7 +1131,68 @@ object TextQueries {
     from m order by doc_id"""),
     "blocklist masking: lexicon hit counts, keep verdict, masked-text md5")
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
+    * each language's documents into head/middle/tail terciles of LM
+    * cross-entropy — the cut CCNet uses to keep the well-modeled third of
+    * a crawl. Reuses the t22 corpus bigram model and the t23 per-doc
+    * scoring chain, then adds ONE per-language window. Tercile membership
+    * is decided on the ROUND-6 score with a doc_id tie-break, so a
+    * cross-engine summation ulp in the unrounded mean can't flip a
+    * document across a bucket boundary.
+    */
+  val t28 = Q(
+    "t28_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bg = bigrams(docs)
+      val model = bg
+        .select(split(col("bigram"), " ").getItem(0).as("w1"), col("bigram"))
+        .groupBy("w1", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("p_cond",
+          col("n") / sum("n").over(Window.partitionBy("w1")).cast("double"))
+        .select("bigram", "p_cond")
+      val ce = bg.join(model, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("p_cond"))), 6).as("cross_entropy"))
+      val wl = Window.partitionBy("lang")
+        .orderBy(col("cross_entropy"), col("doc_id"))
+      docs.select("doc_id", "lang").join(ce, Seq("doc_id"))
+        .withColumn("nt", ntile(3).over(wl))
+        .select(col("lang"), col("doc_id"), col("cross_entropy"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+      where len(string_split(text, ' ')) >= 2
+    ), bg as (
+      select doc_id, t[i] || ' ' || t[i + 1] as bigram
+      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
+      where i <= len(t) - 1
+    ), counts as (
+      select string_split(bigram, ' ')[1] as w1, bigram, count(*) as n
+      from bg group by 1, 2
+    ), model as (
+      select bigram,
+        n / cast(sum(n) over (partition by w1) as double) as p_cond
+      from counts
+    ), ce as (
+      select b.doc_id, round(avg(-ln(m.p_cond)), 6) + 0.0 as cross_entropy
+      from bg b join model m on b.bigram = m.bigram
+      group by b.doc_id
+    ), ranked as (
+      select d.lang, c.doc_id, c.cross_entropy,
+        ntile(3) over (partition by d.lang
+          order by c.cross_entropy, c.doc_id) as nt
+      from ce c join documents d on d.doc_id = c.doc_id
+    )
+    select lang, doc_id, cross_entropy,
+      case nt when 1 then 'head' when 2 then 'middle' else 'tail' end as bucket
+    from ranked order by lang, doc_id"""),
+    "CCNet buckets: per-language head/middle/tail terciles of LM cross-entropy")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28)
 }
