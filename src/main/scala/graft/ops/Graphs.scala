@@ -57,8 +57,19 @@ object Graphs {
     val deg = edges.groupBy("u").agg(count(lit(1)).cast("double").as("d"))
     val withDeg = edges.join(deg, "u").persist()
     val n = withDeg.select(countDistinct(col("u"))).head().getLong(0).toDouble
-    var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to iters) ranks = pagerankRound(ranks, withDeg, n, d)
+    // Initial ranks come off the PERSISTED edge list (not the raw deg
+    // subtree, which would recompute the whole upstream graph build), and
+    // every round truncates lineage eagerly — same discipline as
+    // [[Components]]: the round plan stays O(1) in the iteration number
+    // instead of the optimizer re-walking an unrolled tree each action.
+    var ranks = withDeg.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = pagerankRound(ranks, withDeg, n, d).localCheckpoint(true)
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
     ranks
   }
 

@@ -3,6 +3,7 @@ package graft.queries
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Stage, Tables}
@@ -330,5 +331,53 @@ object StreamQueries {
          |order by v.user_id, view_id, purchase_id asc nulls first""".stripMargin),
     "§2.12: stream-stream LEFT OUTER join (watermark-proven non-matches) vs batch oracle")
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6)
+  /** Streaming upsert: maintain a latest-event-per-user dimension from the
+    * event stream via a foreachBatch MERGE ([[BoundedStream.runMerge]]) —
+    * the CDC topology that keeps a serving table current from an unbounded
+    * change stream. Last-wins is decided by the total order
+    * (ts, event_id), so the final state is independent of micro-batch
+    * boundaries — exactly the determinism the oracle hash-checks with a
+    * batch argmax over the same staged input. At scale each merge is one
+    * shuffle of |state| + |batch| keyed rows, and the versioned
+    * write-new-then-repoint commit keeps the readable state consistent
+    * under mid-merge failure.
+    */
+  val s7 = Q(
+    "s7_stream_upsert",
+    (s, dir) => {
+      val ev = eventsWithTimestamp(s, dir)
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      BoundedStream.runMerge(s, s"${Stage.dir(dir)}/s7_stream", ev,
+        (heartbeat(s, maxTs, 10, -1L), heartbeat(s, maxTs, 20, -2L)),
+        (prev, batch) => {
+          val bs = batch.select(col("user_id"), col("ts").as("last_ts"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+          val all = prev.map(_.unionByName(bs)).getOrElse(bs)
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("last_ts").desc, col("last_event_id").desc)
+          all.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1).drop("rk")
+        })
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("last_event_id"),
+          col("last_event_type"),
+          graft.Norm.rz(col("last_value"), 4).as("last_value"),
+          col("last_ts"))
+        .orderBy("user_id")
+    },
+    Some(
+      s"""select user_id, event_id as last_event_id,
+         |  event_type as last_event_type,
+         |  round(value, 4) + 0.0 as last_value, ts as last_ts
+         |from (
+         |  select *, row_number() over (partition by user_id
+         |    order by ts desc, event_id desc) as rk
+         |  from '${Stage.Placeholder}/s7_stream/in/00_events.parquet') t
+         |where rk = 1
+         |order by user_id""".stripMargin),
+    "§2.12: streaming foreachBatch upsert (last-event-wins dimension) vs batch argmax")
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7)
 }

@@ -1192,7 +1192,59 @@ object TextQueries {
     from ranked order by lang, doc_id"""),
     "CCNet buckets: per-language head/middle/tail terciles of LM cross-entropy")
 
+  /** Logistic quality classifier — the GPT-3-style trained-filter step
+    * (Brown et al. 2020 §A; fasttext-classifier analogs in most pipeline
+    * papers), with fixed literal weights standing in for the trained
+    * model: p = sigmoid(w·x + b) over (stopword ratio, mean token length,
+    * capped length). The keep verdict is the SIGN of the linear score —
+    * all rational arithmetic evaluated in the same literal order on both
+    * engines, hence bit-identical — never the sigmoid, whose libm exp()
+    * can differ by an ulp cross-engine (the reported probability is
+    * rounded, where an ulp can't surface). Zero-shuffle projection + the
+    * output sort.
+    */
+  val t29 = Q(
+    "t29_quality_classifier",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val nStop = size(filter(t, x => x.isInCollection(stopwords)))
+        .cast("double")
+      val meanTokLen =
+        (length(col("text")) - (size(t) - 1)).cast("double") / nTok
+      val score = lit(-1.5) + (nStop / nTok) * lit(4.0) +
+        meanTokLen * lit(0.2) + least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          round(score, 6).as("score"),
+          round(lit(1.0) / (lit(1.0) + exp(-score)), 6).as("p_keep"),
+          (score >= 0.0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""with f as (
+      select doc_id,
+        cast(len(string_split(text, ' ')) as double) as n_tok,
+        cast(len(list_filter(string_split(text, ' '),
+          x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))
+          as double) as n_stop,
+        cast(length(text) - (len(string_split(text, ' ')) - 1) as double)
+          / cast(len(string_split(text, ' ')) as double) as mean_tok_len
+      from documents
+    ), scored as (
+      select doc_id,
+        -1.5 + (n_stop / n_tok) * 4.0 + mean_tok_len * 0.2
+          + least(n_tok / 100.0, cast(1.0 as double)) * 0.5 as score
+      from f
+    )
+    select doc_id,
+      round(score, 6) + 0.0 as score,
+      round(1.0 / (1.0 + exp(-score)), 6) + 0.0 as p_keep,
+      score >= 0.0 as keep
+    from scored order by doc_id"""),
+    "logistic quality classifier: sigmoid score + exact-sign keep verdict")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29)
 }

@@ -129,6 +129,52 @@ object BoundedStream {
     runPairHb(spark, base, left, Seq(leftHb._1, leftHb._2),
       right, Seq(rightHb._1, rightHb._2), join)
 
+  /** Streaming UPSERT variant: instead of an append sink, each micro-batch
+    * is MERGED into a keyed state table via `foreachBatch` — the CDC
+    * topology that maintains a dimension from a change stream. `merge`
+    * combines the previous state (None on the first batch) with the new
+    * batch and returns the next state, which is written to a fresh
+    * versioned directory (write-new-then-repoint, so a crash mid-write
+    * never corrupts the readable state — the same idempotent-commit shape
+    * a production foreachBatch merge needs). foreachBatch invocations are
+    * sequential by contract, so the version pointer is a plain var.
+    * Returns the final state. Only merges whose result is independent of
+    * batch boundaries (e.g. last-event-wins by a total order) are
+    * deterministic — that property is what the oracle hash-checks.
+    */
+  def runMerge(spark: SparkSession, base: String, realEvents: DataFrame,
+      heartbeats: (DataFrame, DataFrame),
+      merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val basePath = Paths.get(base)
+    deleteRecursively(basePath)
+    val inDir = basePath.resolve("in")
+    stageInputs(inDir, realEvents, Seq(heartbeats._1, heartbeats._2))
+    val ckptRoot =
+      if (Files.isDirectory(Paths.get("/dev/shm")))
+        s"/dev/shm/graft_ckpt/${basePath.getFileName}"
+      else basePath.resolve("ckpt").toString
+    deleteRecursively(Paths.get(ckptRoot))
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "2")
+    var current: Option[String] = None
+    try {
+      val query = source(spark, inDir, realEvents.schema).writeStream
+        .option("checkpointLocation", ckptRoot)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val prev = current.map(spark.read.parquet(_))
+          val next = basePath.resolve(s"state_$id").toString
+          merge(prev, batch).write.mode("overwrite").parquet(next)
+          current = Some(next)
+        }
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set(shuffleKey, prevShuffle)
+    spark.read.parquet(current.getOrElse(
+      throw new IllegalStateException("no batches ran")))
+  }
+
   private def stageInputs(dir: Path, real: DataFrame,
       heartbeats: Seq[DataFrame]): Unit = {
     val t0 = System.currentTimeMillis()
