@@ -1176,8 +1176,47 @@ object RelationalQueries {
     select node, round(pr, 6) + 0.0 as pr from r3 order by node"""),
     "pagerank: 3 BSP iterations over the support-pruned co-purchase graph")
 
+  /** Salted replicated JOIN — the skew-join half of the playbook q22's
+    * salted aggregation demonstrates for group-bys: when one join key is
+    * hot enough to overflow a single shuffle partition, salt the fact side
+    * with pmod(hash, R) and replicate the dimension side R× so each hot
+    * key spreads over R partitions; every fact row still meets exactly one
+    * replica of its dimension row, so the result is IDENTICAL to the plain
+    * join — which is what the oracle (a plain join) hash-checks. At 100 TB
+    * this is the manual fallback when AQE's skew split can't help (e.g.
+    * the hot key's rows don't co-locate in splittable map outputs);
+    * R multiplies only the small side's size, not the shuffle volume of
+    * the fact side.
+    */
+  val q34 = Q(
+    "q34_salted_join",
+    (s, dir) => {
+      val r = 8
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(r.toLong)))
+      val pRep = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))
+        .withColumn("salt",
+          explode(sequence(lit(0L), lit(r.toLong - 1))))
+      li.join(pRep,
+          li("l_partkey") === pRep("p_partkey") && li("salt") === pRep("salt"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.Norm.rz(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""select p.p_brand, count(*) as n_items,
+      round(sum(l.l_extendedprice), 2) + 0.0 as revenue
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+    group by p.p_brand
+    order by p.p_brand"""),
+    "skew: salted replicated join, result identical to the plain join")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33)
+    q31, q32, q33, q34)
 }

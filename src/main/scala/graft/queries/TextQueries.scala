@@ -1244,7 +1244,39 @@ object TextQueries {
     from scored order by doc_id"""),
     "logistic quality classifier: sigmoid score + exact-sign keep verdict")
 
+  /** BPE vocabulary induction, first step (Sennrich et al. 2016): corpus
+    * frequencies of adjacent character pairs within words — the statistic
+    * whose argmax becomes the first merge rule. A full BPE train is this
+    * step iterated with re-tokenization; the per-iteration shape (explode
+    * to symbol pairs, one count shuffle, global top-k) is what has to
+    * scale, and the top-k rides a TakeOrdered, never a full sort. Total
+    * order (count desc, pair asc) makes the cut deterministic.
+    */
+  val t30 = Q(
+    "t30_bpe_merges",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1)," +
+            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    },
+    Some("""with w as (
+      select unnest(string_split(text, ' ')) as w from documents
+    ), p as (
+      select substr(w, i, 1) || substr(w, i + 1, 1) as pair
+      from (select w, unnest(range(1, length(w))) as i from w) s
+    )
+    select pair, count(*) as n from p group by pair
+    order by n desc, pair limit 20"""),
+    "BPE induction: top-20 adjacent character-pair frequencies (first merge step)")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29, t30)
 }
