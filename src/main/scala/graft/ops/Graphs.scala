@@ -34,16 +34,21 @@ object Graphs {
 
   /** One row: n_edges, n_wedges, n_triangles for an oriented (u < v) edge
     * list. Wedges are rooted at the smallest endpoint, so the closing join
-    * touches each triangle exactly once.
+    * touches each triangle exactly once — and it is a LEFT join whose
+    * match marker distinguishes closed from open wedges, so the wedge set
+    * is generated and traversed ONCE for both counts (the two-aggregate
+    * spelling would re-run the wedge join per aggregate).
     */
   def triangleStats(e: DataFrame): DataFrame = {
     val wedges = e.join(e.select(col("u"), col("v").as("c")), Seq("u"))
       .filter(col("v") < col("c"))
-    val closed = wedges.join(
-      e.select(col("u").as("v"), col("v").as("c")), Seq("v", "c"))
+    val marked = wedges.join(
+      e.select(col("u").as("v"), col("v").as("c"), lit(1).as("closed")),
+      Seq("v", "c"), "left")
     e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(marked.agg(
+        count(lit(1)).as("n_wedges"),
+        count(col("closed")).as("n_triangles")))
   }
 
   /** PageRank over the symmetrization of an oriented edge list, `iters`
