@@ -649,8 +649,107 @@ object OpsQueries {
          |order by c.vec_id""".stripMargin),
     "semantic dedup: IVF-cell nearest-neighbor cosine + duplicate verdict (SemDeDup)")
 
+  /** Recall@5 of the hyperplane-LSH ANN path against the brute-force exact
+    * top-5 — the evaluation harness every ANN deployment runs on a sampled
+    * query set before trusting the index. The LSH candidates are staged;
+    * BOTH top-5 sets (exact ground truth from the full corpus scan, ANN
+    * from the staged candidates) and the per-query hit join are recomputed
+    * by the oracle, so the entire eval — scoring, ranking, recall — is
+    * hash-verified. The ground truth is deliberately O(queries × corpus):
+    * at 100 TB recall eval still brute-forces a SAMPLED query set (the 20
+    * broadcast queries here), never the full pairing.
+    */
+  val annRecall = Q(
+    "e10_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val cands = Stage.through(
+        Similarity.lshCandidatePairs(emb, queries, "vec_id", "embedding",
+          planes = 6, probes = 6),
+        dir, "e10_cands")
+      val ann = Similarity
+        .rerankTopK(cands, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val allPairs = broadcast(queries.select(col("vec_id").as("query_id")))
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val exact = Similarity
+        .rerankTopK(allPairs, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_exact"), col("n_hits"),
+          graft.Norm.rz(col("n_hits") / col("n_exact").cast("double"), 4)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    },
+    Some(
+      s"""with cands as (
+         |  select query_id, neighbor_id from ${Stage.sqlPath("e10_cands")}
+         |), ann_pairs as (
+         |  select c.query_id, c.neighbor_id, q.embedding as qe, n.embedding as ce
+         |  from cands c
+         |  join embeddings q on q.vec_id = c.query_id
+         |  join embeddings n on n.vec_id = c.neighbor_id
+         |), ann_flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from ann_pairs
+         |), ann_dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from ann_flat group by query_id, neighbor_id
+         |), ann_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+         |          neighbor_id) as rk
+         |    from ann_dots) t
+         |  where rk <= 5
+         |), ex_pairs as (
+         |  select q.vec_id as query_id, c.vec_id as neighbor_id,
+         |    q.embedding as qe, c.embedding as ce
+         |  from embeddings q, embeddings c
+         |  where q.vec_id < 20 and c.vec_id != q.vec_id
+         |), ex_flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from ex_pairs
+         |), ex_dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from ex_flat group by query_id, neighbor_id
+         |), ex_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+         |          neighbor_id) as rk
+         |    from ex_dots) t
+         |  where rk <= 5
+         |)
+         |select e.query_id,
+         |  count(*) as n_exact,
+         |  cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |    as bigint) as n_hits,
+         |  round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |    / cast(count(*) as double), 4) + 0.0 as recall_at_5
+         |from ex_top e
+         |left join ann_top a
+         |  on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+         |group by e.query_id
+         |order by e.query_id""".stripMargin),
+    "ANN eval: recall@5 of LSH candidates vs brute-force exact top-5, fully hash-verified")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, mediaStats,
-      imageFeatures, frameSample, audioFeatures, imageNearDup, semanticDedup)
+      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, annRecall,
+      mediaStats, imageFeatures, frameSample, audioFeatures, imageNearDup,
+      semanticDedup)
 }

@@ -1276,7 +1276,155 @@ object TextQueries {
     order by n desc, pair limit 20"""),
     "BPE induction: top-20 adjacent character-pair frequencies (first merge step)")
 
+  /** Duplicated-substring coverage (the ExactSubstr dedup statistic of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): for every document, the fraction of its tokens covered by a
+    * 10-token span that also appears verbatim in ANOTHER document. The
+    * suffix-array of the paper is replaced by the distributed equivalent:
+    * one generate to (start, 10-gram) rows, a cross-doc test as min≠max of
+    * doc_id over a window partitioned by the gram (one shuffle, no
+    * agg+join round-trip), and interval-union coverage as a lag-capped
+    * gaps-and-islands sum over duplicated starts — rows after the flag
+    * step are duplicated STARTS only, never per-token expansions, so the
+    * coverage pass is bounded by the duplication volume, not corpus size.
+    */
+  val t31 = Q(
+    "t31_substring_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 10)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(t) - 10)," +
+            " i -> concat_ws(' ', slice(t, i + 1, 10)))"))
+          .as(Seq("pos", "g")))
+      val wg = Window.partitionBy("g")
+      val dupStarts = grams
+        .withColumn("dup",
+          min("doc_id").over(wg) =!= max("doc_id").over(wg))
+        .filter(col("dup"))
+        .select("doc_id", "pos")
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = dupStarts
+        .withColumn("contrib",
+          least(lit(10),
+            col("pos") - coalesce(lag("pos", 1).over(wd), col("pos") - 10)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_starts"),
+          sum("contrib").cast("long").as("covered_tokens"))
+      docs.select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered_tokens"), lit(0L))
+            / col("n_tokens").cast("double"), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), g as (
+      select doc_id, i - 1 as pos, array_to_string(t[i:i+9], ' ') as g
+      from (select doc_id, t, unnest(range(1, len(t) - 8)) as i from tok) s
+    ), flagged as (
+      select doc_id, pos,
+        min(doc_id) over (partition by g) <> max(doc_id) over (partition by g) as dup
+      from g
+    ), ds as (
+      select doc_id, pos from flagged where dup
+    ), cov as (
+      select doc_id, count(*) as n_dup_starts,
+        cast(sum(contrib) as bigint) as covered_tokens
+      from (
+        select doc_id, least(10,
+          pos - coalesce(lag(pos) over (partition by doc_id order by pos),
+            pos - 10)) as contrib
+        from ds) x
+      group by doc_id
+    )
+    select d.doc_id,
+      len(string_split(d.text, ' ')) as n_tokens,
+      coalesce(c.n_dup_starts, 0) as n_dup_starts,
+      coalesce(c.covered_tokens, 0) as covered_tokens,
+      round(coalesce(c.covered_tokens, 0)
+        / cast(len(string_split(d.text, ' ')) as double), 4) + 0.0 as dup_frac
+    from documents d left join cov c using (doc_id)
+    order by d.doc_id"""),
+    "ExactSubstr dedup: per-doc coverage fraction of cross-doc 10-token spans")
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance sum(ln p_target(w) − ln p_general(w)) under add-one
+    * unigram models, target = lang 'en', general = whole corpus, then a
+    * deterministic top-100 selection on the ROUNDED weight (rank ties
+    * broken by doc_id so both engines cut identically). One token explode
+    * builds the shared vocabulary model; the scoring join moves tokens
+    * once on the word key; the totals ride a 3-number broadcast. The
+    * global rank is a single-partition window here — at corpus scale the
+    * cut is a TakeOrdered top-N, not a sort.
+    */
+  val t32 = Q(
+    "t32_dsir_weights",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tokens = docs.select(col("doc_id"), col("lang"),
+        explode(toks(col("text"))).as("w"))
+      val model = tokens.groupBy("w").agg(
+        count(lit(1)).as("n_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+      val tot = model.agg(
+        sum("n_all").as("big_n_all"), sum("n_tgt").as("big_n_tgt"),
+        count(lit(1)).as("vocab"))
+      val perTok =
+        log((col("n_tgt") + lit(1.0)) / (col("big_n_tgt") + col("vocab"))) -
+          log((col("n_all") + lit(1.0)) / (col("big_n_all") + col("vocab")))
+      val scored = tokens.join(model, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(perTok), 6).as("log_weight"))
+      val wr = Window.orderBy(col("log_weight").desc, col("doc_id"))
+      docs.select("doc_id", "lang")
+        .join(scored, Seq("doc_id"))
+        .withColumn("pick_rank", row_number().over(wr))
+        .withColumn("selected", col("pick_rank") <= 100)
+        .select("doc_id", "lang", "n_tokens", "log_weight", "pick_rank",
+          "selected")
+        .orderBy("doc_id")
+    },
+    Some("""with tokens as (
+      select doc_id, lang, unnest(string_split(text, ' ')) as w
+      from documents
+    ), model as (
+      select w, count(*) as n_all,
+        sum(case when lang = 'en' then 1 else 0 end) as n_tgt
+      from tokens group by w
+    ), tot as (
+      select sum(n_all) as big_n_all, sum(n_tgt) as big_n_tgt,
+        count(*) as vocab
+      from model
+    ), scored as (
+      select t.doc_id, count(*) as n_tokens,
+        round(sum(
+          ln((m.n_tgt + 1.0) / (tt.big_n_tgt + tt.vocab)) -
+          ln((m.n_all + 1.0) / (tt.big_n_all + tt.vocab))), 6) + 0.0
+          as log_weight
+      from tokens t join model m on t.w = m.w cross join tot tt
+      group by t.doc_id
+    )
+    select d.doc_id, d.lang, s.n_tokens, s.log_weight,
+      row_number() over (order by s.log_weight desc, d.doc_id) as pick_rank,
+      row_number() over (order by s.log_weight desc, d.doc_id) <= 100
+        as selected
+    from documents d join scored s using (doc_id)
+    order by d.doc_id"""),
+    "DSIR importance weights: add-one unigram log-ratio + deterministic top-100 cut")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29, t30)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29, t30,
+      t31, t32)
 }
