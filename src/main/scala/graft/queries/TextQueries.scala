@@ -1423,8 +1423,166 @@ object TextQueries {
     order by d.doc_id"""),
     "DSIR importance weights: add-one unigram log-ratio + deterministic top-100 cut")
 
+  /** Winnowing-style fingerprint near-dup (Schleimer et al. 2003, the MOSS
+    * scheme): each document keeps only the 5-grams whose md5 is the strict
+    * local minimum of a centered 7-gram window (density ≈ 2/(w+1) of t5's
+    * full fingerprint set), and candidate pairs are documents sharing ≥2
+    * winnowed fingerprints. The md5 ORDER is the selection key — identical
+    * lexicographic string comparison on both engines, no engine-specific
+    * hash — and the pair join runs over the winnowed ~quarter of the gram
+    * volume, which is the whole point of winnowing at corpus scale.
+    * Selection ties go left (`<=` left / `<` right), deterministic on both
+    * engines.
+    */
+  val t33 = Q(
+    "t33_winnowing",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(t) - 5)," +
+            " i -> concat_ws(' ', slice(t, i + 1, 5)))"))
+          .as(Seq("pos", "g")))
+        .withColumn("h", md5(col("g")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val sel = grams
+        .withColumn("lmin",
+          coalesce(min("h").over(w.rowsBetween(-3, -1)), lit("z")))
+        .withColumn("rmin",
+          coalesce(min("h").over(w.rowsBetween(1, 3)), lit("z")))
+        .filter(col("h") <= col("lmin") && col("h") < col("rmin"))
+        .select(col("doc_id"), col("h"))
+      sel.as("a").join(sel.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(countDistinct(col("a.h")).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    },
+    Some("""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), g as (
+      select doc_id, i - 1 as pos,
+        md5(array_to_string(t[i:i+4], ' ')) as h
+      from (select doc_id, t, unnest(range(1, len(t) - 3)) as i from tok) s
+    ), sel as (
+      select doc_id, h from (
+        select doc_id, h,
+          coalesce(min(h) over (partition by doc_id order by pos
+            rows between 3 preceding and 1 preceding), 'z') as lmin,
+          coalesce(min(h) over (partition by doc_id order by pos
+            rows between 1 following and 3 following), 'z') as rmin
+        from g) x
+      where h <= lmin and h < rmin
+    )
+    select a.doc_id as d1, b.doc_id as d2,
+      count(distinct a.h) as n_shared
+    from sel a join sel b on a.h = b.h and a.doc_id < b.doc_id
+    group by 1, 2
+    having count(distinct a.h) >= 2
+    order by d1, d2"""),
+    "winnowing: local-min md5 fingerprint selection + shared-fingerprint pairs")
+
+  /** Gopher quality rules (Rae et al. 2021, Appendix A) — the composite
+    * heuristic gate, each rule an explicit boolean column so downstream
+    * can audit WHICH rule cut a document: word count bounds, mean word
+    * length bounds, stopword presence, alphabetic-word fraction, and
+    * top-bigram mass (the no-newline analog of the duplicate-line rules).
+    * One token explode feeds the bigram-mass rule; everything else is a
+    * zero-shuffle projection; `keep` is a conjunction of integer/exact
+    * comparisons plus round-6 threshold tests, so membership can't flip
+    * on a last-ulp double.
+    */
+  val t34 = Q(
+    "t34_gopher_rules",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val topBigram = bigrams(docs)
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(max("n").cast("double").as("top_bg"),
+          sum("n").cast("double").as("n_bg"))
+        .select(col("doc_id"),
+          round(col("top_bg") / col("n_bg"), 6).as("top_bigram_mass"))
+      val t = toks(col("text"))
+      val nTok = size(t)
+      val base = docs.select(
+        col("doc_id"),
+        nTok.as("n_words"),
+        round((length(col("text")) - (nTok - 1)).cast("double")
+          / nTok.cast("double"), 6).as("mean_word_len"),
+        size(filter(t, x => x.isInCollection(stopwords)))
+          .as("n_stopwords"),
+        round(size(filter(t, x => x.rlike("^[a-z]+$"))).cast("double")
+          / nTok.cast("double"), 6).as("alpha_frac"))
+      base.join(topBigram, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("n_stopwords"), col("alpha_frac"),
+          coalesce(col("top_bigram_mass"), lit(0.0)).as("top_bigram_mass"),
+          (col("n_words") >= 10 && col("n_words") <= 100000)
+            .as("rule_word_count"),
+          (col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0)
+            .as("rule_word_len"),
+          (col("n_stopwords") >= 2).as("rule_stopwords"),
+          (col("alpha_frac") >= 0.8).as("rule_alpha"),
+          (coalesce(col("top_bigram_mass"), lit(0.0)) <= 0.2)
+            .as("rule_bigram_mass"))
+        .withColumn("keep",
+          col("rule_word_count") && col("rule_word_len") &&
+            col("rule_stopwords") && col("rule_alpha") &&
+            col("rule_bigram_mass"))
+        .orderBy("doc_id")
+    },
+    Some(s"""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+      where len(string_split(text, ' ')) >= 2
+    ), bg as (
+      select doc_id, t[i] || ' ' || t[i + 1] as bigram
+      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
+      where i <= len(t) - 1
+    ), bgc as (
+      select doc_id, bigram, count(*) as n from bg group by 1, 2
+    ), topbg as (
+      select doc_id,
+        round(cast(max(n) as double) / cast(sum(n) as double), 6) + 0.0
+          as top_bigram_mass
+      from bgc group by doc_id
+    ), base as (
+      select doc_id,
+        len(string_split(text, ' ')) as n_words,
+        round(cast(length(text) - (len(string_split(text, ' ')) - 1)
+            as double)
+          / cast(len(string_split(text, ' ')) as double), 6) + 0.0
+          as mean_word_len,
+        len(list_filter(string_split(text, ' '),
+          x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))
+          as n_stopwords,
+        round(cast(len(list_filter(string_split(text, ' '),
+            x -> regexp_full_match(x, '[a-z]+'))) as double)
+          / cast(len(string_split(text, ' ')) as double), 6) + 0.0
+          as alpha_frac
+      from documents
+    )
+    select b.doc_id, b.n_words, b.mean_word_len, b.n_stopwords,
+      b.alpha_frac,
+      coalesce(t.top_bigram_mass, 0.0) as top_bigram_mass,
+      b.n_words >= 10 and b.n_words <= 100000 as rule_word_count,
+      b.mean_word_len >= 2.0 and b.mean_word_len <= 10.0 as rule_word_len,
+      b.n_stopwords >= 2 as rule_stopwords,
+      b.alpha_frac >= 0.8 as rule_alpha,
+      coalesce(t.top_bigram_mass, 0.0) <= 0.2 as rule_bigram_mass,
+      (b.n_words >= 10 and b.n_words <= 100000)
+        and (b.mean_word_len >= 2.0 and b.mean_word_len <= 10.0)
+        and b.n_stopwords >= 2 and b.alpha_frac >= 0.8
+        and coalesce(t.top_bigram_mass, 0.0) <= 0.2 as keep
+    from base b left join topbg t using (doc_id)
+    order by b.doc_id"""),
+    "Gopher rules: per-rule boolean quality gates + composite keep verdict")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29, t30,
-      t31, t32)
+      t31, t32, t33, t34)
 }
