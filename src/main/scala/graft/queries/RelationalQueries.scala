@@ -1215,8 +1215,70 @@ object RelationalQueries {
     order by p.p_brand"""),
     "skew: salted replicated join, result identical to the plain join")
 
+  /** Weekly retention-cohort matrix over the events stream — the product
+    * analytics companion to q23's funnel: users are cohorted by their
+    * first active week (integer week index from the raw nanosecond
+    * timestamps — `ts div 7·86400·10⁹`, exact integer division on both
+    * engines, no calendar/timezone surface to disagree on), and each
+    * (cohort, week-offset) cell counts the cohort members still active.
+    * The cohort assignment is a min-window over the distinct (user, week)
+    * frame — no cohort agg+join round-trip — and after that frame every
+    * user contributes exactly one row per (cohort, offset) cell, so the
+    * matrix is a plain count (no count-distinct Expand) and the cohort
+    * sizes ARE its offset-0 cells (every user is active in their own
+    * first week), lifted per cohort by a max-window over the grouped
+    * matrix — cells only, never a second pass or self-join over the
+    * events subtree (a sizes-side branch would replay the whole scan:
+    * the pushed offset-0 filter changes the subtree, so exchange reuse
+    * can't dedupe it).
+    */
+  val q35 = Q(
+    "q35_retention",
+    (s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .distinct()
+      val matrix = weeks
+        .withColumn("cohort_week",
+          min("week").over(Window.partitionBy("user_id")))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      matrix
+        .withColumn("n_cohort",
+          max(when(col("week_offset") === 0, col("n_active")))
+            .over(Window.partitionBy("cohort_week")))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("n_cohort"),
+          graft.Norm.rz(col("n_active") / col("n_cohort").cast("double"), 4)
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""with wk as (
+      select distinct user_id, epoch_ns(ts) // 604800000000000 as week
+      from events
+    ), coh as (
+      select user_id, week,
+        min(week) over (partition by user_id) as cohort_week
+      from wk
+    ), m as (
+      select cohort_week, week - cohort_week as week_offset,
+        count(*) as n_active
+      from coh group by 1, 2
+    ), sized as (
+      select cohort_week, week_offset, n_active,
+        max(case when week_offset = 0 then n_active end)
+          over (partition by cohort_week) as n_cohort
+      from m
+    )
+    select cohort_week, week_offset, n_active, n_cohort,
+      round(n_active / cast(n_cohort as double), 4) + 0.0 as retention
+    from sized
+    order by cohort_week, week_offset"""),
+    "retention cohorts: first-week cohort × week-offset activity matrix")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34)
+    q31, q32, q33, q34, q35)
 }

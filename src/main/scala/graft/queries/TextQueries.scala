@@ -1581,8 +1581,53 @@ object TextQueries {
     order by b.doc_id"""),
     "Gopher rules: per-rule boolean quality gates + composite keep verdict")
 
+  /** Classifier-audit confusion matrix for the t4 language-ID heuristic
+    * against the tagged `lang` label — the eval step a pipeline runs
+    * before trusting any learned/heuristic filter (same role as e10 for
+    * the ANN index). Cells carry the count and the share of their true
+    * class (the per-cell recall decomposition); the predicate is t4's
+    * exact rational ratio comparison, so class membership is
+    * deterministic on both engines. One count shuffle over ≤(langs ×
+    * predictions) cells; the per-class denominator rides a window over
+    * the grouped matrix, not a second pass over the corpus.
+    */
+  val t35 = Q(
+    "t35_langid_confusion",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val ratio = size(filter(t, x => x.isInCollection(stopwords)))
+        .cast("double") / size(t).cast("double")
+      val preds = Tables.documents(s, dir)
+        .select(col("lang").as("tagged_lang"),
+          when(ratio >= 0.05, "en").otherwise("und").as("predicted_lang"))
+      preds.groupBy("tagged_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_frac",
+          round(col("n") / sum("n")
+            .over(Window.partitionBy("tagged_lang")).cast("double"), 4))
+        .orderBy("tagged_lang", "predicted_lang")
+    },
+    Some(s"""with preds as (
+      select lang as tagged_lang,
+        case when cast(len(list_filter(string_split(text, ' '),
+            x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))
+            as double)
+          / cast(len(string_split(text, ' ')) as double) >= 0.05
+          then 'en' else 'und' end as predicted_lang
+      from documents
+    ), m as (
+      select tagged_lang, predicted_lang, count(*) as n
+      from preds group by 1, 2
+    )
+    select tagged_lang, predicted_lang, n,
+      round(n / cast(sum(n) over (partition by tagged_lang) as double), 4)
+        + 0.0 as row_frac
+    from m
+    order by tagged_lang, predicted_lang"""),
+    "classifier audit: langid confusion matrix + per-class recall shares")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29, t30,
-      t31, t32, t33, t34)
+      t31, t32, t33, t34, t35)
 }
