@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground-truth checks for the round-3-late text/eval queries on PLANTED
+  * fixtures (the sf oracle hash-verifies engine parity, not the semantics;
+  * these fixtures pin the semantics themselves): ExactSubstr coverage on
+  * known duplicated spans, winnowing's shared-fingerprint guarantee on an
+  * identical pair, the Gopher gate on a crafted pass/fail split, and the
+  * retention matrix on a 3-user hand example.
+  */
+class TextEvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** documents table: doc 0 and doc 3 identical (30 tokens); doc 1 shares
+    * tokens 10–24 of doc 0 (a 15-token verbatim span) inside otherwise
+    * unique text; doc 2 fully unique; doc 4 stopword-rich plain words.
+    */
+  private lazy val docsDir: String = {
+    val dir = tmpDir("graft_texteval")
+    val base = (0 until 30).map(i => s"a$i")
+    val doc0 = base.mkString(" ")
+    val doc1 = ((0 until 10).map(i => s"b$i") ++ base.slice(10, 25) ++
+      (0 until 10).map(i => s"c$i")).mkString(" ")
+    val doc2 = (0 until 30).map(i => s"d$i").mkString(" ")
+    val doc4 = "the data of value and table to scan in row is key the part"
+    Seq(
+      (0L, doc0, "en", "s0"), (1L, doc1, "en", "s0"), (2L, doc2, "de", "s1"),
+      (3L, doc0, "en", "s1"), (4L, doc4, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t31 coverage matches the planted duplicated spans exactly") {
+    val rows = Registry.byName("t31_substring_dedup").run(spark, docsDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("covered_tokens"), r.getAs[Double]("dup_frac"))).toMap
+    // docs 0 and 3 are identical: every token covered.
+    assert(rows(0L) == (30L, 1.0) && rows(3L) == (30L, 1.0))
+    // doc 1: the 15-token shared span yields starts 10..15 in doc 0 and
+    // exactly 15 covered tokens in doc 1 (35 tokens total).
+    assert(rows(1L)._1 == 15L)
+    // unique docs: zero coverage.
+    assert(rows(2L)._1 == 0L && rows(4L)._1 == 0L)
+  }
+
+  test("t33 winnowing links the identical pair and never the unique doc") {
+    val pairs = Registry.byName("t33_winnowing").run(spark, docsDir)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((0L, 3L)),
+      "identical docs share their whole winnowed fingerprint set")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "a fully unique doc shares no fingerprint")
+  }
+
+  test("t34 gopher gate keeps the stopword-rich doc and cuts the rest") {
+    val keep = Registry.byName("t34_gopher_rules").run(spark, docsDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(keep(4L), "plain stopword-rich text passes every rule")
+    // a0..a29 tokens contain digits: alpha fraction 0 and no stopwords.
+    assert(!keep(0L) && !keep(2L))
+  }
+
+  test("q35 retention matrix matches a 3-user hand example") {
+    val dir = tmpDir("graft_retention")
+    val wk = 604800000000000L
+    // u1 active weeks w and w+1; u2 week w only; u3 week w+1 only.
+    Seq((0L, 2817L * wk + 5L, 1L), (1L, 2818L * wk + 5L, 1L),
+      (2L, 2817L * wk + 9L, 2L), (3L, 2818L * wk + 9L, 3L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cells = Registry.byName("q35_retention").run(spark, dir)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
+          r.getAs[Double]("retention"))).toMap
+    assert(cells((2817L, 0L)) == (2L, 2L, 1.0))
+    assert(cells((2817L, 1L)) == (1L, 2L, 0.5))
+    assert(cells((2818L, 0L)) == (1L, 1L, 1.0))
+    assert(cells.size == 3)
+  }
+}
