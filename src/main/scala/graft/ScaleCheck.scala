@@ -78,6 +78,14 @@ object ScaleCheck {
       val (tSim, nSim) = time {
         Dedup.simhashNearDuplicates(docs).count()
       }
+      // Substring coverage worst case: replicas share text, so EVERY
+      // 10-gram is cross-doc duplicated and the coverage pass sees ALL
+      // gram starts (its upper bound = corpus token count). Cost must stay
+      // ≈ linear in R; the gram window is the only corpus-sized shuffle.
+      val (tSubstr, nCovered) = time {
+        Dedup.substringCoverage(docs)
+          .agg(sum("covered_tokens")).head.getLong(0)
+      }
       // Incremental dedup: corpus = replica 0, batch = everything else —
       // at R=10 the batch is 9× the corpus and EVERY batch row is a true
       // duplicate (replicas share text), the bloom prefilter's worst case:
@@ -161,6 +169,7 @@ object ScaleCheck {
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +
         f""""dedup_cluster_s":$tFull%.2f,"clusters":$nClusters,""" +
         f""""simhash_s":$tSim%.2f,"sim_pairs":$nSim,""" +
+        f""""substr_s":$tSubstr%.2f,"covered_toks":$nCovered,""" +
         f""""bloom_incr_s":$tBloom%.2f,"new_docs":$nNew,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +

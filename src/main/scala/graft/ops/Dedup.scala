@@ -338,6 +338,48 @@ object Dedup {
     provenNew.unionByName(verifiedNew)
   }
 
+  /** ExactSubstr duplicated-span coverage (Lee et al. 2022): per document,
+    * how many of its tokens sit inside a k-token span that appears verbatim
+    * in ANOTHER document. The cross-doc test is min≠max of doc_id over a
+    * window partitioned by the gram (one shuffle, no agg+join round-trip);
+    * coverage is the interval union of [start, start+k-1] over duplicated
+    * starts, computed as a lag-capped gaps-and-islands sum — rows after the
+    * flag step are duplicated STARTS only, so the coverage pass is bounded
+    * by the duplication volume, never the corpus token count.
+    *
+    * Returns (doc_id, n_tokens, n_dup_starts, covered_tokens); callers add
+    * ratios/rounding/order.
+    */
+  def substringCoverage(docs: DataFrame, textCol: String = "text",
+      k: Int = 10): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $k)," +
+          s" i -> concat_ws(' ', slice(t, i + 1, $k)))"))
+        .as(Seq("pos", "g")))
+    val wg = Window.partitionBy("g")
+    val dupStarts = grams
+      .withColumn("dup", min("doc_id").over(wg) =!= max("doc_id").over(wg))
+      .filter(col("dup"))
+      .select("doc_id", "pos")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = dupStarts
+      .withColumn("contrib",
+        least(lit(k),
+          col("pos") - coalesce(lag("pos", 1).over(wd), col("pos") - k)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sum("contrib").cast("long").as("covered_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
     * random-hyperplane LSH signature so only same-bucket pairs are compared
     * (see [[Similarity.hyperplaneSignature]]).

@@ -1290,40 +1290,13 @@ object TextQueries {
     */
   val t31 = Q(
     "t31_substring_dedup",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val grams = docs
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 10)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(t) - 10)," +
-            " i -> concat_ws(' ', slice(t, i + 1, 10)))"))
-          .as(Seq("pos", "g")))
-      val wg = Window.partitionBy("g")
-      val dupStarts = grams
-        .withColumn("dup",
-          min("doc_id").over(wg) =!= max("doc_id").over(wg))
-        .filter(col("dup"))
-        .select("doc_id", "pos")
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val cov = dupStarts
-        .withColumn("contrib",
-          least(lit(10),
-            col("pos") - coalesce(lag("pos", 1).over(wd), col("pos") - 10)))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_dup_starts"),
-          sum("contrib").cast("long").as("covered_tokens"))
-      docs.select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
-        .join(cov, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
-          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-          round(coalesce(col("covered_tokens"), lit(0L))
-            / col("n_tokens").cast("double"), 4).as("dup_frac"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      graft.ops.Dedup.substringCoverage(Tables.documents(s, dir), "text", 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_starts"),
+          col("covered_tokens"),
+          round(col("covered_tokens") / col("n_tokens").cast("double"), 4)
+            .as("dup_frac"))
+        .orderBy("doc_id"),
     Some("""with tok as (
       select doc_id, string_split(text, ' ') as t from documents
     ), g as (
