@@ -20,13 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default; read it as nanoseconds-since-epoch LongType
-    * (exact, total-ordered — DuckDB mirrors with `epoch_ns(ts)`).
+  /** `events.ts` is surfaced as nanoseconds-since-epoch LongType (exact,
+    * total-ordered — DuckDB mirrors with `epoch_ns(ts)`), whatever the
+    * parquet logical type underneath: TIMESTAMP(NANOS) files read natively
+    * as a nanos long (`nanosAsLong`), TIMESTAMP(MICROS) naive timestamps
+    * are converted via `unix_micros` under the session's pinned UTC zone —
+    * both give the same epoch_ns value DuckDB computes from the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
