@@ -1277,8 +1277,41 @@ object RelationalQueries {
     order by cohort_week, week_offset"""),
     "retention cohorts: first-week cohort × week-offset activity matrix")
 
+  /** W1 variant with a VALUE-range frame: per-user trailing-hour event
+    * count and value sum, the frame bounded by event TIME (`RANGE BETWEEN
+    * 1h PRECEDING`) rather than a row count — the "activity in the last
+    * hour" feature shape row frames can't express when event spacing is
+    * irregular. One `user_id` shuffle; the frame is evaluated per row by a
+    * sliding pass over the sorted partition, so cost is O(rows + frame
+    * overlaps), never quadratic. Ties in `ts` are frame PEERS (included
+    * for every peer row) on both engines, so no unique tie-break is needed
+    * for determinism inside the frame; the output carries `event_id` for a
+    * total result order.
+    */
+  val q36 = Q(
+    "q36_range_window",
+    (s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(-hourNs, 0L)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          round(sum("value").over(w), 6).as("sum_trailing_hour"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""select user_id, event_id,
+      count(*) over w as n_trailing_hour,
+      round(sum(value) over w, 6) + 0.0 as sum_trailing_hour
+    from events
+    window w as (partition by user_id order by epoch_ns(ts)
+      range between 3600000000000 preceding and current row)
+    order by user_id, event_id"""),
+    "W1 variant: time-valued RANGE frame (trailing-hour activity)")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35)
+    q31, q32, q33, q34, q35, q36)
 }

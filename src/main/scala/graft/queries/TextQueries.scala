@@ -1599,8 +1599,66 @@ object TextQueries {
     order by tagged_lang, predicted_lang"""),
     "classifier audit: langid confusion matrix + per-class recall shares")
 
+  /** Token-level Shannon entropy per document — the continuous
+    * generalization of t26's distinct-ratio/top-mass repetition rules: a
+    * low-entropy doc is dominated by few token types (boilerplate, spam
+    * keyword stuffing), a max-entropy doc never repeats one. Zero-shuffle:
+    * the whole computation is codegen'd array HOFs inside one projection
+    * (counts via distinct×filter — O(n·d) per doc on ~60-token docs; a
+    * corpus-scaled variant would explode+count, paying one shuffle).
+    * Determinism: the per-type counts are SORTED before the entropy fold,
+    * so both engines add identical terms in identical order; equal counts
+    * contribute equal addends, so peer order inside the sort can't change
+    * the sum. `entropy_ratio` normalizes by ln(n) (the max achievable when
+    * every token is distinct); the keep gate thresholds the round-6 value
+    * so membership can't flip on a last-ulp double.
+    */
+  val t36 = Q(
+    "t36_token_entropy",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t).cast("double")
+      val cnts = array_sort(
+        transform(array_distinct(t), x => size(filter(t, y => y === x))))
+      val ent = -aggregate(cnts, lit(0.0),
+        (acc, c) => acc + (c.cast("double") / n) * log(c.cast("double") / n))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          round(ent, 6).as("token_entropy"),
+          when(n > 1.0, round(ent / log(n), 6)).otherwise(lit(0.0))
+            .as("entropy_ratio"))
+        .withColumn("keep",
+          (col("token_entropy") >= 2.0) && (col("entropy_ratio") >= 0.5))
+        .orderBy("doc_id")
+    },
+    Some("""with t as (
+      select doc_id, string_split(text, ' ') as toks from documents
+    ), c as (
+      select doc_id, cast(len(toks) as double) as n,
+        list_sort(list_transform(list_distinct(toks),
+          x -> len(list_filter(toks, y -> y = x)))) as cnts
+      from t
+    ), e as (
+      select doc_id, n,
+        -list_sum(list_transform(cnts,
+          c -> (c / n) * ln(c / n))) as ent
+      from c
+    )
+    select doc_id, cast(n as int) as n_tokens,
+      round(ent, 6) + 0.0 as token_entropy,
+      case when n > 1 then round(ent / ln(n), 6) + 0.0
+           else 0.0 end as entropy_ratio,
+      (round(ent, 6) + 0.0 >= 2.0)
+        and (case when n > 1 then round(ent / ln(n), 6) + 0.0
+             else 0.0 end >= 0.5) as keep
+    from e
+    order by doc_id"""),
+    "token-entropy quality gate: zero-shuffle Shannon entropy per doc")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t26, t27, t28, t29, t30,
-      t31, t32, t33, t34, t35)
+      t31, t32, t33, t34, t35, t36)
 }
