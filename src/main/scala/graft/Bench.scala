@@ -7,6 +7,9 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Pinned UTC so events.ts NTZ→timestamp conversion (Tables.events) is
+      // zone-independent even when launched outside sbt's javaOptions.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // Extra session confs for local experiments: SPARK_GRAFT_CONF="k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
@@ -55,7 +58,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the stdout line is one huge JSON blob that log
+    // scrapers (sbt) have truncated before — the file is the durable copy.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -31,6 +31,37 @@ object PlanAudit {
       codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size)
   }
 
+  /** Count of WindowExec nodes with NO partition keys whose input subtree
+    * reaches a table scan without passing a limit — i.e. windows that sort
+    * a corpus-sized input through ONE task. The acceptable un-partitioned
+    * windows (ranking the k survivors of a TakeOrderedAndProject /
+    * GlobalLimit cut, or a per-partition-count table bounded by the
+    * shuffle-partition constant) all have a limit or aggregate between the
+    * window and any scan; a corpus-global `row_number() over (order by …)`
+    * does not, and is exactly the round-3 t32/e8 scale finding.
+    */
+  def unpartitionedCorpusWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def scanBeforeLimit(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec => false
+      case _: FileSourceScanExec => true
+      case _: BatchScanExec => true
+      case a: AdaptiveSparkPlanExec => scanBeforeLimit(a.inputPlan)
+      case other => other.children.exists(scanBeforeLimit)
+    }
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          scanBeforeLimit(w.child) => 1 + walk(w.child)
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]

@@ -30,6 +30,7 @@ object ScaleCheck {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // Extra session confs for experiments: SPARK_GRAFT_CONF="k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>

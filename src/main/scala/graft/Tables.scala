@@ -32,11 +32,18 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.unix_micros(
             org.apache.spark.sql.functions.col("ts")
               .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case other =>
+        // Fail loudly on a testdata format change: a silent cast of an
+        // unexpected type (string, int32 date, …) would null every ts.
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other; " +
+            "expected TIMESTAMP(NANOS) (read as long) or TIMESTAMP(MICROS)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

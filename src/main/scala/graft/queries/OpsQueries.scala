@@ -100,36 +100,50 @@ object OpsQueries {
     "dedup-minhash-lsh: banded candidates (staged) + hash-verified exact rerank")
 
   /** SimHash near-dup on documents — the bit-fingerprint alternative to
-    * d1's MinHash. The 64-bit signatures (xxhash64 token bits, majority
-    * vote — not DuckDB-reproducible) and the chunk-banded candidate pairs
-    * are staged; the oracle independently recomputes the Hamming verify
-    * stage (`bit_count(xor(...))`) and the ≤3 threshold from the same
-    * staged bytes. Candidate recall (pigeonhole at distance ≤ bands-1) is
-    * spec-verified in SimhashDedupSpec.
+    * d1's MinHash. ONLY the 64-bit signatures (xxhash64 token bits,
+    * majority vote — not DuckDB-reproducible) are staged; everything
+    * downstream — chunk banding (`shiftright & mask` is plain integer
+    * arithmetic, identical in both engines), the bucket-size/star-cap skew
+    * guard, the candidate self-join, AND the Hamming verify
+    * (`bit_count(xor)`) at ≤3 — is recomputed independently by the oracle
+    * from the same staged bytes. One staged write + one final action
+    * (round-3 shape chained a second staged write for the pairs: one more
+    * write job + read-back for a WEAKER oracle). Candidate recall
+    * (pigeonhole at distance ≤ bands-1) is spec-verified in
+    * SimhashDedupSpec.
     */
   val simhashNearDup = Q(
     "d2_simhash_neardup",
     (s, dir) => {
-      // One in-memory signature pass feeds both staged writes (the sigs
-      // file and the candidate pairs WITH hamming precomputed), so the
-      // query is two writes + a trivial staged scan instead of three
-      // chained compute jobs. The oracle ignores our hamming column and
-      // recomputes bit_count(xor) from the staged sigs independently, so
-      // the verify stage stays hash-checked at full strength.
-      val sigs = Dedup.simhash64(Tables.documents(s, dir)).persist()
-      Stage.through(sigs, dir, "d2_sigs")
-      val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
-      val staged = Stage.through(pairs, dir, "d2_pairs")
-      sigs.unpersist(blocking = false)
-      staged
+      val sigs = Stage.through(
+        Dedup.simhash64(Tables.documents(s, dir)), dir, "d2_sigs")
+      Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
         .filter(col("hamming") <= 3)
         .orderBy(col("hamming"), col("d1"), col("d2"))
     },
     Some(
       s"""with sigs as (
          |  select doc_id, simhash from ${Stage.sqlPath("d2_sigs")}
+         |), banded as (
+         |  select s.doc_id, g.band,
+         |    (s.simhash >> (g.band * 16)) & 65535 as bucket
+         |  from sigs s cross join range(4) g(band)
+         |), marked as (
+         |  select doc_id, band, bucket,
+         |    count(*) over (partition by band, bucket) as bsize,
+         |    min(doc_id) over (partition by band, bucket) as bmin
+         |  from banded
          |), cand as (
-         |  select d1, d2 from ${Stage.sqlPath("d2_pairs")}
+         |  select distinct d1, d2 from (
+         |    select a.doc_id as d1, b.doc_id as d2
+         |    from marked a
+         |    join marked b on a.band = b.band and a.bucket = b.bucket
+         |      and a.doc_id < b.doc_id
+         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
+         |    union all
+         |    select bmin, doc_id
+         |    from marked
+         |    where bsize > ${Dedup.DefaultMaxBucketSize} and doc_id <> bmin)
          |)
          |select c.d1, c.d2,
          |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
@@ -138,7 +152,7 @@ object OpsQueries {
          |join sigs b on b.doc_id = c.d2
          |where bit_count(xor(a.simhash, b.simhash)) <= 3
          |order by hamming, d1, d2""".stripMargin),
-    "dedup-simhash: 64-bit fingerprint chunk-banded candidates + hash-verified Hamming rerank")
+    "dedup-simhash: staged fingerprints; banding + skew cap + Hamming verify all hash-verified")
 
   /** Near-dup CLUSTERS: d1's pipeline produces verified pairs (exact
     * Jaccard ≥ 0.3 over LSH candidates), then min-label propagation

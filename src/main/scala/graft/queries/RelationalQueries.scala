@@ -899,26 +899,26 @@ object RelationalQueries {
     },
     Some("""with src as (select * from lineitem)
     select 'l_orderkey' as column_name, count(*) as n_rows,
-      sum(case when l_orderkey is null then 1 else 0 end) as n_nulls,
+      cast(sum(case when l_orderkey is null then 1 else 0 end) as bigint) as n_nulls,
       count(distinct l_orderkey) as n_distinct,
       cast(min(l_orderkey) as varchar) as min_value,
       cast(max(l_orderkey) as varchar) as max_value
     from src
     union all
     select 'l_linenumber', count(*),
-      sum(case when l_linenumber is null then 1 else 0 end),
+      cast(sum(case when l_linenumber is null then 1 else 0 end) as bigint),
       count(distinct l_linenumber),
       cast(min(l_linenumber) as varchar), cast(max(l_linenumber) as varchar)
     from src
     union all
     select 'l_returnflag', count(*),
-      sum(case when l_returnflag is null then 1 else 0 end),
+      cast(sum(case when l_returnflag is null then 1 else 0 end) as bigint),
       count(distinct l_returnflag),
       cast(min(l_returnflag) as varchar), cast(max(l_returnflag) as varchar)
     from src
     union all
     select 'l_shipdate', count(*),
-      sum(case when l_shipdate is null then 1 else 0 end),
+      cast(sum(case when l_shipdate is null then 1 else 0 end) as bigint),
       count(distinct l_shipdate),
       cast(min(cast(l_shipdate as date)) as varchar),
       cast(max(cast(l_shipdate as date)) as varchar)

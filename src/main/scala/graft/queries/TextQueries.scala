@@ -1336,8 +1336,9 @@ object TextQueries {
     * broken by doc_id so both engines cut identically). One token explode
     * builds the shared vocabulary model; the scoring join moves tokens
     * once on the word key; the totals ride a 3-number broadcast. The
-    * global rank is a single-partition window here — at corpus scale the
-    * cut is a TakeOrdered top-N, not a sort.
+    * global pick_rank is [[graft.ops.Ranks.globalRowNumber]] — a range-
+    * partitioned parallel sort + zipWithIndex, NOT a single-partition
+    * window, so ranking the whole corpus stays distributed at 100 TB.
     */
   val t32 = Q(
     "t32_dsir_weights",
@@ -1359,10 +1360,9 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(sum(perTok), 6).as("log_weight"))
-      val wr = Window.orderBy(col("log_weight").desc, col("doc_id"))
-      docs.select("doc_id", "lang")
-        .join(scored, Seq("doc_id"))
-        .withColumn("pick_rank", row_number().over(wr))
+      graft.ops.Ranks.globalRowNumber(
+          docs.select("doc_id", "lang").join(scored, Seq("doc_id")),
+          Seq(col("log_weight").desc, col("doc_id")), "pick_rank")
         .withColumn("selected", col("pick_rank") <= 100)
         .select("doc_id", "lang", "n_tokens", "log_weight", "pick_rank",
           "selected")

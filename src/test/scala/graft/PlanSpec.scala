@@ -101,6 +101,20 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("ranking cuts never sort the corpus through one task") {
+    // e8's three top-k cuts are TakeOrderedAndProject + a window over the
+    // k survivors; t32's corpus-wide pick_rank is Ranks.globalRowNumber
+    // (range-sort + zipWithIndex). Neither may plan an un-partitioned
+    // WindowExec whose input reaches a scan without passing a limit —
+    // that shape funnels the whole scored corpus through one task.
+    Seq("e8_hybrid_search", "t32_dsir_weights", "e1_knn_brute",
+      "q14_top_customers_per_nation").foreach { q =>
+      val df = Registry.byName(q).run(spark, Sf)
+      assert(PlanAudit.unpartitionedCorpusWindows(df) == 0,
+        s"$q plans a corpus-global un-partitioned window")
+    }
+  }
+
   test("salted skew aggregation is a bounded two-stage shuffle chain") {
     // q22's whole point: a hot key is split across salts (stage 1 shuffle),
     // then merged (stage 2 shuffle); the final orderBy adds a range
