@@ -56,24 +56,36 @@ object Graphs {
     * dangling nodes (every node has degree >= 1), so no dangling-mass
     * term is needed and total rank mass stays exactly 1 per iteration.
     * Returns (node, pr) unrounded — callers round at the output edge.
+    *
+    * Lineage discipline: rounds chain LAZILY and truncate (eager
+    * `localCheckpoint`) only every `checkpointEvery` rounds — the
+    * unbounded-growth failure mode ([[Components]]' round-2 lesson) needs
+    * truncation, but truncating EVERY round pays one materialization job
+    * per iteration, which is the dominant cost of a short fixed-iteration
+    * run (the whole 3-round q33 floor was ~4 of these jobs). A bounded
+    * unroll of ≤ `checkpointEvery` joins keeps the optimizer's work O(1)
+    * in total iterations while folding several rounds into each scheduled
+    * job. Edges are persisted pre-partitioned on the join key so every
+    * round reuses one side's partitioning.
     */
-  def pagerank(e0: DataFrame, iters: Int, d: Double): DataFrame = {
+  def pagerank(e0: DataFrame, iters: Int, d: Double,
+      checkpointEvery: Int = 4): DataFrame = {
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).cast("double").as("d"))
-    val withDeg = edges.join(deg, "u").persist()
+    val withDeg = edges.join(deg, "u").repartition(col("u")).persist()
     val n = withDeg.select(countDistinct(col("u"))).head().getLong(0).toDouble
     // Initial ranks come off the PERSISTED edge list (not the raw deg
-    // subtree, which would recompute the whole upstream graph build), and
-    // every round truncates lineage eagerly — same discipline as
-    // [[Components]]: the round plan stays O(1) in the iteration number
-    // instead of the optimizer re-walking an unrolled tree each action.
+    // subtree, which would recompute the whole upstream graph build).
     var ranks = withDeg.select(col("u").as("node")).distinct()
       .select(col("node"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val next = pagerankRound(ranks, withDeg, n, d).localCheckpoint(true)
-      ranks.unpersist(blocking = false)
-      ranks = next
+    var sinceTruncate = 0
+    for (i <- 1 to iters) {
+      ranks = pagerankRound(ranks, withDeg, n, d)
+      sinceTruncate += 1
+      if (sinceTruncate >= checkpointEvery && i < iters) {
+        ranks = ranks.localCheckpoint(true)
+        sinceTruncate = 0
+      }
     }
     ranks
   }

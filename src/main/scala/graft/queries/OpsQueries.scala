@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -761,9 +762,163 @@ object OpsQueries {
          |order by e.query_id""".stripMargin),
     "ANN eval: recall@5 of LSH candidates vs brute-force exact top-5, fully hash-verified")
 
+  /** Recall@5 for the OTHER two index types — IVF cell-probing (e6's
+    * construction) and int8 scalar quantization (e7's) — against the same
+    * brute-force float ground truth as [[annRecall]], one row per
+    * (index_type, query). Together with e10 this closes the eval loop over
+    * all three ANN families: every index the library ships carries a
+    * hash-verified recall number, which is the number a 100 TB deployment
+    * actually tunes against (nProbe, planes/probes, quantization width).
+    * The IVF candidates and the quantized vectors are staged; scoring,
+    * ranking, the hit join, and the recall ratio are all recomputed
+    * independently by the oracle.
+    */
+  val annRecallMulti = Q(
+    "e11_ann_recall_multi",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val seeds = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val centroids = Similarity.kmeansStep(emb, "embedding",
+        Similarity.kmeansStep(emb, "embedding", seeds))
+      val ivfCands = Stage.through(
+        Similarity.ivfCandidatePairs(emb, queries, "vec_id", "embedding",
+          centroids, nProbe = 3),
+        dir, "e11_ivf_cands")
+      val ivfTop = Similarity
+        .rerankTopK(ivfCands, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val qvecs = Stage.through(
+        Similarity.quantizeInt8(emb, "vec_id", "embedding"), dir, "e11_qvecs")
+      val quantTop = Similarity
+        .quantizedTopK(qvecs, qvecs.filter(col("vec_id") < 20), "vec_id",
+          k = 5, c => graft.Norm.rz(c, 4))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      // Shared float ground truth (the e10 shape): deliberate broadcast
+      // brute-force over the SAMPLED query set; persisted — it feeds both
+      // recall legs.
+      val allPairs = broadcast(queries.select(col("vec_id").as("query_id")))
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val exact = Similarity
+        .rerankTopK(allPairs, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"))
+        .persist()
+      def recallOf(ann: DataFrame, label: String): DataFrame =
+        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(lit(label).as("index_type"), col("query_id"),
+            col("n_exact"), col("n_hits"),
+            graft.Norm.rz(col("n_hits") / col("n_exact").cast("double"), 4)
+              .as("recall_at_5"))
+      recallOf(ivfTop, "ivf").unionAll(recallOf(quantTop, "quantized"))
+        .orderBy("index_type", "query_id")
+    },
+    Some(
+      s"""with ex_pairs as (
+         |  select q.vec_id as query_id, c.vec_id as neighbor_id,
+         |    q.embedding as qe, c.embedding as ce
+         |  from embeddings q, embeddings c
+         |  where q.vec_id < 20 and c.vec_id != q.vec_id
+         |), ex_flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from ex_pairs
+         |), ex_dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from ex_flat group by query_id, neighbor_id
+         |), ex_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+         |          neighbor_id) as rk
+         |    from ex_dots) t
+         |  where rk <= 5
+         |), ivf_cands as (
+         |  select query_id, neighbor_id from ${Stage.sqlPath("e11_ivf_cands")}
+         |), ivf_pairs as (
+         |  select c.query_id, c.neighbor_id, q.embedding as qe, n.embedding as ce
+         |  from ivf_cands c
+         |  join embeddings q on q.vec_id = c.query_id
+         |  join embeddings n on n.vec_id = c.neighbor_id
+         |), ivf_flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from ivf_pairs
+         |), ivf_dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from ivf_flat group by query_id, neighbor_id
+         |), ivf_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+         |          neighbor_id) as rk
+         |    from ivf_dots) t
+         |  where rk <= 5
+         |), qv as (
+         |  select vec_id, scale, qvec from ${Stage.sqlPath("e11_qvecs")}
+         |), q_pairs as (
+         |  select q.vec_id as query_id, c.vec_id as neighbor_id,
+         |    q.scale as qs, c.scale as cs, q.qvec as qvv, c.qvec as cv
+         |  from qv q, qv c
+         |  where q.vec_id < 20 and c.vec_id != q.vec_id
+         |), q_flat as (
+         |  select query_id, neighbor_id, qs, cs,
+         |    unnest(qvv)::bigint as a, unnest(cv)::bigint as b
+         |  from q_pairs
+         |), q_dots as (
+         |  select query_id, neighbor_id, any_value(qs) as qs, any_value(cs) as cs,
+         |    sum(a * b) as dp, sum(a * a) as nq, sum(b * b) as nc
+         |  from q_flat group by query_id, neighbor_id
+         |), q_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round((dp::double * qs * cs) /
+         |          nullif(sqrt(nq::double) * qs * (sqrt(nc::double) * cs), 0),
+         |          4) + 0.0 desc, neighbor_id) as rk
+         |    from q_dots) t
+         |  where rk <= 5
+         |), leg_ivf as (
+         |  select 'ivf' as index_type, e.query_id,
+         |    count(*) as n_exact,
+         |    cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      as bigint) as n_hits,
+         |    round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      / cast(count(*) as double), 4) + 0.0 as recall_at_5
+         |  from ex_top e
+         |  left join ivf_top a
+         |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+         |  group by e.query_id
+         |), leg_q as (
+         |  select 'quantized' as index_type, e.query_id,
+         |    count(*) as n_exact,
+         |    cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      as bigint) as n_hits,
+         |    round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      / cast(count(*) as double), 4) + 0.0 as recall_at_5
+         |  from ex_top e
+         |  left join q_top a
+         |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+         |  group by e.query_id
+         |)
+         |select * from leg_ivf
+         |union all
+         |select * from leg_q
+         |order by index_type, query_id""".stripMargin),
+    "ANN eval: recall@5 of IVF and int8-quantized search vs exact top-5 — all three index families eval'd")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, annRecall,
-      mediaStats, imageFeatures, frameSample, audioFeatures, imageNearDup,
-      semanticDedup)
+      annRecallMulti, mediaStats, imageFeatures, frameSample, audioFeatures,
+      imageNearDup, semanticDedup)
 }
