@@ -100,6 +100,16 @@ object ScaleCheck {
         Dedup.incrementalNew(corpus, batch, "h",
           expectedItems = nDocs).count()
       }
+      // Corpus-wide global ranking (the t32 shape): range-partitioned
+      // parallel sort + zipWithIndex, never a single-partition window.
+      // Cost must track the distributed sort; max(rk) == corpus size
+      // proves the dense 1..N permutation at every scale.
+      val (tRank, nRanked) = time {
+        graft.ops.Ranks.globalRowNumber(
+          docs.select(col("doc_id"), length(col("text")).as("score")),
+          Seq(col("score").desc, col("doc_id")), "rk")
+          .agg(max("rk")).head.getLong(0)
+      }
       docs.unpersist(blocking = true)
       System.gc()
 
@@ -172,6 +182,7 @@ object ScaleCheck {
         f""""simhash_s":$tSim%.2f,"sim_pairs":$nSim,""" +
         f""""substr_s":$tSubstr%.2f,"covered_toks":$nCovered,""" +
         f""""bloom_incr_s":$tBloom%.2f,"new_docs":$nNew,""" +
+        f""""global_rank_s":$tRank%.2f,"ranked":$nRanked,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
         f""""graph_tri_s":$tGraph%.2f,"triangles":$nTri,""" +
