@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Times every registry query on
+  * `SPARK_GRAFT_SF_DIR` at `local[SPARK_GRAFT_CPUS]` and prints ONE compact
+  * JSON line `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":..}`.
+  *
+  * Methodology (round 5): one untimed warm pass per query, then
+  * `SPARK_GRAFT_PASSES` (default 3) timed passes; the reported number is the
+  * MEDIAN of the timed passes. Single-run artifacts proved to be the gate's
+  * largest error bar — the round-4 driver capture showed d1_lsh_neardup at
+  * 8.06 s purely from host noise (steady-state re-measures: 2.3-2.4 s); the
+  * median of three collapses that noise without hiding real regressions.
+  * Per-query min/max land in the `bench_latest.json` file artifact.
+  */
 object Bench {
+  private def round3(v: Double): Double = math.rint(v * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,48 +40,68 @@ object Bench {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 limits the set; unset
     // (the driver's mode) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Steady-state methodology: one untimed warm pass per query (codegen
-    // compilation + JIT are engine warm-up, not query cost), then clear all
-    // DATA caches so the timed pass recomputes every byte — persisted
-    // intermediates re-materialize inside the timed region. Disable with
-    // SPARK_GRAFT_COLD=1 to measure cold-start instead.
+    // One untimed warm pass per query (codegen compilation + JIT are engine
+    // warm-up, not query cost). Disable with SPARK_GRAFT_COLD=1 to measure
+    // cold-start instead (which also drops to a single timed pass).
     val warmRuns = !sys.env.contains("SPARK_GRAFT_COLD")
+    val passes =
+      if (!warmRuns) 1
+      else sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         if (warmRuns) {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => }
         }
-        // Each timed pass starts from a clean slate: no cached blocks left
-        // behind by earlier queries (their persist() calls would otherwise
-        // squat on storage memory for the rest of the run) and no carried
-        // garbage — the GC runs OUTSIDE the timed region so query k doesn't
-        // pay for query k-1's allocations.
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
-        // A failing query reports -1, loudly — never its time-to-exception
-        // masquerading as a legitimate duration.
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
+        val times = (1 to passes).map { _ =>
+          // Each timed pass starts from a clean slate: no cached blocks left
+          // behind by earlier queries/passes (their persist() calls would
+          // otherwise squat on storage memory and make pass 2 measure cache
+          // hits, not the engine) and no carried garbage — the GC runs
+          // OUTSIDE the timed region so pass k doesn't pay for pass k-1's
+          // allocations.
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          // A failing pass reports -1, loudly — never its time-to-exception
+          // masquerading as a legitimate duration.
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+        if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
+        else {
+          val s = times.sorted
+          name -> (s(s.length / 2), s.head, s.last) // (median, min, max)
+        }
+      }
+    val qs = results.map { case (k, (med, _, _)) =>
+      "\"" + k + "\":" + round3(med)
+    }.mkString("{", ",", "}")
+    val total = round3(results.map(_._2._1).filter(_ >= 0).sum)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median"}"""
+    // The compact line goes out FIRST (and is this program's only stdout
+    // output): the driver scrapes sbt's stdout and has truncated long tails
+    // before — leading with the payload gives the scrape its best chance.
     println(json)
-    // Also persist to a file: the stdout line is one huge JSON blob that log
-    // scrapers (sbt) have truncated before — the file is the durable copy.
+    // Durable copy with the full per-query spread (median/min/max over the
+    // timed passes) — the stdout line stays in the driver's expected
+    // {"queries":{name:sec}} shape.
+    val detail = results.map { case (k, (med, mn, mx)) =>
+      "\"" + k + "\":{\"median\":" + round3(med) + ",\"min\":" + round3(mn) +
+        ",\"max\":" + round3(mx) + "}"
+    }.mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","detail":$detail}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")

@@ -1,0 +1,56 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Dev loop: profile ONE registry query's job structure — how many Spark
+  * jobs an action fans into, and where wall-clock goes. The multi-job
+  * scheduling floor (~0.3 s/job on this box) is invisible in `.explain` but
+  * dominates short iterative queries; this makes it measurable.
+  * Usage: runMain graft.JobProf <queryName> <sfDir>
+  */
+object JobProf {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = Registry.byName(name)
+    // Warm pass: codegen/JIT/parquet-footer caches are engine startup.
+    try q.run(spark, sfDir).count() catch { case _: Throwable => }
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+    val jobs = mutable.ArrayBuffer[(Int, Long, Long, Int)]() // id, t0, t1, stages
+    val starts = mutable.Map[Int, (Long, Int)]()
+    var stageTaskTime = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts.synchronized { starts(j.jobId) = (j.time, j.stageInfos.size) }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.synchronized {
+          starts.get(j.jobId).foreach { case (t0, ns) =>
+            jobs += ((j.jobId, t0, j.time, ns))
+          }
+        }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stageTaskTime += s.stageInfo.taskMetrics.executorRunTime
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    q.run(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1000) // let the listener bus drain
+    println(f"wall=$wall%.3f s  jobs=${jobs.size}  " +
+      f"sumJobWall=${jobs.map(j => j._3 - j._2).sum / 1e3}%.3f s  " +
+      f"executorTaskTime=${stageTaskTime / 1e3}%.3f s")
+    jobs.sortBy(_._2).foreach { case (id, s, e, ns) =>
+      println(f"  job $id%3d: ${(e - s) / 1e3}%6.3f s  stages=$ns")
+    }
+    spark.stop()
+  }
+}

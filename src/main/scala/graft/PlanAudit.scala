@@ -122,7 +122,7 @@ object PlanAudit {
       .localCheckpoint(true)
     val ranks = Seq((1L, 0.4), (2L, 0.3), (3L, 0.3)).toDF("node", "pr")
       .localCheckpoint(true)
-    graft.ops.Graphs.pagerankRound(ranks, withDeg, n = 3.0, d = 0.85)
+    graft.ops.Graphs.pagerankRound(ranks, withDeg, d = 0.85)
   }
 
   /** One connected-components propagation round over checkpoint-backed

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over item co-occurrence (reference analog: none — this
@@ -20,16 +21,35 @@ object Graphs {
 
   /** Undirected support-pruned co-purchase edges (u < v) from a lineitem
     * projection (`l_orderkey`, `l_partkey`): parts co-occurring in at
-    * least `minSupport` distinct orders.
+    * least `minSupport` orders (line-pair multiplicity, matching the
+    * self-join spelling `a.l_partkey < b.l_partkey on same l_orderkey`).
+    *
+    * Built basket-first rather than as a self-join: collect each order's
+    * (sorted) part list in one shuffle, explode the in-basket pairs with a
+    * higher-order function, then aggregate support. Same two shuffles the
+    * self-join plan bottoms out in, but the join — which re-shuffles the
+    * full fact table twice and materializes every row pair through a join
+    * operator — is replaced by a partition-local array expansion (measured
+    * ~20% cheaper at sf0.1, and the basket agg bounds memory by max lines
+    * per order, ~7 for TPC-H-shaped data). Skew note for 100 TB: a
+    * pathological mega-basket of k lines emits k² pairs from one row;
+    * TPC-H-shaped orders are bounded tiny, and the support filter prunes
+    * before anything downstream.
     */
   def coPurchaseEdges(li: DataFrame, minSupport: Int): DataFrame = {
-    val p = li.select("l_orderkey", "l_partkey")
-    p.join(p.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
-      .filter(col("l_partkey") < col("p2"))
-      .groupBy(col("l_partkey"), col("p2"))
+    val basket = li.select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+    basket.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+           filter(transform(slice(parts, i + 2, size(parts)),
+                  y -> struct(x as u, y as v)),
+                  s -> s.u <> s.v)))""")).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .groupBy("u", "v")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .select(col("l_partkey").as("u"), col("p2").as("v"))
+      .select("u", "v")
   }
 
   /** One row: n_edges, n_wedges, n_triangles for an oriented (u < v) edge
@@ -51,58 +71,95 @@ object Graphs {
         count(col("closed")).as("n_triangles")))
   }
 
-  /** PageRank over the symmetrization of an oriented edge list, `iters`
-    * fixed BSP iterations at damping `d`. The symmetrized graph has no
-    * dangling nodes (every node has degree >= 1), so no dangling-mass
-    * term is needed and total rank mass stays exactly 1 per iteration.
-    * Returns (node, pr) unrounded — callers round at the output edge.
+  /** PageRank over the symmetrization of an oriented edge list — convenience
+    * wrapper over [[pagerankSymmetric]] for callers holding u < v edges.
+    * The reversed branch duplicates the edge-build subtree in the logical
+    * plan; its shuffle is deduped at runtime by exchange reuse.
+    */
+  def pagerank(e0: DataFrame, iters: Int, d: Double,
+      checkpointEvery: Int = 4): DataFrame =
+    pagerankSymmetric(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))),
+      iters, d, checkpointEvery)
+
+  /** PageRank over an already-symmetric edge list, `iters` fixed BSP
+    * iterations at damping `d`. A symmetric graph has no dangling nodes
+    * (every node has degree >= 1), so no dangling-mass term is needed and
+    * total rank mass stays exactly 1 per iteration. Returns (node, pr)
+    * unrounded — callers round at the output edge.
     *
-    * Lineage discipline: rounds chain LAZILY and truncate (eager
+    * Runs in SCALED form: the iterate carried between rounds is
+    * P = pr·n (n = node count), whose recurrence
+    * `P' = (1-d) + d·Σ P_u/deg_u` needs no n at all — so the node count
+    * never has to be computed eagerly on the driver, the initial rank is
+    * the constant 1.0, and the whole multi-round computation stays ONE lazy
+    * plan executed by a single action (the round-4 spelling spent a
+    * measurable slice of its wall-clock on the up-front `count(distinct)`
+    * job that only existed to seed 1/n). The division by n happens once at
+    * the output edge, against a broadcast single-row aggregate.
+    *
+    * Exchange discipline: degrees are attached with a whole-partition
+    * window over `u` rather than a groupBy+join — one exchange to
+    * hashpartitioning(u) that simultaneously IS the persisted layout every
+    * round's join reuses (the window's partition-local sort also leaves the
+    * cache sorted on u, so the round join needs neither exchange nor sort
+    * on the edges side). Rank rounds chain LAZILY and truncate (eager
     * `localCheckpoint`) only every `checkpointEvery` rounds — the
     * unbounded-growth failure mode ([[Components]]' round-2 lesson) needs
     * truncation, but truncating EVERY round pays one materialization job
     * per iteration, which is the dominant cost of a short fixed-iteration
-    * run (the whole 3-round q33 floor was ~4 of these jobs). A bounded
-    * unroll of ≤ `checkpointEvery` joins keeps the optimizer's work O(1)
-    * in total iterations while folding several rounds into each scheduled
-    * job. Edges are persisted pre-partitioned on the join key so every
-    * round reuses one side's partitioning.
+    * run. A bounded unroll of ≤ `checkpointEvery` joins keeps the
+    * optimizer's work O(1) in total iterations while folding several
+    * rounds into each scheduled job; superseded checkpoints are unpersisted
+    * as soon as their successor materializes, so long runs hold at most one
+    * checkpointed rank table in storage memory.
     */
-  def pagerank(e0: DataFrame, iters: Int, d: Double,
+  def pagerankSymmetric(edges: DataFrame, iters: Int, d: Double,
       checkpointEvery: Int = 4): DataFrame = {
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).cast("double").as("d"))
-    val withDeg = edges.join(deg, "u").repartition(col("u")).persist()
-    val n = withDeg.select(countDistinct(col("u"))).head().getLong(0).toDouble
-    // Initial ranks come off the PERSISTED edge list (not the raw deg
-    // subtree, which would recompute the whole upstream graph build).
+    // persist() is lazy: the cache materializes inside the first round's
+    // job, not as a separate up-front action.
+    val withDeg = edges.withColumn("d",
+      count(lit(1)).over(Window.partitionBy("u")).cast("double")).persist()
+    // Scaled initial rank: P0 = 1.0 for every node. The distinct reuses the
+    // cache's hashpartitioning(u) — no exchange.
     var ranks = withDeg.select(col("u").as("node")).distinct()
-      .select(col("node"), lit(1.0 / n).as("pr"))
+      .select(col("node"), lit(1.0).as("pr"))
+    var lastCheckpoint: DataFrame = null
     var sinceTruncate = 0
     for (i <- 1 to iters) {
-      ranks = pagerankRound(ranks, withDeg, n, d)
+      ranks = pagerankRound(ranks, withDeg, d)
       sinceTruncate += 1
       if (sinceTruncate >= checkpointEvery && i < iters) {
-        ranks = ranks.localCheckpoint(true)
+        // localCheckpoint(eager = true) returns only after the new round's
+        // blocks exist, so dropping the superseded checkpoint here is safe.
+        val cp = ranks.localCheckpoint(true)
+        if (lastCheckpoint != null) lastCheckpoint.unpersist(false)
+        lastCheckpoint = cp
+        ranks = cp
         sinceTruncate = 0
       }
     }
-    ranks
+    // Unscale: pr = P/n. n is a single-row aggregate off the cached edges,
+    // attached by broadcast — no extra shuffle, no driver action.
+    val nn = broadcast(
+      withDeg.select(countDistinct(col("u")).cast("double").as("n")))
+    ranks.crossJoin(nn).select(col("node"), (col("pr") / col("n")).as("pr"))
   }
 
-  /** One BSP PageRank round — the recurring unit of [[pagerank]]: scatter
-    * rank/degree along out-edges, gather by destination, apply damping.
-    * One shuffle (the gather aggregate); the edges side is persisted by the
-    * caller so each round pays exactly this plan. Audited as `q33_round` in
-    * `PlanAudit` (whole-query fingerprints of iterative operators count the
-    * printed cached-subtree references, not the recurring execution cost).
+  /** One BSP PageRank round in scaled form — the recurring unit of
+    * [[pagerankSymmetric]]: scatter P/degree along out-edges, gather by
+    * destination, apply damping (`P' = (1-d) + d·m`). One shuffle (the
+    * gather aggregate); the edges side is persisted by the caller so each
+    * round pays exactly this plan. Audited as `q33_round` in `PlanAudit`
+    * (whole-query fingerprints of iterative operators count the printed
+    * cached-subtree references, not the recurring execution cost).
     */
-  def pagerankRound(ranks: DataFrame, withDeg: DataFrame, n: Double,
+  def pagerankRound(ranks: DataFrame, withDeg: DataFrame,
       d: Double): DataFrame =
     ranks
       .join(withDeg, ranks("node") === withDeg("u"))
       .select(col("v").as("node"), (col("pr") / col("d")).as("c"))
       .groupBy("node")
       .agg(sum("c").as("m"))
-      .select(col("node"), (lit((1.0 - d) / n) + lit(d) * col("m")).as("pr"))
+      .select(col("node"), (lit(1.0 - d) + lit(d) * col("m")).as("pr"))
 }

@@ -1123,9 +1123,12 @@ object RelationalQueries {
     * lineage stays bounded (the unbounded-iteration variant with lineage
     * truncation lives in `ops.Components`). The graph has no dangling
     * nodes by construction (symmetrized, every node has degree >= 1), so
-    * no dangling-mass redistribution term is needed. The only driver-side
-    * value is the node count — a single scalar. Oracle: the same three
-    * iterations unrolled as chained CTEs; only the final rank is rounded.
+    * no dangling-mass redistribution term is needed. Runs in scaled form
+    * (P = pr·n, so P0 = 1.0 and the node count is only needed at the
+    * output edge, attached by broadcast) — NO driver-side value at all;
+    * the whole query is one lazy plan under a single action. Oracle: the
+    * same three scaled iterations unrolled as chained CTEs; the unscaling
+    * division and the rounding happen together at the output edge.
     */
   val q33 = Q(
     "q33_pagerank",
@@ -1147,33 +1150,33 @@ object RelationalQueries {
     ), nn as (
       select cast(count(*) as double) as n from deg
     ), r0 as (
-      select u as node, cast(1.0 as double) / nn.n as pr from deg, nn
+      select u as node, cast(1.0 as double) as p from deg
     ), c1 as (
-      select e.v as node, sum(r.pr / d.d) as m
+      select e.v as node, sum(r.p / d.d) as m
       from r0 r join deg d on d.u = r.node join edges e on e.u = r.node
       group by 1
     ), r1 as (
-      select node, (cast(1.0 as double) - cast(0.85 as double)) / nn.n
-        + cast(0.85 as double) * m as pr
-      from c1, nn
+      select node, (cast(1.0 as double) - cast(0.85 as double))
+        + cast(0.85 as double) * m as p
+      from c1
     ), c2 as (
-      select e.v as node, sum(r.pr / d.d) as m
+      select e.v as node, sum(r.p / d.d) as m
       from r1 r join deg d on d.u = r.node join edges e on e.u = r.node
       group by 1
     ), r2 as (
-      select node, (cast(1.0 as double) - cast(0.85 as double)) / nn.n
-        + cast(0.85 as double) * m as pr
-      from c2, nn
+      select node, (cast(1.0 as double) - cast(0.85 as double))
+        + cast(0.85 as double) * m as p
+      from c2
     ), c3 as (
-      select e.v as node, sum(r.pr / d.d) as m
+      select e.v as node, sum(r.p / d.d) as m
       from r2 r join deg d on d.u = r.node join edges e on e.u = r.node
       group by 1
     ), r3 as (
-      select node, (cast(1.0 as double) - cast(0.85 as double)) / nn.n
-        + cast(0.85 as double) * m as pr
-      from c3, nn
+      select node, (cast(1.0 as double) - cast(0.85 as double))
+        + cast(0.85 as double) * m as p
+      from c3
     )
-    select node, round(pr, 6) + 0.0 as pr from r3 order by node"""),
+    select node, round(p / nn.n, 6) + 0.0 as pr from r3, nn order by node"""),
     "pagerank: 3 BSP iterations over the support-pruned co-purchase graph")
 
   /** Salted replicated JOIN — the skew-join half of the playbook q22's
