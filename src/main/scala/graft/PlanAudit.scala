@@ -45,9 +45,17 @@ object PlanAudit {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     def scanBeforeLimit(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: LocalLimitExec |
           _: TakeOrderedAndProjectExec => false
+      // Aggregates bound the window input too: rows above a final aggregate
+      // are one-per-group (the per-partition-count / vocabulary cases), not
+      // corpus-sized. Partial aggregates pass rows through 1:group, but a
+      // window can only sit above a FINAL aggregate, so stopping at any
+      // aggregate node is safe for this walk.
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+          _: SortAggregateExec => false
       case _: FileSourceScanExec => true
       case _: BatchScanExec => true
       case a: AdaptiveSparkPlanExec => scanBeforeLimit(a.inputPlan)
@@ -68,6 +76,10 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // Same UTC pin as every other entrypoint: plan construction executes
+      // real jobs for staged/eagerly-ranked queries, so the audit must not
+      // run tz-dependent computation when launched outside sbt's javaOptions.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -14,6 +14,9 @@ import graft.ops.{Components, Dedup, Similarity}
   *
   * Run: `sbt "runMain graft.ScaleCheck [sfDir] [replications...]"`, e.g.
   * `sbt "runMain graft.ScaleCheck /root/testdata/sf0.1 1 4 10"`.
+  * `SPARK_GRAFT_LEGS=lsh_cand,simhash,bloom,global_rank` restricts to the
+  * named legs — how the rep=100 decade runs the cheap dedup family without
+  * paying for a 100× clustering/substring pass.
   */
 object ScaleCheck {
 
@@ -51,6 +54,15 @@ object ScaleCheck {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // Leg filter for deep-decade runs: SPARK_GRAFT_LEGS=lsh_cand,simhash,…
+    // runs only the named legs (the rep=100 sweep times the cheap dedup
+    // family without paying for a 100× clustering/substring pass). Skipped
+    // legs report -1.
+    val legFilter = sys.env.get("SPARK_GRAFT_LEGS")
+      .map(_.split(",").map(_.trim).toSet)
+    def leg(name: String)(f: => (Double, Long)): (Double, Long) =
+      if (legFilter.forall(_.contains(name))) f else (-1.0, -1L)
+
     reps.foreach { r =>
       // Leg isolation (same discipline as graft.Bench): an earlier leg's
       // cached blocks and garbage must not tax this leg's timings —
@@ -63,10 +75,10 @@ object ScaleCheck {
         .persist()
       val nDocs = docs.count() // materialize outside the timed region
 
-      val (tCand, nCand) = time {
+      val (tCand, nCand) = leg("lsh_cand")(time {
         Dedup.candidatePairs(docs).count()
-      }
-      val (tFull, nClusters) = time {
+      })
+      val (tFull, nClusters) = leg("clusters")(time {
         val sh = Dedup.shingles(docs, "text", 5).persist()
         val pairs = Dedup.rerankJaccardOnShingles(
             Dedup.candidatePairsFromShingles(sh), sh)
@@ -75,58 +87,58 @@ object ScaleCheck {
           .select(countDistinct("label")).head.getLong(0)
         sh.unpersist(blocking = true)
         n
-      }
-      val (tSim, nSim) = time {
+      })
+      val (tSim, nSim) = leg("simhash")(time {
         Dedup.simhashNearDuplicates(docs).count()
-      }
+      })
       // Substring coverage worst case: replicas share text, so EVERY
       // 10-gram is cross-doc duplicated and the coverage pass sees ALL
       // gram starts (its upper bound = corpus token count). Cost must stay
       // ≈ linear in R; the gram window is the only corpus-sized shuffle.
-      val (tSubstr, nCovered) = time {
+      val (tSubstr, nCovered) = leg("substr")(time {
         Dedup.substringCoverage(docs)
           .agg(sum("covered_tokens")).head.getLong(0)
-      }
+      })
       // Incremental dedup: corpus = replica 0, batch = everything else —
       // at R=10 the batch is 9× the corpus and EVERY batch row is a true
       // duplicate (replicas share text), the bloom prefilter's worst case:
       // nothing is proven-new, all rows reach the verify join. Cost must
       // stay ≈ one corpus pass + one batch-sized join, linear in R.
-      val (tBloom, nNew) = time {
+      val (tBloom, nNew) = leg("bloom")(time {
         val corpus = docs.filter(col("doc_id") < 10000000L)
           .select(md5(col("text")).as("h"))
         val batch = docs.filter(col("doc_id") >= 10000000L)
           .select(col("doc_id"), md5(col("text")).as("h"))
         Dedup.incrementalNew(corpus, batch, "h",
           expectedItems = nDocs).count()
-      }
+      })
       // Corpus-wide global ranking (the t32 shape): range-partitioned
       // parallel sort + zipWithIndex, never a single-partition window.
       // Cost must track the distributed sort; max(rk) == corpus size
       // proves the dense 1..N permutation at every scale.
-      val (tRank, nRanked) = time {
+      val (tRank, nRanked) = leg("global_rank")(time {
         graft.ops.Ranks.globalRowNumber(
           docs.select(col("doc_id"), length(col("text")).as("score")),
           Seq(col("score").desc, col("doc_id")), "rk")
           .agg(max("rk")).head.getLong(0)
-      }
+      })
       docs.unpersist(blocking = true)
       System.gc()
 
       val emb = replicate(Tables.embeddings(spark, sfDir), "vec_id", r)
         .persist()
       emb.count()
-      val (tAnn, nAnn) = time {
+      val (tAnn, nAnn) = leg("ann")(time {
         Similarity.lshCandidatePairs(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding").count()
-      }
-      val (tQuant, nQuant) = time {
+      })
+      val (tQuant, nQuant) = leg("quant")(time {
         val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").persist()
         val n = Similarity.quantizedTopK(
           q, q.filter(col("vec_id") < 20), "vec_id", 5).count()
         q.unpersist(blocking = true)
         n
-      }
+      })
       emb.unpersist(blocking = true)
 
       // Graph scaling: offset BOTH orderkey and partkey per replica, so the
@@ -139,17 +151,17 @@ object ScaleCheck {
         .select(
           (col("l_orderkey") + col("__rep") * 100000000L).as("l_orderkey"),
           (col("l_partkey") + col("__rep") * 10000000L).as("l_partkey"))
-      val (tGraph, nTri) = time {
+      val (tGraph, nTri) = leg("graph_tri")(time {
         val e = graft.ops.Graphs.coPurchaseEdges(li, minSupport = 2).persist()
         val tri = graft.ops.Graphs.triangleStats(e)
           .head.getAs[Long]("n_triangles")
         e.unpersist(blocking = true)
         tri
-      }
-      val (tPr, nNodes) = time {
+      })
+      val (tPr, nNodes) = leg("pagerank")(time {
         val e = graft.ops.Graphs.coPurchaseEdges(li, minSupport = 2)
         graft.ops.Graphs.pagerank(e, iters = 3, d = 0.85).count()
-      }
+      })
 
       // Streaming scaling: replicas share timestamps, so the data volume
       // grows R× while the window-state size stays CONSTANT — exactly the
@@ -167,7 +179,7 @@ object ScaleCheck {
           new java.sql.Timestamp(maxTs.getTime + hours * 3600 * 1000L)))
           .toDF(evCols: _*)
       }
-      val (tStream, nWindows) = time {
+      val (tStream, nWindows) = leg("stream")(time {
         graft.streaming.BoundedStream.run(
           spark, s"${Stage.Root}/scalecheck_rep$r", ev,
           (hb(10, -1L), hb(20, -2L)),
@@ -175,7 +187,7 @@ object ScaleCheck {
             .groupBy(window(col("ts"), "1 hour"), col("event_type"))
             .agg(count(lit(1)).as("n_events")))
           .filter(col("event_type") =!= "_hb").count()
-      }
+      })
 
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +
         f""""dedup_cluster_s":$tFull%.2f,"clusters":$nClusters,""" +

