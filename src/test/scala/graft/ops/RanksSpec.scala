@@ -42,6 +42,35 @@ class RanksSpec extends SparkSpec {
     assert(ranks.toSeq == (1L to n.toLong))
   }
 
+  test("boundedRank's constant key survives optimization (no WARN regression)") {
+    import spark.implicits._
+    // boundedRank exists to rank limit-bounded survivors WITHOUT an
+    // empty-partition WindowExec (whose AllTuples requirement logs the
+    // "No Partition Defined for Window" WARN). Its pmod(hash, 1) key is
+    // constant-valued but must NOT be recognized as such: if a future
+    // optimizer rule folds it away (as EliminateWindowPartitions does to
+    // lit(0), and arithmetic simplification to hash*0), the partitionless
+    // window quietly returns. Pin both the plan property and the values.
+    val df = Seq((3L, 1.0), (1L, 2.0), (2L, 2.0)).toDF("id", "score")
+      .orderBy(col("score").desc, col("id")).limit(3)
+    val ranked = Ranks.boundedRank(df, Seq(col("score").desc, col("id")), "rk")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.inputPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val ws = windows(ranked.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "boundedRank must plan a WindowExec")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "boundedRank's window lost its partition key - the global-window " +
+        "WARN and AllTuples requirement are back")
+    assert(ranked.orderBy("rk").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("the underlying sort is range-partitioned, not a single partition") {
     import spark.implicits._
     val df = spark.range(500).select(col("id"), (col("id") % 13).as("score"))
