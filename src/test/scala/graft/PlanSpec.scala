@@ -126,7 +126,7 @@ class PlanSpec extends SparkSpec {
     // WindowExec whose input reaches a scan without passing a limit —
     // that shape funnels the whole scored corpus through one task.
     Seq("e8_hybrid_search", "t32_dsir_weights", "e1_knn_brute",
-      "q14_top_customers_per_nation").foreach { q =>
+      "q14_top_customers_per_nation", "t37_bpe_apply").foreach { q =>
       val df = Registry.byName(q).run(spark, Sf)
       assert(PlanAudit.unpartitionedCorpusWindows(df) == 0,
         s"$q plans a corpus-global un-partitioned window")
