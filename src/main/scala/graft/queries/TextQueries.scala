@@ -1727,7 +1727,9 @@ object TextQueries {
     * before packing/pricing a training run).
     *
     * The merge ranks (t30's top-20 pair statistics, ordered count desc /
-    * pair asc) are staged once; both engines then apply them in rank order.
+    * pair asc) are staged once; both engines then apply them in rank order
+    * (learn/apply kernels in [[graft.ops.Bpe]], shared with ScaleCheck's
+    * bpe leg).
     * The segmentation kernel is PURE column expressions — no UDF, no
     * mapPartitions: a document is lifted to a delimited symbol string
     * (every char wrapped as ␁c␂), and one merge pass IS `replace(s,
@@ -1752,34 +1754,16 @@ object TextQueries {
   val t37 = Q(
     "t37_bpe_apply",
     (s, dir) => {
-      // t30's merge statistic, staged as the shared merge table.
-      val mergeStats = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(w) - 1)," +
-            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(20)
-      val staged = graft.Stage.through(mergeStats, dir, "t37_merges")
-      // Rank order as a sorted array: struct sort on (-n, pair) = rank
-      // order, no window needed over the 20-row table.
-      val rules = staged.agg(sort_array(collect_list(
-        struct((-col("n")).as("negn"), col("pair").as("pair")))).as("rules"))
-      val segmented = Tables.documents(s, dir)
-        .crossJoin(broadcast(rules))
-        .select(col("doc_id"), expr(
-          """aggregate(rules,
-               regexp_replace(text, '(.)', concat(char(1), '$1', char(2))),
-               (acc, r) -> replace(acc,
-                 concat(char(1), substring(r.pair, 1, 1), char(2),
-                        char(1), substring(r.pair, 2, 1), char(2)),
-                 concat(char(1), r.pair, char(2))))""").as("seg"))
-      val docTokens = segmented.select(col("doc_id"), explode(expr(
-        """filter(split(substring(seg, 2, greatest(length(seg) - 2, 0)),
-                        concat(char(2), char(1))),
-                  t -> t <> ' ' and t <> '')""")).as("token"))
+      // t30's merge statistic, staged as the shared merge table; the
+      // learn/apply kernels live in ops.Bpe (shared with ScaleCheck).
+      val staged = graft.Stage.through(
+        graft.ops.Bpe.mergeStats(Tables.documents(s, dir), "text", 20),
+        dir, "t37_merges")
+      // repartitionTo: the test parquet is one unsplittable row group, so
+      // the fold needs an explicit fan-out to use the machine (see Bpe).
+      val docTokens = graft.ops.Bpe.applyTokens(
+        Tables.documents(s, dir), "text", staged,
+        repartitionTo = s.sparkContext.defaultParallelism)
       val perDocTok = docTokens.groupBy("doc_id", "token")
         .agg(count(lit(1)).as("cnt"))
       val perDoc = perDocTok.groupBy("doc_id")
