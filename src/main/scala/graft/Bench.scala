@@ -47,6 +47,29 @@ object Bench {
     val passes =
       if (!warmRuns) 1
       else sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    def writeArtifact(rs: Seq[(String, (Double, Double, Double))],
+        partial: Boolean): Unit = {
+      val qs = rs.map { case (k, (med, _, _)) =>
+        "\"" + k + "\":" + round3(med)
+      }.mkString("{", ",", "}")
+      val total = round3(rs.map(_._2._1).filter(_ >= 0).sum)
+      val detail = rs.map { case (k, (med, mn, mx)) =>
+        "\"" + k + "\":{\"median\":" + round3(med) + ",\"min\":" + round3(mn) +
+          ",\"max\":" + round3(mx) + "}"
+      }.mkString("{", ",", "}")
+      val fileJson =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","partial":$partial,"detail":$detail}"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    }
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Double, Double, Double))]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -73,11 +96,19 @@ object Bench {
           }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
-        else {
-          val s = times.sorted
-          name -> (s(s.length / 2), s.head, s.last) // (median, min, max)
-        }
+        val r =
+          if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
+          else {
+            val s = times.sorted
+            name -> (s(s.length / 2), s.head, s.last) // (median, min, max)
+          }
+        // Checkpoint the artifact after EVERY query (marked partial): a
+        // median-of-3 full-registry run takes ~10 min, and a run killed by
+        // an external timeout should leave the completed per-query numbers
+        // behind, not nothing.
+        acc += r
+        writeArtifact(acc.toSeq, partial = true)
+        r
       }
     val qs = results.map { case (k, (med, _, _)) =>
       "\"" + k + "\":" + round3(med)
@@ -89,23 +120,10 @@ object Bench {
     // output): the driver scrapes sbt's stdout and has truncated long tails
     // before — leading with the payload gives the scrape its best chance.
     println(json)
-    // Durable copy with the full per-query spread (median/min/max over the
-    // timed passes) — the stdout line stays in the driver's expected
-    // {"queries":{name:sec}} shape.
-    val detail = results.map { case (k, (med, mn, mx)) =>
-      "\"" + k + "\":{\"median\":" + round3(med) + ",\"min\":" + round3(mn) +
-        ",\"max\":" + round3(mx) + "}"
-    }.mkString("{", ",", "}")
-    val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median","detail":$detail}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    // Final durable copy with the full per-query spread (median/min/max
+    // over the timed passes), partial=false — the stdout line stays in the
+    // driver's expected {"queries":{name:sec}} shape.
+    writeArtifact(results, partial = false)
     spark.stop()
   }
 }
