@@ -73,13 +73,13 @@ object ScaleCheck {
     def leg(name: String)(f: => (Double, Long)): (Double, Long) =
       if (legFilter.forall(_.contains(name))) f else (-1.0, -1L)
 
-    // Untimed interpreter warm-up for the one deliberate higher-order-
-    // function kernel (the BPE fold): its CodegenFallback eval path JITs,
-    // then DEOPTIMIZES-and-recompiles once the data crosses a size
-    // threshold — the identical rep=30 leg measured 14-36 s on its first
-    // run in a JVM and ~3 s on every later run, regardless of what smaller
-    // legs ran before. Warm at replicated scale so every timed leg sees
-    // the steady-state interpreter (graft.Bench's warm-pass discipline).
+    // Untimed warm-up for the BPE kernel at replicated scale
+    // (graft.Bench's warm-pass discipline). Historical note: when this
+    // kernel was an `aggregate()` higher-order function, its CodegenFallback
+    // eval path JIT-deoptimized at a data-size threshold — the identical
+    // rep=30 leg measured 14-36 s on its first run in a JVM and ~3 s after —
+    // which is why the fold became the native `BpeTokenize` expression; the
+    // warm pass stays so the timed legs always see steady-state codegen.
     if (legFilter.forall(_.contains("bpe_apply"))) {
       val warmDocs = replicate(Tables.documents(spark, sfDir), "doc_id", 30)
       graft.ops.Bpe.applyTokens(warmDocs, "text",
@@ -146,10 +146,9 @@ object ScaleCheck {
           .agg(max("rk")).head.getLong(0)
       })
       // BPE apply (the t37 kernel): merge learning is a replica-invariant
-      // pair count; the re-tokenization fold is per-row work (rules × doc
-      // length, no shuffle) and must stay linear in the corpus — the one
-      // deliberate higher-order-function kernel in the engine, so its
-      // interpreted overhead is pinned here rather than assumed.
+      // pair count; the re-tokenization (native `BpeTokenize` expression)
+      // is per-row work — rules × doc length, no shuffle — and must stay
+      // linear in the corpus.
       val (tBpe, nToks) = leg("bpe_apply")(time {
         graft.ops.Bpe.applyTokens(docs, "text",
           graft.ops.Bpe.mergeStats(docs, "text", 20),

@@ -6,19 +6,19 @@ import org.apache.spark.sql.functions._
 /** BPE merge learning + application as reusable column kernels (the
   * `t37_bpe_apply` core, shared with `ScaleCheck`'s bpe leg).
   *
-  * Application is PURE column expressions — no UDF, no mapPartitions: a
-  * document is lifted to a delimited symbol string (every char wrapped as
-  * ␁c␂) and one merge pass IS `replace(s, '␁a␂␁b␂', '␁ab␂')` — `replace`
-  * scans left-to-right over non-overlapping occurrences in both Spark
-  * (`UTF8String.replace`) and DuckDB, which is exactly BPE's within-pass
-  * greedy semantics; the ␁/␂ delimiters make "a ends a token AND b is the
-  * whole next token" a plain substring match. The merge cascade is an
-  * `aggregate()` fold over a broadcast rule array: per-row work is
+  * Application is ONE native Catalyst expression
+  * ([[graft.expressions.BpeTokenize]]): a fused per-word symbol scan that
+  * applies the broadcast merge rules in rank order, left-to-right
+  * non-overlapping within each pass — inside whole-stage codegen, no UDF,
+  * no mapPartitions, no higher-order functions. Per-row work is
   * rules × doc length, embarrassingly parallel, no shuffle until the
-  * caller aggregates. (The fold itself is a CodegenFallback higher-order
-  * function, but it runs ONCE per document over a broadcast array —
-  * unlike a per-pair HOF explosion, the interpreted overhead is O(docs),
-  * not O(pairs); the ScaleCheck bpe leg pins the linearity.)
+  * caller aggregates; the ScaleCheck bpe leg pins the linearity. The
+  * DuckDB oracle computes the SAME semantics by an independent algorithm
+  * (every char wrapped as ␁c␂, each merge pass a literal
+  * `replace(s, '␁a␂␁b␂', '␁ab␂')` in a recursive CTE — `replace` scans
+  * left-to-right non-overlapping, exactly BPE's within-pass greedy
+  * contract), and `BpePropertySpec` holds both, plus a third plain
+  * symbol-list reference, to the same answers.
   */
 object Bpe {
 
@@ -36,29 +36,15 @@ object Bpe {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(k)
 
-  /** Single-row DataFrame holding the merge rules as an array sorted into
-    * rank order (count desc, pair asc) — a struct sort, no window over the
-    * tiny merge table. Broadcast-joined by [[segment]]'s caller.
+  /** Single-row DataFrame holding the merge rules as an `array<string>` in
+    * rank order (count desc, pair asc) — a struct sort projected down to
+    * the pair strings, no window over the tiny merge table. The transform
+    * runs over ONE row before broadcast, never per document.
     */
   def ruleArray(mergeTable: DataFrame): DataFrame =
     mergeTable.agg(sort_array(collect_list(
-      struct((-col("n")).as("negn"), col("pair").as("pair")))).as("rules"))
-
-  /** Segmented form of `textCol` under the broadcast `rules` column: the
-    * delimited string after every merge pass, rank order. */
-  def segment(textCol: String): Column = expr(
-    s"""aggregate(rules,
-         regexp_replace($textCol, '(.)', concat(char(1), '$$1', char(2))),
-         (acc, r) -> replace(acc,
-           concat(char(1), substring(r.pair, 1, 1), char(2),
-                  char(1), substring(r.pair, 2, 1), char(2)),
-           concat(char(1), r.pair, char(2))))""")
-
-  /** Token array from a segmented string (space symbols dropped). */
-  def tokens(segCol: String): Column = expr(
-    s"""filter(split(substring($segCol, 2, greatest(length($segCol) - 2, 0)),
-                     concat(char(2), char(1))),
-               t -> t <> ' ' and t <> '')""")
+        struct((-col("n")).as("negn"), col("pair").as("pair")))).as("rs"))
+      .select(expr("transform(rs, x -> x.pair)").as("rules"))
 
   /** (doc_id, token) rows: learn nothing, just apply a merge table.
     *
@@ -75,7 +61,8 @@ object Bpe {
       repartitionTo: Int = 0): DataFrame = {
     val d = if (repartitionTo > 0) docs.repartition(repartitionTo) else docs
     d.crossJoin(broadcast(ruleArray(mergeTable)))
-      .select(col("doc_id"), segment(textCol).as("seg"))
-      .select(col("doc_id"), explode(tokens("seg")).as("token"))
+      .select(col("doc_id"),
+        explode(graft.expressions.BpeTokenize(col(textCol), col("rules")))
+          .as("token"))
   }
 }
