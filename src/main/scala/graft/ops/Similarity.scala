@@ -260,6 +260,143 @@ object Similarity {
     rerankTopK(ivfCandidatePairs(corpus, queries, idCol, vecCol, centroids, nProbe),
       corpus, idCol, vecCol, k, roundTo)
 
+  // ---------------------------------------------------------------- PQ --
+
+  /** Product-quantization codebooks: `cb(m)(c)` is centroid `c` of subspace
+    * `m` (public literature: Jégou, Douze, Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011). The vector is split into
+    * `subspaces` contiguous slices; each slice gets its own small k-means
+    * codebook, so a D-dim float vector (4·D bytes) compresses to `subspaces`
+    * byte-sized codes — the standard memory-bound scale path for
+    * billion-vector ANN (256 B → 8 B at D=64, M=8).
+    *
+    * Training is Lloyd's algorithm run over ALL subspaces in ONE distributed
+    * aggregation per iteration: every row explodes to (sub, nearest-code,
+    * subvector), then a single (sub, code, pos)-keyed mean shuffle updates
+    * every codebook at once — iterations cost one job each, not one per
+    * subspace. The collected means are `subspaces × codes × subDim` doubles
+    * (1 024 at the default 8×16×8): driver-resident by design, same budget
+    * as [[sampleCentroids]]/[[kmeansStep]]. Seeds are the sub-slices of the
+    * `codes` lowest-id vectors — deterministic, no RNG.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int = 8, codes: Int = 16,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = dimOf(df, vecCol)
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val seeds = df.orderBy(col(idCol)).limit(codes)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == codes, s"need ≥ $codes vectors to seed PQ")
+    var cb = Array.tabulate(subspaces, codes)((m, c) =>
+      seeds(c).slice(m * subDim, (m + 1) * subDim))
+    for (_ <- 0 until iters) {
+      // Codes for ALL subspaces in one fused native kernel
+      // ([[graft.expressions.PqCodes]] — the declarative greatest/struct
+      // spelling builds subspaces × codes literal subtrees and costs
+      // seconds of driver-side analysis per iteration), then explode to
+      // (sub, code, subvector) and mean per (sub, code, dimension) — one
+      // job per iteration. Empty cells keep their previous centroid.
+      val entries = cb.indices.map { m =>
+        struct(lit(m).as("sub"),
+          element_at(col("__pq_codes"), m + 1).as("code"),
+          slice(col(vecCol), m * subDim + 1, subDim)
+            .cast("array<double>").as("sv"))
+      }
+      val means = df
+        .withColumn("__pq_codes",
+          graft.expressions.PqCodes(col(vecCol), cb))
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg("x").as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Array.tabulate(subspaces, codes) { (m, c) =>
+        means.get((m, c)).fold(cb(m)(c)) { rows =>
+          val v = cb(m)(c).clone()
+          rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+          v
+        }
+      }
+    }
+    cb
+  }
+
+  /** Nearest-centroid code within ONE subspace codebook: L2 argmin via the
+    * `dot(v, c) − ‖c‖²/2` trick (vector's own norm is constant across
+    * candidates), ties → higher code — one fused dot per centroid, all
+    * codegen'd.
+    */
+  def pqSubCode(subVec: Column, centroids: Array[Array[Double]]): Column =
+    greatest(centroids.indices.map { c =>
+      val cen = array(centroids(c).map(lit): _*)
+      struct(
+        dot(subVec, cen).minus(lit(centroids(c).map(x => x * x).sum / 2))
+          .as("score"),
+        lit(c).as("code"))
+    }: _*).getField("code")
+
+  /** PQ-encode every vector: `codes` is an `array<int>` of length
+    * `subspaces` — the 8-byte row a 100 TB index actually stores. One
+    * linear pass, no shuffle; the per-row argmin loop is the fused native
+    * [[graft.expressions.PqCodes]] kernel (bit-identical to the
+    * [[pqSubCode]] declarative spelling — PqSpec proves it).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.PqCodes(col(vecCol), cb).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each QUERY keeps its
+    * full float vector and precomputes a lookup table
+    * `lut(m)(c) = dot(q_sub_m, centroid_m_c)` (subspaces × codes doubles,
+    * built as column expressions — no driver round-trip); each CORPUS row
+    * is scored by `subspaces` table lookups on its byte codes, never
+    * touching float vectors. That asymmetry is the point at scale: the
+    * streamed side of the scan reads 8 B/vector instead of 256 B, and the
+    * per-row score is M integer-indexed lookups + adds. Same
+    * broadcast-queries topology as [[bruteForceTopK]].
+    *
+    * The score approximates `dot(query, reconstruction(codes))`; summation
+    * runs in subspace order (deterministic), and ranking happens on the
+    * score ROUNDED to `roundTo` digits so a hash-verifying oracle that
+    * re-sums the per-subspace contributions in another engine cannot flip
+    * a ranking on a last-ulp reorder.
+    */
+  def pqAdcTopK(coded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Array[Array[Array[Double]]], k: Int,
+      roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.expressions.PqLut(col(vecCol), cb).as("lut"))
+    val c = coded.select(col(idCol).as("neighbor_id"), col("codes"))
+    val score = graft.expressions.PqAdcScore(col("codes"), col("lut"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.Norm.rz(score, roundTo).as("adc_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Full PQ search: ADC shortlist, then exact rerank — the production
+    * IVF-PQ/ADC topology (ADC is a SHORTLIST stage: coarse codes tie
+    * near-identical rows, so its raw top-k recall is poor by construction;
+    * every deployed PQ system reranks a shortlist with exact scores). Full
+    * float vectors are touched only for `shortlist · |queries|` rows — the
+    * corpus-wide scan stays on the 8-byte codes.
+    */
+  def pqSearchTopK(coded: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cb: Array[Array[Array[Double]]],
+      k: Int, shortlist: Int = 50, roundTo: Option[Int] = Some(4)): DataFrame = {
+    val cands = pqAdcTopK(coded, queries, idCol, vecCol, cb, shortlist)
+      .select("query_id", "neighbor_id")
+    rerankTopK(cands, corpus, idCol, vecCol, k, roundTo)
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the memory-bound
     * scale path for embedding search: a float vector is 4 B/component, its
     * int8 form 1 B + one double scale per vector, so the scan side of a

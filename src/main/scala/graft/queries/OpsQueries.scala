@@ -407,6 +407,106 @@ object OpsQueries {
          |order by query_id, rank""".stripMargin),
     "similarity: IVF cell-probed ANN candidates (staged) + hash-verified rerank/rank")
 
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011 — public
+    * literature): the memory-bound scale path beyond int8 — a 64-dim float
+    * vector (256 B) compresses to 8 one-byte codes, so a 100 TB embedding
+    * corpus's scan side shrinks 32× and the whole index fits executor
+    * memory at sizes scalar quantization can't touch. Codebooks (8
+    * subspaces × 16 centroids, Lloyd-trained in one distributed job per
+    * iteration) and the encoded corpus are both STAGED; the DuckDB oracle
+    * then recomputes the ENTIRE asymmetric-distance search — per-subspace
+    * query·centroid contributions, their sum, rounding, ranking — from the
+    * same staged bytes, so the ADC scoring path is hash-verified end to
+    * end. Spark scores via per-query lookup tables (the real ADC kernel:
+    * M table lookups per corpus row, built as codegen'd column
+    * expressions); the oracle mirrors it as a (sub, code) join + group-sum.
+    * ADC is a SHORTLIST stage — coarse codes tie near-identical rows — so
+    * the search finishes with an exact cosine rerank of the top-50
+    * shortlist, the production IVF-PQ topology: full float vectors are
+    * touched for 50·|queries| rows only, never corpus-wide. Training /
+    * encoding quality is spec-verified (PqSpec: recall vs brute force,
+    * reconstruction-dot equivalence, nearest-centroid routing).
+    */
+  val pqAnn = Q(
+    "e12_pq_ann",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        subspaces = 8, codes = 32, iters = 3)
+      val cbRows = for {
+        m <- cb.indices; c <- cb(m).indices
+      } yield (m, c, cb(m)(c).toSeq)
+      Stage.through(cbRows.toDF("sub", "code", "centroid"), dir,
+        "e12_codebooks")
+      val coded = Stage.through(
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb),
+        dir, "e12_codes")
+      Similarity.pqSearchTopK(coded, emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", cb, k = 5, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""with cb as (
+         |  select sub, code, centroid from ${Stage.sqlPath("e12_codebooks")}
+         |), coded as (
+         |  select vec_id, codes from ${Stage.sqlPath("e12_codes")}
+         |), q as (
+         |  select vec_id as query_id, embedding from embeddings
+         |  where vec_id < 20
+         |), expanded as (
+         |  select vec_id as neighbor_id, i - 1 as sub, codes[i] as code
+         |  from (select vec_id, codes, generate_subscripts(codes, 1) as i
+         |        from coded) t
+         |), contrib as (
+         |  select q.query_id, e.neighbor_id,
+         |    list_dot_product(cb.centroid,
+         |      q.embedding[e.sub * 8 + 1 : e.sub * 8 + 8]::double[]) as c
+         |  from expanded e
+         |  join cb on cb.sub = e.sub and cb.code = e.code
+         |  cross join q
+         |  where e.neighbor_id != q.query_id
+         |), adc as (
+         |  select query_id, neighbor_id, round(sum(c), 4) + 0.0 as adc_score
+         |  from contrib group by query_id, neighbor_id
+         |), shortlist as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (
+         |        partition by query_id
+         |        order by adc_score desc, neighbor_id) as srn
+         |    from adc) t
+         |  where srn <= 100
+         |), pairs as (
+         |  select s.query_id, s.neighbor_id, qe.embedding as qv,
+         |    ne.embedding as nv
+         |  from shortlist s
+         |  join embeddings qe on qe.vec_id = s.query_id
+         |  join embeddings ne on ne.vec_id = s.neighbor_id
+         |), flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qv)::double as x, unnest(nv)::double as y
+         |  from pairs
+         |), dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from flat group by query_id, neighbor_id
+         |), reranked as (
+         |  select query_id, neighbor_id,
+         |    round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cosine
+         |  from dots
+         |)
+         |select query_id, neighbor_id, cosine, rank from (
+         |  select query_id, neighbor_id, cosine,
+         |    row_number() over (
+         |      partition by query_id order by cosine desc, neighbor_id) as rank
+         |  from reranked) t
+         |where rank <= 5
+         |order by query_id, rank""".stripMargin),
+    "similarity: product-quantization ANN — staged codebooks + codes, hash-verified ADC shortlist + exact rerank")
+
   /** Multimodal metadata rollup: the synthetic media table's typed metadata
     * (payload length computed Spark-side from the binary column) is staged,
     * then both engines aggregate it — the relational face of the multimodal
@@ -918,7 +1018,7 @@ object OpsQueries {
 
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, annRecall,
+      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, annRecall,
       annRecallMulti, mediaStats, imageFeatures, frameSample, audioFeatures,
       imageNearDup, semanticDedup)
 }

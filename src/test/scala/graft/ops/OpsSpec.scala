@@ -461,3 +461,126 @@ class IvfSpec extends graft.SparkSpec {
     }
   }
 }
+
+class PqSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  /** 4 well-separated clusters in 16-d, float vectors. */
+  private def clustered(n: Int) = {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 5))
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("PQ shortlist+rerank search reaches high recall against brute force") {
+    val df = clustered(200).cache()
+    val queries = df.filter($"vec_id" < 8)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding",
+      subspaces = 4, codes = 16, iters = 2)
+    val coded = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqSearchTopK(coded, queries, df, "vec_id",
+      "embedding", cb, k = 5, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8")
+    df.unpersist()
+  }
+
+  test("raw ADC top-5 underperforms the reranked search (shortlist rationale)") {
+    // Coarse codes tie same-cell vectors, so raw ADC@5 recall is structurally
+    // poor — the property that makes the rerank stage part of the operator,
+    // not an optimization.
+    val df = clustered(200).cache()
+    val queries = df.filter($"vec_id" < 8)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding",
+      subspaces = 4, codes = 16, iters = 2)
+    val coded = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcOnly = Similarity.pqAdcTopK(coded, queries, "vec_id", "embedding",
+      cb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val reranked = Similarity.pqSearchTopK(coded, queries, df, "vec_id",
+      "embedding", cb, k = 5, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rAdc = exact.intersect(adcOnly).size.toDouble / exact.size
+    val rRerank = exact.intersect(reranked).size.toDouble / exact.size
+    assert(rRerank > rAdc,
+      s"rerank recall $rRerank should beat raw ADC recall $rAdc")
+    df.unpersist()
+  }
+
+  test("ADC score equals dot(query, reconstruction) computed Scala-side") {
+    val df = clustered(60).cache()
+    val queries = df.filter($"vec_id" < 3)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding",
+      subspaces = 4, codes = 8, iters = 1)
+    val coded = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+
+    val codesOf = coded.select($"vec_id", $"codes").as[(Long, Seq[Int])]
+      .collect().toMap
+    val vecOf = df.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+
+    val got = Similarity.pqAdcTopK(coded, queries, "vec_id", "embedding",
+      cb, k = 5, roundTo = 6)
+      .select("query_id", "neighbor_id", "adc_score")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, score) =>
+      // reconstruction = concat of the coded centroids; ADC score must be
+      // the plain dot of the full query vector with that reconstruction.
+      val recon = codesOf(nb).zipWithIndex.flatMap { case (code, m) =>
+        cb(m)(code)
+      }
+      val qv = vecOf(q).map(_.toDouble)
+      var expected = 0.0
+      var i = 0
+      while (i < qv.length) { expected += qv(i) * recon(i); i += 1 }
+      assert(math.abs(score - math.rint(expected * 1e6) / 1e6) < 1e-9,
+        s"query $q neighbor $nb: adc $score vs reconstruction dot $expected")
+    }
+    df.unpersist()
+  }
+
+  test("native pq_codes is bit-identical to the declarative argmax spelling") {
+    import org.apache.spark.sql.functions.{array, lit, slice}
+    val df = clustered(120)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding",
+      subspaces = 4, codes = 8, iters = 1)
+    val subDim = cb(0)(0).length
+    val declared = df.select($"vec_id",
+      array(cb.indices.map { m =>
+        Similarity.pqSubCode(
+          slice($"embedding", m * subDim + 1, subDim).cast("array<double>"),
+          cb(m))
+      }: _*).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val native = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(native == declared)
+  }
+
+  test("PQ encode routes each subspace to its nearest centroid") {
+    // Hand-built codebook with obvious nearest cells per subspace.
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(5.0, 5.0), Array(-5.0, -5.0)),
+      Array(Array(0.0, 9.0), Array(0.0, -9.0)))
+    val rows = Seq(
+      (0L, Array(4.8f, 5.1f, 0.2f, 8.7f)),  // sub0→code0, sub1→code0
+      (1L, Array(-5.2f, -4.9f, -0.1f, -9.3f)), // sub0→code1, sub1→code1
+      (2L, Array(5.3f, 4.6f, 0.0f, -8.8f))  // sub0→code0, sub1→code1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(rows, "vec_id", "embedding", cb)
+      .orderBy(col("vec_id")).select("codes").as[Seq[Int]].collect()
+    assert(got(0) == Seq(0, 0))
+    assert(got(1) == Seq(1, 1))
+    assert(got(2) == Seq(0, 1))
+  }
+}
