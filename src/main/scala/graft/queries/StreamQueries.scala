@@ -379,5 +379,63 @@ object StreamQueries {
          |order by user_id""".stripMargin),
     "§2.12: streaming foreachBatch upsert (last-event-wins dimension) vs batch argmax")
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7)
+  /** Custom per-key state via `flatMapGroupsWithState` — the one stateful
+    * topology the built-in operators can't express (arbitrary user state +
+    * arbitrary emission), here running
+    * [[graft.streaming.StreamingIngest.transitionCounts]]: per-subject
+    * stage-transition counts, the streaming analog of the W2 LAG
+    * detection. The harness serves every real event in micro-batch 1 and
+    * only heartbeats after, so each real subject emits exactly one final
+    * (epochs, transitions) row — byte-deterministic — and the oracle
+    * recomputes the same counts with batch LAG over the staged input
+    * bytes, hash-verifying the custom-state path end to end. The input
+    * projection derives a dense per-subject `epoch_idx` (row_number per
+    * user — a per-key window, never corpus-global) before staging so both
+    * engines order identically. At scale state is one small case class per
+    * key and each micro-batch shuffles once on the group key.
+    */
+  val s8 = Q(
+    "s8_stream_custom_state",
+    (s, dir) => {
+      import s.implicits._
+      val real = Tables.events(s, dir).select(
+        col("user_id").cast("int").as("subject_id"),
+        row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id"))
+          .as("epoch_idx"),
+        col("event_type").as("stage"),
+        expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").as("ts"))
+      val maxTs = real.agg(max("ts")).head.getTimestamp(0)
+      def hb(hours: Int) =
+        Seq((-1, 0, HbType,
+          new Timestamp(maxTs.getTime + hours * 3600 * 1000L)))
+          .toDF("subject_id", "epoch_idx", "stage", "ts")
+      BoundedStream.run(s, s"${Stage.dir(dir)}/s8_stream", real,
+          (hb(10), hb(20)),
+          st => graft.streaming.StreamingIngest.transitionCounts(s, st))
+        .filter(col("subject_id") >= 0)
+        .select(col("subject_id"), col("epochs"), col("transitions"))
+        .orderBy("subject_id")
+    },
+    Some(
+      s"""with e as (
+         |  select subject_id, epoch_idx, stage
+         |  from '${Stage.Placeholder}/s8_stream/in/00_events.parquet'
+         |  where subject_id >= 0
+         |), lagged as (
+         |  select subject_id, stage,
+         |    lag(stage) over (partition by subject_id order by epoch_idx)
+         |      as prev
+         |  from e
+         |)
+         |select subject_id,
+         |  cast(count(*) as int) as epochs,
+         |  cast(sum(case when prev is not null and prev <> stage
+         |    then 1 else 0 end) as int) as transitions
+         |from lagged
+         |group by subject_id
+         |order by subject_id""".stripMargin),
+    "§2.12: flatMapGroupsWithState custom per-key state (transition counts) vs batch LAG oracle")
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8)
 }
