@@ -171,6 +171,22 @@ object ScaleCheck {
         q.unpersist(blocking = true)
         n
       })
+      // PQ train→encode→ADC-shortlist→rerank end-to-end: training is one
+      // linear scan per Lloyd iteration, encode is per-row kernel work,
+      // the ADC scan reads 8-byte code rows × queries, and the rerank
+      // touches full vectors for shortlist·|queries| rows only — every
+      // stage must stay linear in R.
+      val (tPq, nPq) = leg("pq")(time {
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+          subspaces = 8, codes = 16, iters = 1)
+        val coded = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+          .persist()
+        val n = Similarity.pqSearchTopK(coded,
+          emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", cb, k = 5, shortlist = 50).count()
+        coded.unpersist(blocking = true)
+        n
+      })
       emb.unpersist(blocking = true)
 
       // Graph scaling: offset BOTH orderkey and partkey per replica, so the
@@ -235,6 +251,7 @@ object ScaleCheck {
         f""""bpe_apply_s":$tBpe%.2f,"bpe_tokens":$nToks,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
+        f""""pq_search_s":$tPq%.2f,"pq_rows":$nPq,""" +
         f""""graph_tri_s":$tGraph%.2f,"triangles":$nTri,""" +
         f""""pagerank_s":$tPr%.2f,"pr_nodes":$nNodes,""" +
         f""""stream_s":$tStream%.2f,"stream_windows":$nWindows}""")
