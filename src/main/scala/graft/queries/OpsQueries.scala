@@ -862,16 +862,17 @@ object OpsQueries {
          |order by e.query_id""".stripMargin),
     "ANN eval: recall@5 of LSH candidates vs brute-force exact top-5, fully hash-verified")
 
-  /** Recall@5 for the OTHER two index types — IVF cell-probing (e6's
-    * construction) and int8 scalar quantization (e7's) — against the same
-    * brute-force float ground truth as [[annRecall]], one row per
-    * (index_type, query). Together with e10 this closes the eval loop over
-    * all three ANN families: every index the library ships carries a
-    * hash-verified recall number, which is the number a 100 TB deployment
-    * actually tunes against (nProbe, planes/probes, quantization width).
-    * The IVF candidates and the quantized vectors are staged; scoring,
-    * ranking, the hit join, and the recall ratio are all recomputed
-    * independently by the oracle.
+  /** Recall@5 for the OTHER index types — IVF cell-probing (e6's
+    * construction), PQ-ADC shortlisting (e12's) and int8 scalar
+    * quantization (e7's) — against the same brute-force float ground truth
+    * as [[annRecall]], one row per (index_type, query). Together with e10
+    * this closes the eval loop over all four ANN families: every index the
+    * library ships carries a hash-verified recall number, which is the
+    * number a 100 TB deployment actually tunes against (nProbe,
+    * planes/probes, quantization width, codebook size/shortlist depth).
+    * The IVF candidates, the PQ ADC shortlist and the quantized vectors
+    * are staged; scoring, ranking, the hit join, and the recall ratio are
+    * all recomputed independently by the oracle.
     */
   val annRecallMulti = Q(
     "e11_ann_recall_multi",
@@ -895,6 +896,21 @@ object OpsQueries {
         .quantizedTopK(qvecs, qvecs.filter(col("vec_id") < 20), "vec_id",
           k = 5, c => graft.Norm.rz(c, 4))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      // PQ leg: the ADC top-100 shortlist is staged (ADC scoring itself is
+      // hash-verified end-to-end by e12); the oracle reranks the staged
+      // shortlist with exact cosine and scores recall like the other legs.
+      val pqCb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        subspaces = 8, codes = 32, iters = 3)
+      val pqCands = Stage.through(
+        Similarity.pqAdcTopK(
+            Similarity.pqEncode(emb, "vec_id", "embedding", pqCb),
+            queries, "vec_id", "embedding", pqCb, k = 100)
+          .select("query_id", "neighbor_id"),
+        dir, "e11_pq_cands")
+      val pqTop = Similarity
+        .rerankTopK(pqCands, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       // Shared float ground truth (the e10 shape): deliberate broadcast
       // brute-force over the SAMPLED query set; persisted — it feeds both
       // recall legs.
@@ -915,7 +931,8 @@ object OpsQueries {
             col("n_exact"), col("n_hits"),
             graft.Norm.rz(col("n_hits") / col("n_exact").cast("double"), 4)
               .as("recall_at_5"))
-      recallOf(ivfTop, "ivf").unionAll(recallOf(quantTop, "quantized"))
+      recallOf(ivfTop, "ivf").unionAll(recallOf(pqTop, "pq"))
+        .unionAll(recallOf(quantTop, "quantized"))
         .orderBy("index_type", "query_id")
     },
     Some(
@@ -987,6 +1004,29 @@ object OpsQueries {
          |          4) + 0.0 desc, neighbor_id) as rk
          |    from q_dots) t
          |  where rk <= 5
+         |), pq_cands as (
+         |  select query_id, neighbor_id from ${Stage.sqlPath("e11_pq_cands")}
+         |), pq_pairs as (
+         |  select c.query_id, c.neighbor_id, q.embedding as qe, n.embedding as ce
+         |  from pq_cands c
+         |  join embeddings q on q.vec_id = c.query_id
+         |  join embeddings n on n.vec_id = c.neighbor_id
+         |), pq_flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from pq_pairs
+         |), pq_dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from pq_flat group by query_id, neighbor_id
+         |), pq_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+         |          neighbor_id) as rk
+         |    from pq_dots) t
+         |  where rk <= 5
          |), leg_ivf as (
          |  select 'ivf' as index_type, e.query_id,
          |    count(*) as n_exact,
@@ -1009,12 +1049,25 @@ object OpsQueries {
          |  left join q_top a
          |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
          |  group by e.query_id
+         |), leg_pq as (
+         |  select 'pq' as index_type, e.query_id,
+         |    count(*) as n_exact,
+         |    cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      as bigint) as n_hits,
+         |    round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      / cast(count(*) as double), 4) + 0.0 as recall_at_5
+         |  from ex_top e
+         |  left join pq_top a
+         |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+         |  group by e.query_id
          |)
          |select * from leg_ivf
          |union all
+         |select * from leg_pq
+         |union all
          |select * from leg_q
          |order by index_type, query_id""".stripMargin),
-    "ANN eval: recall@5 of IVF and int8-quantized search vs exact top-5 — all three index families eval'd")
+    "ANN eval: recall@5 of IVF, PQ-ADC and int8-quantized search vs exact top-5 — every index family eval'd")
 
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,

@@ -1751,6 +1751,82 @@ object TextQueries {
     * matches. Oracle: a recursive CTE replays the same 20 replaces in rank
     * order from the same staged merge table.
     */
+  /** Interpolated Kneser-Ney bigram perplexity per document — the
+    * production form of LM-based quality filtering (public literature:
+    * Kneser & Ney 1995; the CCNet pipeline filters on exactly this style
+    * of LM perplexity). t23 scores documents with the MLE conditional
+    * model; KN replaces raw MLE with absolute discounting (D = 0.75)
+    * interpolated with the CONTINUATION unigram
+    * `P_cont(w2) = |distinct left contexts of w2| / |bigram types|` — the
+    * smoothing that makes an LM score usable on text the raw counts
+    * under-represent. Scale shape: the model is three hash aggregations
+    * over bigram TYPES (c(w1 w2), per-w1 totals + follower-type counts,
+    * per-w2 context-type counts) + one scalar type count broadcast; the
+    * per-doc pass is one bigram-keyed join + per-doc aggregate — no
+    * windows, no quadratic step. Both engines compute the probability
+    * with the identical expression tree (integer counts in, one double
+    * expression out), so only the per-doc mean needs the round-before-
+    * output discipline.
+    */
+  val t38 = Q(
+    "t38_kneser_ney",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bg = bigrams(docs).persist()
+      val types = bg
+        .select(split(col("bigram"), " ").getItem(0).as("w1"),
+          split(col("bigram"), " ").getItem(1).as("w2"), col("bigram"))
+        .groupBy("w1", "w2", "bigram").agg(count(lit(1)).as("c12"))
+      val left = types.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+      val right = types.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val totalTypes = broadcast(
+        types.agg(count(lit(1)).cast("double").as("tt")))
+      val model = types
+        .join(left, "w1").join(right, "w2").crossJoin(totalTypes)
+        .select(col("bigram"),
+          ((greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) +
+            lit(0.75) * col("n1f") * (col("n1b") / col("tt"))) / col("c1"))
+            .as("p"))
+      bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.Norm.rz(exp(avg(-log(col("p")))), 4).as("kn_perplexity"))
+        .orderBy("doc_id")
+    },
+    Some("""with tok as (
+      select doc_id, string_split(text, ' ') as t from documents
+      where len(string_split(text, ' ')) >= 2
+    ), bg as (
+      select doc_id, t[i] || ' ' || t[i + 1] as bigram
+      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
+      where i <= len(t) - 1
+    ), types as (
+      select string_split(bigram, ' ')[1] as w1,
+        string_split(bigram, ' ')[2] as w2, bigram, count(*) as c12
+      from bg group by 1, 2, 3
+    ), lft as (
+      select w1, sum(c12) as c1, count(*) as n1f from types group by w1
+    ), rgt as (
+      select w2, count(*) as n1b from types group by w2
+    ), total as (
+      select count(*)::double as tt from types
+    ), model as (
+      select t.bigram,
+        (greatest(t.c12::double - 0.75, 0.0) +
+          0.75 * l.n1f * (r.n1b / total.tt)) / l.c1 as p
+      from types t
+      join lft l using (w1)
+      join rgt r using (w2)
+      cross join total
+    )
+    select b.doc_id, count(*) as n_bigrams,
+      round(exp(avg(-ln(m.p))), 4) + 0.0 as kn_perplexity
+    from bg b join model m using (bigram)
+    group by b.doc_id
+    order by b.doc_id"""),
+    "text: interpolated Kneser-Ney bigram perplexity per doc (LM quality filter)")
+
   val t37 = Q(
     "t37_bpe_apply",
     (s, dir) => {
@@ -1840,5 +1916,5 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }

@@ -17,8 +17,7 @@ class TextEvalSpec extends SparkSpec {
     * tokens 10–24 of doc 0 (a 15-token verbatim span) inside otherwise
     * unique text; doc 2 fully unique; doc 4 stopword-rich plain words.
     */
-  private lazy val docsDir: String = {
-    val dir = tmpDir("graft_texteval")
+  private lazy val fixtureDocs: Seq[(Long, String, String, String)] = {
     val base = (0 until 30).map(i => s"a$i")
     val doc0 = base.mkString(" ")
     val doc1 = ((0 until 10).map(i => s"b$i") ++ base.slice(10, 25) ++
@@ -28,6 +27,11 @@ class TextEvalSpec extends SparkSpec {
     Seq(
       (0L, doc0, "en", "s0"), (1L, doc1, "en", "s0"), (2L, doc2, "de", "s1"),
       (3L, doc0, "en", "s1"), (4L, doc4, "en", "s1"))
+  }
+
+  private lazy val docsDir: String = {
+    val dir = tmpDir("graft_texteval")
+    fixtureDocs
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -119,5 +123,36 @@ class TextEvalSpec extends SparkSpec {
     // "aaa" → aa|a (odd run keeps a single tail char); "bc" merges whole.
     // Corpus vocab: aa(7), he(2), t(2), a(1), bc(1) → "a" has id 4.
     assert(rows(2L) == ((3L, 3L), ("a", 1L, 4L)))
+  }
+
+  test("t38 Kneser-Ney perplexity matches an independent in-memory model") {
+    val got = Registry.byName("t38_kneser_ney").run(spark, docsDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("kn_perplexity"))).toMap
+
+    // Independent plain-Scala Kneser-Ney (D = 0.75) over the same corpus.
+    val docBigrams = fixtureDocs.map { case (id, text, _, _) =>
+      id -> text.split(" ").toSeq.sliding(2).map(w => (w(0), w(1))).toSeq
+    }
+    val c12 = docBigrams.flatMap(_._2).groupBy(identity).map {
+      case (k, v) => k -> v.size
+    }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1f = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size }
+    val n1b = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val tt = c12.size.toDouble
+    def p(b: (String, String)): Double =
+      (math.max(c12(b) - 0.75, 0.0) +
+        0.75 * n1f(b._1) * (n1b(b._2) / tt)) / c1(b._1)
+
+    docBigrams.foreach { case (id, bgs) =>
+      val want = math.exp(bgs.map(b => -math.log(p(b))).sum / bgs.size)
+      val (nBg, ppl) = got(id)
+      assert(nBg == bgs.size, s"doc $id: ${nBg} bigrams, want ${bgs.size}")
+      assert(math.abs(ppl - want) < 5e-4,
+        s"doc $id: perplexity $ppl, independent model $want")
+    }
+    // Identical documents score identically.
+    assert(got(0L) == got(3L))
   }
 }
