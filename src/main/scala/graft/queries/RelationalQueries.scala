@@ -1313,8 +1313,67 @@ object RelationalQueries {
     order by user_id, event_id"""),
     "W1 variant: time-valued RANGE frame (trailing-hour activity)")
 
+  /** Z-order (Morton) multi-dimensional clustering — the data-layout
+    * operator behind Delta/Iceberg `ZORDER BY`: interleaving the bits of
+    * two dimension keys makes ranges of the combined key tight bounding
+    * boxes in BOTH dimensions, so min/max file statistics prune scans with
+    * predicates on either column. The query computes an 8+8-bit Morton key
+    * over (user_id, ⌊value⌋ mod 256), buckets rows by the key's top 4 bits
+    * (= fixed 2-bit prefix per dimension — NO global sort, no window: each
+    * bucket is a static region of the space), and emits per-bucket row
+    * counts + per-dimension min/max — exactly the pruning metadata a
+    * layout-writer would stamp on each file. At 100 TB the bucket id
+    * becomes the `repartitionByRange(morton)` write key; the key itself is
+    * pure codegen'd integer bit-math, embarrassingly parallel, and the
+    * stats are one hash aggregation. ZorderSpec asserts the locality
+    * guarantee (per-bucket spans ≤ 64 in each dimension).
+    */
+  val q37 = Q(
+    "q37_zorder_layout",
+    (s, dir) => {
+      def morton(x: Column, y: Column): Column =
+        (0 until 8).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+            .bitwiseOR(
+              shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+      val keyed = Tables.events(s, dir)
+        .select(
+          (col("user_id") % 256).as("x"),
+          (floor(col("value")).cast("long") % 256).as("y"))
+        .withColumn("morton", morton(col("x"), col("y")))
+      keyed
+        .groupBy(shiftright(col("morton"), 12).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"),
+          min("morton").as("morton_min"), max("morton").as("morton_max"))
+        .orderBy("bucket")
+    },
+    Some {
+      val mortonSql = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""with keyed as (
+      select x, y, ($mortonSql) as morton
+      from (select user_id % 256 as x,
+              cast(floor(value) as bigint) % 256 as y
+            from events) t
+    )
+    select morton >> 12 as bucket,
+      count(*) as n_rows,
+      min(x) as x_min, max(x) as x_max,
+      min(y) as y_min, max(y) as y_max,
+      min(morton) as morton_min, max(morton) as morton_max
+    from keyed
+    group by 1
+    order by bucket"""
+    },
+    "layout: Z-order (Morton) clustering buckets + per-bucket pruning stats")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36)
+    q31, q32, q33, q34, q35, q36, q37)
 }

@@ -391,5 +391,126 @@ object SimilarityQueries {
     order by p.query_id"""),
     "similarity: hard-negative mining (nearest same-label + nearest cross-label + margin)")
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9)
+  /** Generated oracle for [[e13]]: the greedy MMR recurrence unrolled into
+    * one chained CTE per step (same unroll discipline as t37's merge
+    * cascade) — DuckDB recomputes the candidate cut, the pairwise cosines
+    * AND all 8 greedy selections from the raw embeddings; nothing is staged.
+    * The multi-referenced CTEs are MATERIALIZED: each step references the
+    * previous selection set three times, so inlined CTEs would re-evaluate
+    * the whole chain 3^7 times.
+    */
+  private val e13Oracle: String = {
+    val steps = (2 to 8).map { i =>
+      s""", sel$i as materialized (
+    select qid, $i as step, cid, rel, maxsim from (
+      select c.qid, c.cid, c.rel, m.maxsim,
+        row_number() over (partition by c.qid
+          order by 0.5 * c.rel - 0.5 * m.maxsim desc, c.cid) as rn
+      from cands c
+      join (select p.qid, p.a as cid, max(p.sim) as maxsim
+            from prs p join selall${i - 1} s on s.qid = p.qid and s.cid = p.b
+            group by p.qid, p.a) m
+        on m.qid = c.qid and m.cid = c.cid
+      left join selall${i - 1} x on x.qid = c.qid and x.cid = c.cid
+      where x.cid is null) t
+    where rn = 1
+  ), selall$i as materialized (
+    select * from selall${i - 1} union all select * from sel$i
+  )"""
+    }.mkString
+    s"""with q as (
+      select vec_id as qid, embedding as qe from embeddings where vec_id < 8
+    ), c as (
+      select vec_id as cid, embedding as ce from embeddings
+    ), scored0 as (
+      select qid, cid, round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as rel
+      from (
+        select qid, cid, sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+        from (select qid, cid, unnest(qe)::double as x, unnest(ce)::double as y
+              from (select qid, cid, qe, ce from q, c where cid != qid) p) f
+        group by qid, cid) d
+    ), cands as materialized (
+      select qid, cid, rel from (
+        select qid, cid, rel,
+          row_number() over (partition by qid order by rel desc, cid) as rn
+        from scored0) t
+      where rn <= 20
+    ), candv as (
+      select cands.qid, cands.cid, c.ce from cands join c on c.cid = cands.cid
+    ), prs as materialized (
+      select qid, a, b, round(dp / nullif(sqrt(na) * sqrt(nb), 0), 4) + 0.0 as sim
+      from (
+        select qid, a, b, sum(x * y) as dp, sum(x * x) as na, sum(y * y) as nb
+        from (select p.qid, p.a, p.b,
+                unnest(p.ea)::double as x, unnest(p.eb)::double as y
+              from (select x1.qid, x1.cid as a, x2.cid as b,
+                      x1.ce as ea, x2.ce as eb
+                    from candv x1 join candv x2
+                      on x1.qid = x2.qid and x1.cid != x2.cid) p) f
+        group by qid, a, b) d
+    ), selall1 as materialized (
+      select qid, 1 as step, cid, rel, 0.0 as maxsim from (
+        select qid, cid, rel,
+          row_number() over (partition by qid order by rel desc, cid) as rn
+        from cands) t
+      where rn = 1
+    )$steps
+    select qid, step, cid, rel,
+      round(maxsim, 4) + 0.0 as max_sel_sim,
+      round(0.5 * rel - 0.5 * maxsim, 4) + 0.0 as mmr_score
+    from selall8
+    order by qid, step"""
+  }
+
+  /** MMR diversity re-ranking (λ=0.5, k=8 from top-20 cosine candidates) —
+    * the post-retrieval diversification step of RAG/context-assembly
+    * pipelines. Scale shape: candidate generation is the distributed ANN
+    * work (here the e1 broadcast-queries brute cut; at 100 TB the IVF/PQ
+    * paths of [[graft.ops.Similarity]]); the greedy loop touches only each
+    * query's own ≤20 candidates via the typed [[graft.ops.Mmr]] kernel —
+    * one shuffle on qid, no corpus-global step, work bounded by
+    * queries × candidates². Both `rel` and `sim` are rounded to 4 digits
+    * BEFORE the greedy so Spark and the oracle compare identical doubles;
+    * λ=0.5 keeps both MMR terms exact IEEE halvings.
+    */
+  val e13 = Q(
+    "e13_mmr_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          sqrt(norm2(col("embedding"))).as("qn"))
+      val cands = emb
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(norm2(col("embedding"))).as("cn"))
+      val scored = cands.crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), col("ce"), col("cn"),
+          round(
+            dot(col("qe"), col("ce")) / nullif(col("qn") * col("cn"), lit(0.0)),
+            4).as("rel"))
+      val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+      val top = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("qid", "cid", "ce", "cn", "rel")
+      val a = top.select(col("qid"), col("cid").as("a"), col("rel"),
+        col("ce").as("ea"), col("cn").as("na"))
+      val b = top.select(col("qid").as("qid_b"), col("cid").as("b"),
+        col("ce").as("eb"), col("cn").as("nb"))
+      val pairs = a
+        .join(b, col("qid") === col("qid_b") && col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("rel"), col("b"),
+          round(
+            dot(col("ea"), col("eb")) / nullif(col("na") * col("nb"), lit(0.0)),
+            4).as("sim"))
+      graft.ops.Mmr.rerank(pairs, 8)
+        .select(col("qid"), col("step"), col("cid"), col("rel"),
+          round(col("max_sel_sim"), 4).as("max_sel_sim"),
+          round(col("mmr_score"), 4).as("mmr_score"))
+        .orderBy("qid", "step")
+    },
+    Some(e13Oracle),
+    "similarity: MMR diversity re-rank (λ=0.5, k=8) of top-20 cosine candidates")
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9, e13)
 }
