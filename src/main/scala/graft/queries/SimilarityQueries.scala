@@ -512,5 +512,73 @@ object SimilarityQueries {
     Some(e13Oracle),
     "similarity: MMR diversity re-rank (λ=0.5, k=8) of top-20 cosine candidates")
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9, e13)
+  /** Per-word sign packing: bit i of the word is 1 iff `emb[off + i] > 0`.
+    * Spelled as 32 explicit `when(...)` terms OR-reduced — Spark's
+    * higher-order array functions are CodegenFallback (see PERF.md), so the
+    * unrolled-literal form is what keeps the packing projection inside
+    * whole-stage codegen. The shift amounts are Scala-side constants.
+    */
+  private def signWord(emb: Column, off: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(emb, off + i + 1) > lit(0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Binary (1-bit sign) quantization + Hamming top-k — the third
+    * quantization family next to int8 ([[e7]]) and product quantization
+    * (`e12_pq_ann`), and the most compressed: a 64-dim float vector (256 B)
+    * becomes TWO longs (16 B), a 16× scan reduction, so a 100 TB float
+    * corpus binarizes to ~6 TB and the whole index fits executor memory at
+    * cluster scale. The distance kernel is `bit_count(a XOR b)` over the
+    * packed words — three codegen'd integer builtins per word pair, no
+    * arrays, no floats, the cheapest candidate-generation scan any index
+    * family here offers (at scale this is the coarse filter in front of an
+    * exact float rerank, exactly like e5/e6's bucket → rerank shape).
+    * Determinism: Hamming is integer-exact — no rounding discipline needed
+    * anywhere; ties break on cid. Plan shape: one projection pass packs the
+    * corpus, queries broadcast, per-qid top-5 via a PARTITIONED rank window.
+    */
+  val e14 = Q(
+    "e14_binary_ann",
+    (s, dir) => {
+      val words = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        signWord(col("embedding"), 0).as("w0"),
+        signWord(col("embedding"), 32).as("w1"))
+      val queries = words.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("w0").as("qw0"),
+          col("w1").as("qw1"))
+      val scored = words.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (bit_count(col("qw0").bitwiseXOR(col("w0"))) +
+            bit_count(col("qw1").bitwiseXOR(col("w1"))))
+            .cast("int").as("hamming"))
+      val w = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+    Some("""with flat as (
+      select vec_id, unnest(embedding) as x,
+             generate_subscripts(embedding, 1) - 1 as i
+      from embeddings
+    ), words as (
+      select vec_id,
+        sum(case when i < 32 and x > 0 then (1::bigint << i) else 0 end)::bigint as w0,
+        sum(case when i >= 32 and x > 0 then (1::bigint << (i - 32)) else 0 end)::bigint as w1
+      from flat group by vec_id
+    ), pairs as (
+      select q.vec_id as qid, c.vec_id as cid,
+        cast(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) as int) as hamming
+      from words q join words c on q.vec_id < 16 and c.vec_id != q.vec_id
+    ), ranked as (
+      select qid, cid, hamming,
+        row_number() over (partition by qid order by hamming, cid) as rn
+      from pairs
+    )
+    select qid, cid, hamming, rn from ranked where rn <= 5 order by qid, rn"""),
+    "similarity: binary sign quantization + Hamming top-k (bit_count(xor) kernel, 16x compression)")
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9, e13, e14)
 }
