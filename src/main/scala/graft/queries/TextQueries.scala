@@ -1913,8 +1913,52 @@ object TextQueries {
     order by a.doc_id"""),
     "BPE apply: staged merge ranks re-tokenize the corpus as a replace-fold")
 
+  /** Spelling-variant mining over the corpus vocabulary (OCR/typo cleanup:
+    * surface forms within edit distance 2 of each other, with their corpus
+    * frequencies — the candidate table a normalization pass consumes). The
+    * naive spelling is an O(V²) vocabulary self-join — 10¹² pairs at a
+    * realistic million-type vocabulary — so the Spark side uses the
+    * deletion-neighborhood (SymSpell/FastSS) join instead: if
+    * lev(a,b) ≤ 2, deleting the ≤2 substituted/inserted positions from each
+    * side reaches a COMMON string, so every true pair shares a key in the
+    * ≤2-deletion variant sets. Candidate generation is Σ|t|²/2 rows per
+    * token (vocabulary-sized, not corpus-sized), the join is keyed on the
+    * variant string, and the shared-variant⇏lev≤2 false positives are
+    * removed by one codegen'd `levenshtein` verify. The oracle deliberately
+    * runs the BRUTE-FORCE quadratic self-join — tractable at test scale —
+    * so the hash match proves the neighborhood candidates are LOSSLESS,
+    * not merely self-consistent.
+    */
+  val t39 = Q(
+    "t39_spell_variants",
+    (s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      graft.ops.Spelling.variantPairs(vocab)
+        .join(vocab.select(col("tok").as("tok_a"), col("freq").as("freq_a")),
+          "tok_a")
+        .join(vocab.select(col("tok").as("tok_b"), col("freq").as("freq_b")),
+          "tok_b")
+        .select("tok_a", "tok_b", "lev", "freq_a", "freq_b")
+        .orderBy("tok_a", "tok_b")
+    },
+    Some("""with tok as (
+      select unnest(string_split(text, ' ')) as tok from documents
+    ), vocab as (
+      select tok, count(*) as freq from tok where tok <> '' group by tok
+    )
+    select a.tok as tok_a, b.tok as tok_b,
+      cast(levenshtein(a.tok, b.tok) as int) as lev,
+      a.freq as freq_a, b.freq as freq_b
+    from vocab a join vocab b on a.tok < b.tok
+    where levenshtein(a.tok, b.tok) <= 2
+    order by tok_a, tok_b"""),
+    "vocabulary spelling-variant mining: SymSpell deletion-neighborhood join vs brute-force oracle")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
 }
