@@ -580,5 +580,148 @@ object SimilarityQueries {
     select qid, cid, hamming, rn from ranked where rn <= 5 order by qid, rn"""),
     "similarity: binary sign quantization + Hamming top-k (bit_count(xor) kernel, 16x compression)")
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9, e13, e14)
+  /** Generated oracle for [[e15]]: 12 power-iteration matvecs unrolled into
+    * chained CTEs (the e13/t37 unroll discipline). DuckDB recomputes the
+    * covariance matrix, the full iteration, the Rayleigh quotient and the
+    * per-label projection stats from the raw embeddings — nothing staged.
+    * Parity discipline: the covariance entries are rounded to 6 digits on
+    * BOTH sides before iterating (identical matrices), the iteration runs
+    * UN-normalized (pure matvecs — double relative error stays ~1e-14 over
+    * 12 steps regardless of magnitude), and every output rounds at 6.
+    */
+  private val e15Oracle: String = {
+    val steps = (0 until 12).map { k =>
+      s""", v${k + 1} as materialized (
+      select c.i, sum(c.c * v.v) as v
+      from cov c join v$k v on v.i = c.j group by c.i
+    )"""
+    }.mkString
+    s"""with flat as (
+      select vec_id, label, unnest(embedding)::double as x,
+             generate_subscripts(embedding, 1) - 1 as i
+      from embeddings
+    ), nrows as (
+      select count(*)::double as n from embeddings
+    ), mu as (
+      select i, avg(x) as m from flat group by i
+    ), sxy as (
+      select a.i as i, b.i as j, sum(a.x * b.x) as s
+      from flat a join flat b on a.vec_id = b.vec_id
+      group by a.i, b.i
+    ), cov as materialized (
+      select s.i, s.j,
+        round((s.s - n.n * mi.m * mj.m) / (n.n - 1), 6) + 0.0 as c
+      from sxy s, nrows n
+      join mu mi on mi.i = s.i
+      join mu mj on mj.i = s.j
+    ), v0 as (
+      select i, 1.0 as v from mu
+    )$steps, vn as materialized (
+      select i, v / sqrt((select sum(v * v) from v12)) as v from v12
+    ), scalars as (
+      select
+        (select sum(c.c * a.v * b.v) from cov c
+          join vn a on a.i = c.i join vn b on b.i = c.j) as lambda1,
+        (select sum(c) from cov where i = j) as trace
+    ), proj as (
+      select f.vec_id, f.label, sum((f.x - mu.m) * vn.v) as p
+      from flat f join mu on mu.i = f.i join vn on vn.i = f.i
+      group by f.vec_id, f.label
+    )
+    select label, count(*) as n_vecs,
+      round(avg(p), 6) + 0.0 as mean_proj,
+      round(stddev_samp(p), 6) + 0.0 as sd_proj,
+      round((select lambda1 from scalars), 6) + 0.0 as lambda1,
+      round((select lambda1 from scalars) / (select trace from scalars), 6)
+        + 0.0 as explained_ratio
+    from proj
+    group by label
+    order by label"""
+  }
+
+  /** Top-principal-component corpus diagnostics — the spectral health check
+    * a curation pipeline runs before clustering/ANN index choice: the
+    * dominant eigenvalue's explained-variance ratio says whether the
+    * embedding space is near-isotropic (healthy) or collapsed onto a few
+    * directions, and per-label projection stats on PC1 show label
+    * separation. Scale shape: the d×d second-moment matrix is built with
+    * CHAINED GENERATORS (two posexplodes from the same row — no self-join,
+    * no pre-shuffle), so the N·d² generated rows reduce map-side to ≤d²
+    * partials per partition and one tiny keyed shuffle; the driver then
+    * holds exactly d² = 4096 scalars for the 12 power-iteration matvecs —
+    * the same sanctioned driver-scale as the IVF centroid collect
+    * (`ops/Similarity.scala`) — and the PC1 projection redistributes as a
+    * broadcast join + per-row fused multiply-add. N never leaves the
+    * cluster; only d² does.
+    */
+  val e15 = Q(
+    "e15_pca_power",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val flat = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("xf").cast("double").as("x"))
+      val prods = emb
+        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi").cast("double").as("xi"),
+          posexplode(col("embedding")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"),
+          (col("xi") * col("xj").cast("double")).as("xy"))
+      val sxy = prods.groupBy("i", "j").agg(sum("xy").as("s"))
+      val mu = flat.groupBy("i").agg(avg("x").as("m"))
+      val nDf = emb.agg(count(lit(1)).cast("double").as("n"))
+      val cov = sxy
+        .join(broadcast(mu.select(col("i"), col("m").as("mi"))), "i")
+        .join(broadcast(mu.select(col("i").as("j"), col("m").as("mj"))), "j")
+        .crossJoin(broadcast(nDf))
+        .select(col("i"), col("j"),
+          round((col("s") - col("n") * col("mi") * col("mj")) /
+            (col("n") - 1), 6).as("c"))
+      // d² scalars to the driver (IVF-centroid precedent), matvecs local.
+      val entries = cov.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dim = entries.keys.map(_._1).max + 1
+      val c = Array.tabulate(dim, dim)((i, j) => entries((i, j)))
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 0 until 12) {
+        val next = Array.tabulate(dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+          acc
+        }
+        v = next
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val vh = v.map(_ / nrm)
+      var lam = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) lam += c(i)(j) * vh(i) * vh(j)
+      val trace = (0 until dim).map(i => c(i)(i)).sum
+      val vDf = s.createDataFrame(
+        s.sparkContext.parallelize(vh.toIndexedSeq.zipWithIndex
+          .map { case (x, i) => org.apache.spark.sql.Row(i, x) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))))
+      val proj = flat
+        .join(broadcast(mu), "i")
+        .join(broadcast(vDf), "i")
+        .groupBy("vec_id", "label")
+        .agg(sum((col("x") - col("m")) * col("v")).as("p"))
+      proj.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("p"), 6).as("mean_proj"),
+          round(stddev_samp(col("p")), 6).as("sd_proj"))
+        .select(col("label"), col("n_vecs"), col("mean_proj"), col("sd_proj"),
+          round(lit(lam), 6).as("lambda1"),
+          round(lit(lam / trace), 6).as("explained_ratio"))
+        .orderBy("label")
+    },
+    Some(e15Oracle),
+    "similarity: PC1 via distributed covariance + power iteration (spectral corpus diagnostics)")
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e7, e8, e9, e13, e14, e15)
 }
