@@ -1957,8 +1957,74 @@ object TextQueries {
     order by tok_a, tok_b"""),
     "vocabulary spelling-variant mining: SymSpell deletion-neighborhood join vs brute-force oracle")
 
+  /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+    * bounded-memory frequency estimator a 100 TB token stream needs: d×w
+    * counters TOTAL (here 4×64) regardless of vocabulary size, each cell a
+    * sum — so the sketch builds in one pass with map-side partial
+    * aggregation to ≤d·w partials per partition and merges across
+    * executors/days by cell-wise addition. estimate(t) = min over rows of
+    * cell(k, h_k(t)) ≥ true count, always an overestimate. The query
+    * reports the true top-10 tokens with exact count, CM estimate and the
+    * overestimate (collision mass). Cells are derived from the exact vocab
+    * counts (mathematically identical to hashing every occurrence, fewer
+    * rows); the hash is a cross-engine md5-prefix integer so the DuckDB
+    * oracle rebuilds the ENTIRE sketch independently — no staging.
+    */
+  val t40 = Q(
+    "t40_countmin_heavy_hitters",
+    (s, dir) => {
+      val depth = 4
+      val width = 64
+      val md5int = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val vocab = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val buck = vocab
+        .select(col("tok"), col("n"),
+          explode(array((0 until depth).map(lit): _*)).as("k"))
+        .withColumn("bucket",
+          pmod(md5int(concat_ws(":", col("k"), col("tok"))), lit(width)))
+      val cells = buck.groupBy("k", "bucket").agg(sum("n").as("cell"))
+      val est = buck.join(cells, Seq("k", "bucket"))
+        .groupBy("tok").agg(min("cell").as("cm_est"))
+      val ranked = vocab.withColumn("rn",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .filter(col("rn") <= 10)
+      ranked.join(est, "tok")
+        .select(col("tok"), col("n").as("exact_n"), col("cm_est"),
+          (col("cm_est") - col("n")).as("overestimate"), col("rn"))
+        .orderBy("rn")
+    },
+    Some("""with tok as (
+      select unnest(string_split(text, ' ')) as tok from documents
+    ), vocab as (
+      select tok, count(*) as n from tok where tok <> '' group by tok
+    ), buck as (
+      select v.tok, v.n, k.k,
+        (('0x' || substr(md5(k.k || ':' || v.tok), 1, 15))::bigint % 64)
+          as bucket
+      from vocab v, (select unnest([0, 1, 2, 3]) as k) k
+    ), cells as (
+      select k, bucket, sum(n) as cell from buck group by k, bucket
+    ), est as (
+      select b.tok, min(c.cell) as cm_est
+      from buck b join cells c on c.k = b.k and c.bucket = b.bucket
+      group by b.tok
+    ), ranked as (
+      select tok, n, row_number() over (order by n desc, tok) as rn
+      from vocab
+    )
+    select r.tok, r.n as exact_n, e.cm_est::bigint as cm_est,
+      (e.cm_est - r.n)::bigint as overestimate, r.rn
+    from ranked r join est e on e.tok = r.tok
+    where r.rn <= 10
+    order by r.rn"""),
+    "corpus sketching: Count-Min heavy hitters (cross-engine md5 hash, overestimate audit)")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }
