@@ -133,6 +133,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("binary ANN keeps the broadcast scan shape over packed words") {
+    // e14 is the e1/e7 topology over 16-byte packed rows: exactly one
+    // broadcast NLJ (queries into the streamed corpus), no product, and
+    // no shuffle beyond the rank-window + output sort.
+    val f = fp("e14_binary_ann")
+    assert(f.bnlj == 1 && f.cartesian == 0,
+      s"e14 wants exactly one broadcast NLJ, got $f")
+    assert(f.exchanges <= 2, s"e14 wants ≤2 exchanges, got $f")
+  }
+
+  test("spectral diagnostics never join the corpus with itself") {
+    // e15's covariance is chained generators + one keyed shuffle — a
+    // self-join or product here would square the N·d² generate volume.
+    // The d² matrix and the PC1 vector ride broadcasts back.
+    val f = fp("e15_pca_power")
+    assert(f.cartesian == 0 && f.smj == 0,
+      s"e15 must not shuffle-join or product-join the flattened corpus: $f")
+    assert(f.exchanges <= 4, s"e15 wants ≤4 exchanges, got $f")
+  }
+
+  test("spelling variants plan the deletion join, not the quadratic self-join") {
+    // t39 exists to AVOID the O(V²) vocabulary self-join its oracle runs;
+    // every join must be keyed (variant string / token), never a product.
+    val f = fp("t39_spell_variants")
+    assert(f.cartesian == 0 && f.bnlj == 0,
+      s"t39 plans a quadratic join: $f")
+  }
+
+  test("count-min sketch ranks above an aggregate, never the raw corpus") {
+    val f = fp("t40_countmin_heavy_hitters")
+    assert(f.cartesian == 0 && f.bnlj == 0, s"t40 plans a product: $f")
+    val df = Registry.byName("t40_countmin_heavy_hitters").run(spark, Sf)
+    assert(PlanAudit.unpartitionedCorpusWindows(df) == 0,
+      "t40's top-10 window must sit above the vocab aggregate")
+  }
+
   test("salted skew aggregation is a bounded two-stage shuffle chain") {
     // q22's whole point: a hot key is split across salts (stage 1 shuffle),
     // then merged (stage 2 shuffle); the final orderBy adds a range
