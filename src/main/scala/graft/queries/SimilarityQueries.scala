@@ -457,7 +457,7 @@ object SimilarityQueries {
     )$steps
     select qid, step, cid, rel,
       round(maxsim, 4) + 0.0 as max_sel_sim,
-      round(0.5 * rel - 0.5 * maxsim, 4) + 0.0 as mmr_score
+      round(0.5 * rel - 0.5 * maxsim, 5) + 0.0 as mmr_score
     from selall8
     order by qid, step"""
   }
@@ -506,23 +506,17 @@ object SimilarityQueries {
       graft.ops.Mmr.rerank(pairs, 8)
         .select(col("qid"), col("step"), col("cid"), col("rel"),
           round(col("max_sel_sim"), 4).as("max_sel_sim"),
-          round(col("mmr_score"), 4).as("mmr_score"))
+          // 5 digits, NOT 4: both MMR terms are exact halvings of 4-digit
+          // values, so the score lands ON the 5-decimal grid (multiples of
+          // 0.00005) — mid-cell for round(·,5) on both engines. Rounding at
+          // 4 would sit exactly on the .00005 boundary whenever rel−maxsim
+          // has an odd last digit, where Spark's BigDecimal HALF_UP and
+          // DuckDB's scaled rint can disagree (bit at sf0.1, row 43).
+          round(col("mmr_score"), 5).as("mmr_score"))
         .orderBy("qid", "step")
     },
     Some(e13Oracle),
     "similarity: MMR diversity re-rank (λ=0.5, k=8) of top-20 cosine candidates")
-
-  /** Per-word sign packing: bit i of the word is 1 iff `emb[off + i] > 0`.
-    * Spelled as 32 explicit `when(...)` terms OR-reduced — Spark's
-    * higher-order array functions are CodegenFallback (see PERF.md), so the
-    * unrolled-literal form is what keeps the packing projection inside
-    * whole-stage codegen. The shift amounts are Scala-side constants.
-    */
-  private def signWord(emb: Column, off: Int): Column =
-    (0 until 32).map { i =>
-      when(element_at(emb, off + i + 1) > lit(0f), lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
 
   /** Binary (1-bit sign) quantization + Hamming top-k — the third
     * quantization family next to int8 ([[e7]]) and product quantization
@@ -541,22 +535,10 @@ object SimilarityQueries {
   val e14 = Q(
     "e14_binary_ann",
     (s, dir) => {
-      val words = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        signWord(col("embedding"), 0).as("w0"),
-        signWord(col("embedding"), 32).as("w1"))
-      val queries = words.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("qid"), col("w0").as("qw0"),
-          col("w1").as("qw1"))
-      val scored = words.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          (bit_count(col("qw0").bitwiseXOR(col("w0"))) +
-            bit_count(col("qw1").bitwiseXOR(col("w1"))))
-            .cast("int").as("hamming"))
-      val w = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      val words = graft.ops.Similarity.signPack(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      graft.ops.Similarity.binaryTopK(
+          words, words.filter(col("vec_id") < 16), "vec_id", 5)
         .orderBy("qid", "rn")
     },
     Some("""with flat as (
