@@ -457,6 +457,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF residuals: assign every vector to its coarse cell and subtract
+    * that cell's centroid — the IVF-PQ composition step (Jégou et al. 2011
+    * §IV): PQ codebooks trained on RESIDUALS spend their precision on the
+    * within-cell detail the coarse quantizer can't express, a strictly
+    * better rate-distortion trade than flat PQ at equal bytes. One linear
+    * pass: the centroid table (nCells × dim doubles) broadcast-joins on the
+    * assigned cell and the subtraction is `dim` unrolled element_at terms —
+    * no higher-order functions, stays inside whole-stage codegen. Residual
+    * components are cast to float so the [[pqTrain]]/[[pqEncode]] native
+    * kernels consume them unchanged.
+    */
+  def residualsWithCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val dim = centroids(0).length
+    val spark = df.sparkSession
+    val cenDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq)
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cen",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    ivfAssign(df, vecCol, centroids)
+      .join(broadcast(cenDf), "cell")
+      .select(col(idCol), col("cell"),
+        array((0 until dim).map { i =>
+          (element_at(col(vecCol), i + 1).cast("double") -
+            element_at(col("cen"), i + 1)).cast("float")
+        }: _*).as("resid"))
+  }
+
   /** Binary (1-bit sign) quantization: each 64-dim vector packs into TWO
     * longs of sign bits (bit i of word w is 1 iff `vec[32w + i] > 0`) — a
     * 16× scan reduction vs f32, the most compressed index family next to

@@ -1069,9 +1069,170 @@ object OpsQueries {
          |order by index_type, query_id""".stripMargin),
     "ANN eval: recall@5 of IVF, PQ-ADC and int8-quantized search vs exact top-5 — every index family eval'd")
 
+  /** IVF-PQ — the production billion-vector index (Jégou et al. 2011 §IV,
+    * the FAISS `IVFxx,PQyy` shape): a coarse inverted file prunes the scan
+    * to the probed cells' posting lists AND the PQ codebooks are trained on
+    * CELL RESIDUALS, spending their 8 bytes on within-cell detail the
+    * coarse quantizer already removed — strictly better rate-distortion
+    * than flat PQ (e12) at equal code size, on top of the nProbe/nCells
+    * scan reduction flat PQ doesn't have. Search decomposes the inner
+    * product exactly: q·x̂ = q·c(cell) + q·r̂, so each query carries ONE
+    * residual-codebook LUT (PqLut on the full query vector — the subspace
+    * dot with a residual centroid IS q·r̂'s contribution) plus a scalar
+    * q·centroid offset per probed cell; candidates come from a CELL-KEYED
+    * join (the inverted-file probe — never a corpus-wide scan), each scored
+    * by 8 table lookups + one add. Centroids, residual codebooks and the
+    * (cell, codes) index are STAGED; the oracle recomputes cell probing,
+    * the offset, the full ADC sum, the shortlist cut and the exact rerank
+    * from those bytes + raw embeddings. Rounding discipline: probe scores
+    * and ADC totals round at 4 before their rank windows (id tie-breaks),
+    * so no cross-engine ulp can flip a probe or a shortlist membership.
+    */
+  val ivfPqAnn = Q(
+    "e16_ivfpq_ann",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val nCells = 16
+      val nProbe = 4
+      var cents = Similarity.sampleCentroids(emb, "vec_id", "embedding",
+        nCells)
+      for (_ <- 0 until 2)
+        cents = Similarity.kmeansStep(emb, "embedding", cents)
+      Stage.through(
+        cents.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid"),
+        dir, "e16_centroids")
+      val resid = Similarity.residualsWithCells(emb, "vec_id", "embedding",
+        cents).persist()
+      val cbr = Similarity.pqTrain(resid, "vec_id", "resid",
+        subspaces = 8, codes = 32, iters = 2)
+      val cbRows = for {
+        m <- cbr.indices; c <- cbr(m).indices
+      } yield (m, c, cbr(m)(c).toSeq)
+      Stage.through(cbRows.toDF("sub", "code", "centroid"), dir,
+        "e16_codebooks")
+      val coded = Stage.through(
+        resid.select(col("vec_id"), col("cell"),
+          graft.expressions.PqCodes(col("resid"), cbr).as("codes")),
+        dir, "e16_codes")
+      resid.unpersist()
+
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cenDf = cents.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cen")
+      val qcDot = graft.expressions.DotProduct(col("qe"), col("cen"))
+      val cellScore = queries.crossJoin(broadcast(cenDf))
+        .select(col("query_id"), col("cell"), col("qe"),
+          qcDot.as("cdot_raw"),
+          graft.Norm.rz(qcDot -
+            aggregate(col("cen"), lit(0.0), (a, x) => a + x * x) / 2, 4)
+            .as("pscore"))
+      val probed = cellScore
+        .withColumn("prn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("pscore").desc, col("cell"))))
+        .filter(col("prn") <= nProbe)
+        .select(col("query_id"), col("cell"), col("cdot_raw"),
+          graft.expressions.PqLut(col("qe"), cbr).as("lut"))
+      val scored = coded.join(broadcast(probed), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.Norm.rz(col("cdot_raw") +
+            graft.expressions.PqAdcScore(col("codes"), col("lut")), 4)
+            .as("adc_score"))
+      val shortlist = scored
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("adc_score").desc, col("neighbor_id"))))
+        .filter(col("srn") <= 50)
+        .select("query_id", "neighbor_id")
+      Similarity.rerankTopK(shortlist, emb, "vec_id", "embedding", 5,
+          Some(4))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""with cent as (
+         |  select cell, centroid from ${Stage.sqlPath("e16_centroids")}
+         |), cb as (
+         |  select sub, code, centroid from ${Stage.sqlPath("e16_codebooks")}
+         |), coded as (
+         |  select vec_id, cell, codes from ${Stage.sqlPath("e16_codes")}
+         |), q as (
+         |  select vec_id as query_id, embedding from embeddings
+         |  where vec_id < 20
+         |), cellscore as (
+         |  select q.query_id, cent.cell, q.embedding,
+         |    list_dot_product(cent.centroid, q.embedding::double[]) as cdot_raw,
+         |    round(list_dot_product(cent.centroid, q.embedding::double[])
+         |      - list_dot_product(cent.centroid, cent.centroid) / 2, 4) + 0.0
+         |      as pscore
+         |  from q cross join cent
+         |), probed as (
+         |  select query_id, cell, embedding, cdot_raw from (
+         |    select query_id, cell, embedding, cdot_raw,
+         |      row_number() over (partition by query_id
+         |        order by pscore desc, cell) as prn
+         |    from cellscore) t
+         |  where prn <= 4
+         |), expanded as (
+         |  select vec_id as neighbor_id, cell, i - 1 as sub, codes[i] as code
+         |  from (select vec_id, cell, codes,
+         |          generate_subscripts(codes, 1) as i
+         |        from coded) t
+         |), contrib as (
+         |  select p.query_id, e.neighbor_id, p.cdot_raw,
+         |    list_dot_product(cb.centroid,
+         |      p.embedding[e.sub * 8 + 1 : e.sub * 8 + 8]::double[]) as c
+         |  from expanded e
+         |  join probed p on p.cell = e.cell
+         |  join cb on cb.sub = e.sub and cb.code = e.code
+         |  where e.neighbor_id != p.query_id
+         |), adc as (
+         |  select query_id, neighbor_id,
+         |    round(any_value(cdot_raw) + sum(c), 4) + 0.0 as adc_score
+         |  from contrib group by query_id, neighbor_id
+         |), shortlist as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by adc_score desc, neighbor_id) as srn
+         |    from adc) t
+         |  where srn <= 50
+         |), pairs as (
+         |  select s.query_id, s.neighbor_id, qe.embedding as qv,
+         |    ne.embedding as nv
+         |  from shortlist s
+         |  join embeddings qe on qe.vec_id = s.query_id
+         |  join embeddings ne on ne.vec_id = s.neighbor_id
+         |), flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qv)::double as x, unnest(nv)::double as y
+         |  from pairs
+         |), dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from flat group by query_id, neighbor_id
+         |), reranked as (
+         |  select query_id, neighbor_id,
+         |    round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 as cosine
+         |  from dots
+         |)
+         |select query_id, neighbor_id, cosine, rank from (
+         |  select query_id, neighbor_id, cosine,
+         |    row_number() over (partition by query_id
+         |      order by cosine desc, neighbor_id) as rank
+         |  from reranked) t
+         |where rank <= 5
+         |order by query_id, rank""".stripMargin),
+    "similarity: IVF-PQ ANN — residual codebooks, cell-keyed probe join, q·c offset + ADC, staged index")
+
   def all: Seq[Q] =
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
-      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, annRecall,
-      annRecallMulti, mediaStats, imageFeatures, frameSample, audioFeatures,
-      imageNearDup, semanticDedup)
+      bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, ivfPqAnn,
+      annRecall, annRecallMulti, mediaStats, imageFeatures, frameSample,
+      audioFeatures, imageNearDup, semanticDedup)
 }
