@@ -492,6 +492,63 @@ object Similarity {
         }: _*).as("resid"))
   }
 
+  /** IVF-PQ shortlist (query_id, neighbor_id): probe the `nProbe` coarse
+    * cells per query (rounded L2-trick scores, cell tie-break), then score
+    * only the probed cells' posting rows by the exact inner-product
+    * decomposition q·x̂ = q·c(cell) + q·r̂ — one [[graft.expressions.PqLut]]
+    * per query against the RESIDUAL codebooks plus a scalar q·centroid
+    * offset per probed cell, summed with
+    * [[graft.expressions.PqAdcScore]]'s table lookups. The candidate join
+    * is CELL-KEYED (the inverted-file prune), never a corpus-wide scan;
+    * `coded` must carry (idCol, cell, codes) as produced by
+    * [[residualsWithCells]] + [[graft.expressions.PqCodes]]. ADC totals
+    * round at `roundTo` before the cut window so a hash-verifying oracle
+    * can't flip a shortlist membership on a last-ulp reorder.
+    */
+  def ivfPqShortlist(coded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Double]],
+      cbr: Array[Array[Array[Double]]], nProbe: Int, shortlist: Int,
+      roundTo: Int = 4): DataFrame = {
+    val spark = coded.sparkSession
+    val cenDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq)
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cen",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val qcDot = graft.expressions.DotProduct(col("qe"), col("cen"))
+    val cellScore = q.crossJoin(broadcast(cenDf))
+      .select(col("query_id"), col("cell"), col("qe"),
+        qcDot.as("cdot_raw"),
+        graft.Norm.rz(qcDot -
+          aggregate(col("cen"), lit(0.0), (a, x) => a + x * x) / 2, roundTo)
+          .as("pscore"))
+    val probed = cellScore
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("pscore").desc, col("cell"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("cell"), col("cdot_raw"),
+        graft.expressions.PqLut(col("qe"), cbr).as("lut"))
+    coded.join(broadcast(probed), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        graft.Norm.rz(col("cdot_raw") +
+          graft.expressions.PqAdcScore(col("codes"), col("lut")), roundTo)
+          .as("adc_score"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_score").desc, col("neighbor_id"))))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "neighbor_id")
+  }
+
   /** Binary (1-bit sign) quantization: each 64-dim vector packs into TWO
     * longs of sign bits (bit i of word w is 1 iff `vec[32w + i] > 0`) — a
     * 16× scan reduction vs f32, the most compressed index family next to

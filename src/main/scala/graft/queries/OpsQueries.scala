@@ -911,6 +911,34 @@ object OpsQueries {
         .rerankTopK(pqCands, emb, "vec_id", "embedding", k = 5,
           roundTo = Some(4))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      // Binary leg: sign-pack + Hamming top-5 IS the search (no rerank —
+      // the most compressed family trades recall for a 16× scan cut); the
+      // oracle rebuilds the packed words from the raw floats, no staging.
+      val packed = Similarity.signPack(emb, "vec_id", "embedding")
+      val binTop = Similarity
+        .binaryTopK(packed, packed.filter(col("vec_id") < 20), "vec_id",
+          k = 5)
+        .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+          lit(1L).as("hit"))
+      // IVF-PQ leg: residual codebooks over the e11 coarse centroids, the
+      // cell-keyed probe + ADC shortlist staged (ADC scoring itself is
+      // hash-verified end-to-end by e16), exact rerank to top-5.
+      val resid = Similarity.residualsWithCells(emb, "vec_id", "embedding",
+        centroids).persist()
+      val ivfPqCb = Similarity.pqTrain(resid, "vec_id", "resid",
+        subspaces = 8, codes = 32, iters = 2)
+      val ivfPqCands = Stage.through(
+        Similarity.ivfPqShortlist(
+          resid.select(col("vec_id"), col("cell"),
+            graft.expressions.PqCodes(col("resid"), ivfPqCb).as("codes")),
+          queries, "vec_id", "embedding", centroids, ivfPqCb,
+          nProbe = 4, shortlist = 100),
+        dir, "e11_ivfpq_cands")
+      resid.unpersist()
+      val ivfPqTop = Similarity
+        .rerankTopK(ivfPqCands, emb, "vec_id", "embedding", k = 5,
+          roundTo = Some(4))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       // Shared float ground truth (the e10 shape): deliberate broadcast
       // brute-force over the SAMPLED query set; persisted — it feeds both
       // recall legs.
@@ -933,6 +961,8 @@ object OpsQueries {
               .as("recall_at_5"))
       recallOf(ivfTop, "ivf").unionAll(recallOf(pqTop, "pq"))
         .unionAll(recallOf(quantTop, "quantized"))
+        .unionAll(recallOf(binTop, "binary"))
+        .unionAll(recallOf(ivfPqTop, "ivfpq"))
         .orderBy("index_type", "query_id")
     },
     Some(
@@ -1060,14 +1090,81 @@ object OpsQueries {
          |  left join pq_top a
          |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
          |  group by e.query_id
+         |), bin_flat as (
+         |  select vec_id, unnest(embedding) as x,
+         |         generate_subscripts(embedding, 1) - 1 as i
+         |  from embeddings
+         |), bin_words as (
+         |  select vec_id,
+         |    sum(case when i < 32 and x > 0 then (1::bigint << i) else 0 end)::bigint as w0,
+         |    sum(case when i >= 32 and x > 0 then (1::bigint << (i - 32)) else 0 end)::bigint as w1
+         |  from bin_flat group by vec_id
+         |), bin_top as (
+         |  select query_id, neighbor_id from (
+         |    select q.vec_id as query_id, c.vec_id as neighbor_id,
+         |      row_number() over (partition by q.vec_id
+         |        order by bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)),
+         |          c.vec_id) as rk
+         |    from bin_words q join bin_words c
+         |      on q.vec_id < 20 and c.vec_id != q.vec_id) t
+         |  where rk <= 5
+         |), ivfpq_cands as (
+         |  select query_id, neighbor_id from ${Stage.sqlPath("e11_ivfpq_cands")}
+         |), ivfpq_pairs as (
+         |  select c.query_id, c.neighbor_id, q.embedding as qe, n.embedding as ce
+         |  from ivfpq_cands c
+         |  join embeddings q on q.vec_id = c.query_id
+         |  join embeddings n on n.vec_id = c.neighbor_id
+         |), ivfpq_flat as (
+         |  select query_id, neighbor_id,
+         |    unnest(qe)::double as x, unnest(ce)::double as y
+         |  from ivfpq_pairs
+         |), ivfpq_dots as (
+         |  select query_id, neighbor_id,
+         |    sum(x * y) as dp, sum(x * x) as nq, sum(y * y) as nc
+         |  from ivfpq_flat group by query_id, neighbor_id
+         |), ivfpq_top as (
+         |  select query_id, neighbor_id from (
+         |    select query_id, neighbor_id,
+         |      row_number() over (partition by query_id
+         |        order by round(dp / nullif(sqrt(nq) * sqrt(nc), 0), 4) + 0.0 desc,
+         |          neighbor_id) as rk
+         |    from ivfpq_dots) t
+         |  where rk <= 5
+         |), leg_binary as (
+         |  select 'binary' as index_type, e.query_id,
+         |    count(*) as n_exact,
+         |    cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      as bigint) as n_hits,
+         |    round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      / cast(count(*) as double), 4) + 0.0 as recall_at_5
+         |  from ex_top e
+         |  left join bin_top a
+         |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+         |  group by e.query_id
+         |), leg_ivfpq as (
+         |  select 'ivfpq' as index_type, e.query_id,
+         |    count(*) as n_exact,
+         |    cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      as bigint) as n_hits,
+         |    round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+         |      / cast(count(*) as double), 4) + 0.0 as recall_at_5
+         |  from ex_top e
+         |  left join ivfpq_top a
+         |    on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+         |  group by e.query_id
          |)
          |select * from leg_ivf
          |union all
          |select * from leg_pq
          |union all
          |select * from leg_q
+         |union all
+         |select * from leg_binary
+         |union all
+         |select * from leg_ivfpq
          |order by index_type, query_id""".stripMargin),
-    "ANN eval: recall@5 of IVF, PQ-ADC and int8-quantized search vs exact top-5 — every index family eval'd")
+    "ANN eval: recall@5 of IVF, IVF-PQ, PQ-ADC, int8 and binary search vs exact top-5 — every index family eval'd")
 
   /** IVF-PQ — the production billion-vector index (Jégou et al. 2011 §IV,
     * the FAISS `IVFxx,PQyy` shape): a coarse inverted file prunes the scan
@@ -1118,36 +1215,9 @@ object OpsQueries {
         dir, "e16_codes")
       resid.unpersist()
 
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val cenDf = cents.toIndexedSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cen")
-      val qcDot = graft.expressions.DotProduct(col("qe"), col("cen"))
-      val cellScore = queries.crossJoin(broadcast(cenDf))
-        .select(col("query_id"), col("cell"), col("qe"),
-          qcDot.as("cdot_raw"),
-          graft.Norm.rz(qcDot -
-            aggregate(col("cen"), lit(0.0), (a, x) => a + x * x) / 2, 4)
-            .as("pscore"))
-      val probed = cellScore
-        .withColumn("prn", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("pscore").desc, col("cell"))))
-        .filter(col("prn") <= nProbe)
-        .select(col("query_id"), col("cell"), col("cdot_raw"),
-          graft.expressions.PqLut(col("qe"), cbr).as("lut"))
-      val scored = coded.join(broadcast(probed), "cell")
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          graft.Norm.rz(col("cdot_raw") +
-            graft.expressions.PqAdcScore(col("codes"), col("lut")), 4)
-            .as("adc_score"))
-      val shortlist = scored
-        .withColumn("srn", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("adc_score").desc, col("neighbor_id"))))
-        .filter(col("srn") <= 50)
-        .select("query_id", "neighbor_id")
+      val shortlist = Similarity.ivfPqShortlist(coded,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        cents, cbr, nProbe, shortlist = 50)
       Similarity.rerankTopK(shortlist, emb, "vec_id", "embedding", 5,
           Some(4))
         .select(col("query_id"), col("neighbor_id"), col("cosine"),
