@@ -1166,6 +1166,92 @@ object OpsQueries {
          |order by index_type, query_id""".stripMargin),
     "ANN eval: recall@5 of IVF, IVF-PQ, PQ-ADC, int8 and binary search vs exact top-5 — every index family eval'd")
 
+  /** Dedup candidate-stage evaluation — the d-family analog of e10/e11:
+    * precision/recall of each blocking family's CANDIDATE pairs against
+    * exact Jaccard ≥ 0.5 ground truth. Recall is the number that matters
+    * at scale (the exact rerank restores precision but can never recover a
+    * pair the blocking missed), and it is exactly what a 100 TB run can't
+    * measure on itself — so the pipeline's quality gate is this query run
+    * on a sample. The two candidate sets (MinHash-LSH banded buckets,
+    * SimHash chunk-banded buckets — both with their production skew caps
+    * ON) are staged; the DuckDB oracle recomputes the exact shingle-Jaccard
+    * ground truth from raw text (the t6 shape, unlimited) and both metric
+    * rows from the staged bytes. Counts are exact integers; only the two
+    * ratios round.
+    */
+  val dedupEval = Q(
+    "d7_dedup_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lshCands = Stage.through(
+        Dedup.candidatePairs(docs).select("d1", "d2").distinct(),
+        dir, "d7_lsh_cands")
+      val simCands = Stage.through(
+        Dedup.simhashCandidatePairs(Dedup.simhash64(docs))
+          .select("d1", "d2").distinct(),
+        dir, "d7_sim_cands")
+      val truth = Dedup.exactJaccardPairs(docs)
+        .filter(col("jaccard") >= 0.5).select("d1", "d2")
+      def metricsOf(cands: DataFrame, label: String): DataFrame =
+        cands.agg(count(lit(1)).as("n_cands"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(truth.join(cands, Seq("d1", "d2"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+          .select(lit(label).as("method"), col("n_cands"), col("n_truth"),
+            col("n_hits"),
+            graft.Norm.rz(col("n_hits") /
+              nullif(col("n_cands").cast("double"), lit(0.0)), 4).as("prec"),
+            graft.Norm.rz(col("n_hits") /
+              nullif(col("n_truth").cast("double"), lit(0.0)), 4)
+              .as("recall"))
+      metricsOf(lshCands, "lsh").unionAll(metricsOf(simCands, "simhash"))
+        .orderBy("method")
+    },
+    Some(
+      s"""with toks as (
+         |  select doc_id, string_split(text, ' ') as t from documents
+         |), sub as (
+         |  select doc_id, t, generate_subscripts(t, 1) as i from toks
+         |), sh as (
+         |  select distinct doc_id, array_to_string(t[i:i+4], ' ') as shingle
+         |  from sub where i <= greatest(len(t) - 5, 0) + 1
+         |), sizes as (
+         |  select doc_id, count(*) as n from sh group by doc_id
+         |), pairs as (
+         |  select a.doc_id as d1, b.doc_id as d2, count(*) as inter
+         |  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+         |  group by 1, 2
+         |), truth as (
+         |  select d1, d2 from pairs
+         |  join sizes s1 on d1 = s1.doc_id
+         |  join sizes s2 on d2 = s2.doc_id
+         |  where cast(inter as double) / (s1.n + s2.n - inter) >= 0.5
+         |), lshc as (
+         |  select distinct d1, d2 from ${Stage.sqlPath("d7_lsh_cands")}
+         |), simc as (
+         |  select distinct d1, d2 from ${Stage.sqlPath("d7_sim_cands")}
+         |), m as (
+         |  select 'lsh' as method,
+         |    (select count(*) from lshc) as n_cands,
+         |    (select count(*) from truth) as n_truth,
+         |    (select count(*) from truth t
+         |       join lshc c on t.d1 = c.d1 and t.d2 = c.d2) as n_hits
+         |  union all
+         |  select 'simhash' as method,
+         |    (select count(*) from simc) as n_cands,
+         |    (select count(*) from truth) as n_truth,
+         |    (select count(*) from truth t
+         |       join simc c on t.d1 = c.d1 and t.d2 = c.d2) as n_hits
+         |)
+         |select method, n_cands, n_truth, n_hits,
+         |  round(n_hits / nullif(cast(n_cands as double), 0.0), 4) + 0.0
+         |    as prec,
+         |  round(n_hits / nullif(cast(n_truth as double), 0.0), 4) + 0.0
+         |    as recall
+         |from m
+         |order by method""".stripMargin),
+    "dedup eval: candidate-stage precision/recall of LSH + SimHash blocking vs exact Jaccard>=0.5 truth")
+
   /** IVF-PQ — the production billion-vector index (Jégou et al. 2011 §IV,
     * the FAISS `IVFxx,PQyy` shape): a coarse inverted file prunes the scan
     * to the probed cells' posting lists AND the PQ codebooks are trained on
@@ -1304,5 +1390,5 @@ object OpsQueries {
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, ivfPqAnn,
       annRecall, annRecallMulti, mediaStats, imageFeatures, frameSample,
-      audioFeatures, imageNearDup, semanticDedup)
+      audioFeatures, imageNearDup, semanticDedup, dedupEval)
 }
