@@ -229,8 +229,14 @@ object Dedup {
     * TextQueries.t6 but parameterized.
     */
   def exactJaccardPairs(docs: DataFrame, textCol: String = "text",
-      shingleLen: Int = 5): DataFrame = {
-    val sh = shingles(docs, textCol, shingleLen)
+      shingleLen: Int = 5): DataFrame =
+    exactJaccardPairsFromShingles(shingles(docs, textCol, shingleLen))
+
+  /** [[exactJaccardPairs]] over a pre-built (doc_id, shingle) table — lets
+    * a caller (d7's eval) compute and persist the shingle table ONCE and
+    * feed both the LSH candidate generator and the exact ground truth.
+    */
+  def exactJaccardPairsFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
       col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

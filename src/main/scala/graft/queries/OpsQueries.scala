@@ -1183,15 +1183,20 @@ object OpsQueries {
     "d7_dedup_eval",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // ONE shingle pass feeds both the LSH candidate generator and the
+      // exact ground truth (each would otherwise re-shingle the corpus).
+      val sh = Dedup.shingles(docs, "text", 5).persist()
       val lshCands = Stage.through(
-        Dedup.candidatePairs(docs).select("d1", "d2").distinct(),
+        Dedup.candidatePairsFromShingles(sh).select("d1", "d2").distinct(),
         dir, "d7_lsh_cands")
       val simCands = Stage.through(
         Dedup.simhashCandidatePairs(Dedup.simhash64(docs))
           .select("d1", "d2").distinct(),
         dir, "d7_sim_cands")
-      val truth = Dedup.exactJaccardPairs(docs)
-        .filter(col("jaccard") >= 0.5).select("d1", "d2")
+      // truth feeds four consumers (two count aggregates + two semi-joins):
+      // persist so the blocked self-join computes once, not four times.
+      val truth = Dedup.exactJaccardPairsFromShingles(sh)
+        .filter(col("jaccard") >= 0.5).select("d1", "d2").persist()
       def metricsOf(cands: DataFrame, label: String): DataFrame =
         cands.agg(count(lit(1)).as("n_cands"))
           .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
