@@ -877,7 +877,12 @@ object OpsQueries {
   val annRecallMulti = Q(
     "e11_ann_recall_multi",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      // The corpus feeds ~12 scans here (two PQ trainings' per-iteration
+      // jobs, kmeans steps, four index encodes, five exact reranks, the
+      // brute-force ground truth) — persist ONCE so each is a cache read,
+      // not a parquet scan. At 100 TB this is the difference between one
+      // corpus read and twelve.
+      val emb = Tables.embeddings(s, dir).persist()
       val queries = emb.filter(col("vec_id") < 20)
       val seeds = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
       val centroids = Similarity.kmeansStep(emb, "embedding",
