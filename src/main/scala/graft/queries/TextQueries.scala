@@ -2023,8 +2023,99 @@ object TextQueries {
     order by r.rn"""),
     "corpus sketching: Count-Min heavy hitters (cross-engine md5 hash, overestimate audit)")
 
+  /** HyperLogLog approximate distinct (Flajolet et al. 2007), the sketch a
+    * 100 TB pipeline uses wherever `count(distinct)` would shuffle the full
+    * key set: per source, m=64 registers over a cross-engine md5-prefix
+    * hash, reported against the exact distinct with relative error.
+    *
+    * Everything up to the final division is INTEGER-exact so the DuckDB
+    * oracle rebuilds the whole sketch bit-for-bit: bucket = low 6 hash
+    * bits; rho = 1-indexed position of the leftmost 1 in the remaining
+    * 54-bit window, computed as 55 − bit_length(w) (binary-string length,
+    * no float log2 — exact at power-of-two boundaries); the harmonic-mean
+    * denominator Σ 2^(−M_j) is kept scaled by 2^55 as a BIGINT (each term
+    * 2^(55−M_j) ≤ 2^55, 64 terms ≤ 2^61 — no FP addition-order hazard),
+    * with the 64−n_occupied empty registers contributing 2^55 each. The
+    * single double division at the end has identical operand order in both
+    * engines. α₆₄ = 0.709 (the paper's constant for m = 64).
+    *
+    * Scale shape: one distinct on (source, token), then one (source,
+    * bucket)-keyed max and one per-source rollup — registers are 64 rows
+    * per source regardless of corpus size, which is the entire point.
+    */
+  val t41 = Q(
+    "t41_hll_distinct",
+    (s, dir) => {
+      val md5int = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val vocab = Tables.documents(s, dir)
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      val rhos = vocab
+        .select(col("source"), md5int(col("tok")).as("h"))
+        .select(col("source"),
+          col("h").bitwiseAND(lit(63L)).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+        .select(col("source"), col("bucket"),
+          when(col("w") === 0, lit(55))
+            .otherwise(lit(55) - length(conv(col("w"), 10, 2)))
+            .as("rho"))
+      val perSource = rhos.groupBy("source", "bucket")
+        .agg(max("rho").as("reg"))
+        .groupBy("source")
+        .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).as("s_occ"),
+          count(lit(1)).as("n_occ"))
+      val exact = vocab.groupBy("source")
+        .agg(count(lit(1)).as("exact_distinct"))
+      val sTotal = (col("s_occ") +
+        (lit(64L) - col("n_occ")) * lit(36028797018963968L)).cast("double")
+      val est = lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55)) / sTotal
+      exact.join(perSource, "source")
+        .select(col("source"), col("exact_distinct"),
+          (lit(64L) - col("n_occ")).as("zero_registers"),
+          round(est, 4).as("hll_est"),
+          round((est - col("exact_distinct")) / col("exact_distinct"), 4)
+            .as("rel_err"))
+        .orderBy("source")
+    },
+    Some("""with tok0 as (
+      select source, unnest(string_split(text, ' ')) as tok from documents
+    ), vocab as (
+      select distinct source, tok from tok0 where tok <> ''
+    ), hashed as (
+      select source, ('0x' || substr(md5(tok), 1, 15))::bigint as h
+      from vocab
+    ), rhos as (
+      select source, (h & 63) as bucket,
+        case when (h >> 6) = 0 then 55
+             else 55 - length(bin(h >> 6)) end as rho
+      from hashed
+    ), regs as (
+      select source, bucket, max(rho) as reg
+      from rhos group by source, bucket
+    ), per_source as (
+      select source,
+        sum((1::bigint << (55 - reg)))::bigint as s_occ,
+        count(*) as n_occ
+      from regs group by source
+    ), exact as (
+      select source, count(*) as exact_distinct from vocab group by source
+    )
+    select e.source, e.exact_distinct,
+      (64 - p.n_occ) as zero_registers,
+      round(0.709 * 4096.0 * pow(2.0, 55) /
+        ((p.s_occ + (64 - p.n_occ) * 36028797018963968)::double), 4) + 0.0
+        as hll_est,
+      round((0.709 * 4096.0 * pow(2.0, 55) /
+          ((p.s_occ + (64 - p.n_occ) * 36028797018963968)::double)
+          - e.exact_distinct) / e.exact_distinct, 4) + 0.0 as rel_err
+    from exact e join per_source p using (source)
+    order by source"""),
+    "corpus sketching: HyperLogLog distinct-token estimate vs exact, integer-exact registers")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
 }

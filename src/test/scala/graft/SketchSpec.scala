@@ -41,4 +41,64 @@ class SketchSpec extends SparkSpec {
     assert(out.drop(2).map(_._1).toSeq ===
       (0 until 300).map(i => s"w$i").sorted.take(8))
   }
+
+  /** Independent Scala HLL over the same md5-prefix hash: every stage of
+    * t41 (bucket, rho, registers, scaled integer sum, estimate) recomputed
+    * with java.security MessageDigest + Long bit ops — no Spark, no SQL.
+    */
+  private def referenceHll(tokens: Set[String]): (Double, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = new Array[Int](64)
+    tokens.foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = (h & 63L).toInt
+      val w = h >>> 6
+      val rho =
+        if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    val sScaled = regs.map(m => 1L << (55 - m)).sum
+    val zeros = regs.count(_ == 0).toLong
+    (0.709 * 4096.0 * math.pow(2.0, 55) / sScaled.toDouble, zeros)
+  }
+
+  test("HLL estimate matches an independent reference and its error bound") {
+    // 500 distinct types in one source, 40 in another — enough spread to
+    // exercise both dense and sparse register states.
+    val big = (0 until 500).map(i => s"tok$i")
+    val small = (0 until 40).map(i => s"rare$i")
+    val docs =
+      big.grouped(25).map(_.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "srcA") } ++
+        small.grouped(8).map(_.mkString(" ")).zipWithIndex
+          .map { case (t, i) => (1000L + i, t, "en", "srcB") }
+    val dir = tmpDir("hll")
+    docs.toSeq.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Registry.byName("t41_hll_distinct").run(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Set("srcA", "srcB"))
+    val (exactA, zerosA, estA, errA) = out("srcA")
+    assert(exactA === 500L)
+    for ((src, toks) <- Seq("srcA" -> big.toSet, "srcB" -> small.toSet)) {
+      val (refEst, refZeros) = referenceHll(toks)
+      val (exact, zeros, est, err) = out(src)
+      assert(zeros === refZeros, s"$src zero registers")
+      assert(est === math.rint(refEst * 10000) / 10000, s"$src estimate")
+      assert(err === math.rint((refEst - exact) / exact * 10000) / 10000,
+        s"$src rel_err")
+    }
+    // m=64 → standard error 1.04/√64 = 13%; 3σ bound on the dense source.
+    assert(math.abs(estA - 500.0) / 500.0 < 0.39,
+      s"srcA estimate $estA outside 3σ of 500")
+    assert(zerosA < 32, "500 types should occupy most of 64 registers")
+    assert(math.abs(math.abs(errA) - math.abs(estA - 500.0) / 500.0) < 2e-4)
+  }
 }
