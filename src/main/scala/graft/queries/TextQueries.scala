@@ -2114,8 +2114,149 @@ object TextQueries {
     order by source"""),
     "corpus sketching: HyperLogLog distinct-token estimate vs exact, integer-exact registers")
 
+  /** HLL register MERGE — the property that makes sketches the 100 TB tool:
+    * per-source registers (t41's construction) combine into any union by a
+    * bucket-wise max, so |A ∪ B| costs 64 rows per side instead of a
+    * re-scan, and |A ∩ B| falls out by inclusion–exclusion
+    * (est_a + est_b − est_union). Every source pair is scored both ways:
+    * the sketch path touches ONLY the (source, bucket, reg) table — 64
+    * rows/source regardless of corpus size — while the exact union /
+    * intersection ground truths re-join the vocabulary (the verification
+    * cost the sketch exists to avoid; at production scale you'd ship only
+    * the sketch path). Pair fan-out uses two equijoins unioned, never an
+    * OR-condition nested loop. Integer-exact register arithmetic as t41.
+    */
+  val t42 = Q(
+    "t42_hll_union",
+    (s, dir) => {
+      val md5int = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val vocab = Tables.documents(s, dir)
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+        .persist()
+      val regs = vocab
+        .select(col("source"), md5int(col("tok")).as("h"))
+        .select(col("source"),
+          col("h").bitwiseAND(lit(63L)).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+        .select(col("source"), col("bucket"),
+          when(col("w") === 0, lit(55))
+            .otherwise(lit(55) - length(conv(col("w"), 10, 2)))
+            .as("rho"))
+        .groupBy("source", "bucket").agg(max("rho").as("reg"))
+        .persist()
+      val term = expr("shiftleft(cast(1 as bigint), 55 - reg)")
+      def estOf(sOcc: Column, nOcc: Column): Column =
+        lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55)) /
+          (sOcc + (lit(64L) - nOcc) * lit(36028797018963968L)).cast("double")
+      val perSrc = regs.groupBy("source")
+        .agg(sum(term).as("s_occ"), count(lit(1)).as("n_occ"))
+      val srcs = vocab.select("source").distinct()
+      val pairs = srcs.select(col("source").as("sa"))
+        .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+      val pairRegs = regs.join(pairs, col("source") === col("sa"))
+        .unionByName(regs.join(pairs, col("source") === col("sb")))
+        .select("sa", "sb", "bucket", "reg")
+      val unionEst = pairRegs
+        .groupBy("sa", "sb", "bucket").agg(max("reg").as("reg"))
+        .groupBy("sa", "sb")
+        .agg(sum(term).as("s_u"), count(lit(1)).as("n_u"))
+      val exactUnion = vocab.join(pairs, col("source") === col("sa"))
+        .unionByName(vocab.join(pairs, col("source") === col("sb")))
+        .select("sa", "sb", "tok").distinct()
+        .groupBy("sa", "sb").agg(count(lit(1)).as("exact_union"))
+      val exactInter = vocab.as("x")
+        .join(vocab.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pa = perSrc.select(col("source").as("sa"),
+        col("s_occ").as("s_a"), col("n_occ").as("n_a"))
+      val pb = perSrc.select(col("source").as("sb"),
+        col("s_occ").as("s_b"), col("n_occ").as("n_b"))
+      exactUnion
+        .join(exactInter, Seq("sa", "sb"), "left")
+        .join(pa, "sa").join(pb, "sb")
+        .join(unionEst, Seq("sa", "sb"))
+        .select(col("sa"), col("sb"), col("exact_union"),
+          coalesce(col("n_inter"), lit(0L)).as("exact_inter"),
+          round(estOf(col("s_u"), col("n_u")), 4).as("hll_union"),
+          round(estOf(col("s_a"), col("n_a")) + estOf(col("s_b"), col("n_b"))
+            - estOf(col("s_u"), col("n_u")), 4).as("hll_inter"))
+        .orderBy("sa", "sb")
+    },
+    Some("""with tok0 as (
+      select source, unnest(string_split(text, ' ')) as tok from documents
+    ), vocab as (
+      select distinct source, tok from tok0 where tok <> ''
+    ), rhos as (
+      select source, (h & 63) as bucket,
+        case when (h >> 6) = 0 then 55
+             else 55 - length(bin(h >> 6)) end as rho
+      from (select source, ('0x' || substr(md5(tok), 1, 15))::bigint as h
+            from vocab)
+    ), regs as (
+      select source, bucket, max(rho) as reg
+      from rhos group by source, bucket
+    ), per_src as (
+      select source, sum((1::bigint << (55 - reg)))::bigint as s_occ,
+        count(*) as n_occ
+      from regs group by source
+    ), pairs as (
+      select a.source as sa, b.source as sb
+      from (select distinct source from vocab) a
+      join (select distinct source from vocab) b on a.source < b.source
+    ), pair_regs as (
+      select p.sa, p.sb, r.bucket, r.reg
+      from regs r join pairs p on r.source = p.sa
+      union all
+      select p.sa, p.sb, r.bucket, r.reg
+      from regs r join pairs p on r.source = p.sb
+    ), union_est as (
+      select sa, sb, sum((1::bigint << (55 - reg)))::bigint as s_u,
+        count(*) as n_u
+      from (select sa, sb, bucket, max(reg) as reg
+            from pair_regs group by sa, sb, bucket)
+      group by sa, sb
+    ), exact_union as (
+      select sa, sb, count(*) as exact_union from (
+        select distinct sa, sb, tok from (
+          select p.sa, p.sb, v.tok
+          from vocab v join pairs p on v.source = p.sa
+          union all
+          select p.sa, p.sb, v.tok
+          from vocab v join pairs p on v.source = p.sb))
+      group by sa, sb
+    ), exact_inter as (
+      select x.source as sa, y.source as sb, count(*) as n_inter
+      from vocab x join vocab y
+        on x.tok = y.tok and x.source < y.source
+      group by x.source, y.source
+    )
+    select u.sa, u.sb, u.exact_union,
+      coalesce(i.n_inter, 0) as exact_inter,
+      round(0.709 * 4096.0 * pow(2.0, 55) /
+        ((e.s_u + (64 - e.n_u) * 36028797018963968)::double), 4) + 0.0
+        as hll_union,
+      round(0.709 * 4096.0 * pow(2.0, 55) /
+          ((pa.s_occ + (64 - pa.n_occ) * 36028797018963968)::double)
+        + 0.709 * 4096.0 * pow(2.0, 55) /
+          ((pb.s_occ + (64 - pb.n_occ) * 36028797018963968)::double)
+        - 0.709 * 4096.0 * pow(2.0, 55) /
+          ((e.s_u + (64 - e.n_u) * 36028797018963968)::double), 4) + 0.0
+        as hll_inter
+    from exact_union u
+    left join exact_inter i on i.sa = u.sa and i.sb = u.sb
+    join per_src pa on pa.source = u.sa
+    join per_src pb on pb.source = u.sb
+    join union_est e on e.sa = u.sa and e.sb = u.sb
+    order by u.sa, u.sb"""),
+    "corpus sketching: HLL register merge — pairwise union + inclusion-exclusion intersection")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
 }

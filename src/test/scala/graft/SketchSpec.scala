@@ -100,5 +100,21 @@ class SketchSpec extends SparkSpec {
       s"srcA estimate $estA outside 3σ of 500")
     assert(zerosA < 32, "500 types should occupy most of 64 registers")
     assert(math.abs(math.abs(errA) - math.abs(estA - 500.0) / 500.0) < 2e-4)
+
+    // Mergeability (the t42 contract): the pairwise bucket-max union of the
+    // two sources' registers must give EXACTLY the estimate of sketching
+    // A ∪ B directly — lossless distributed combine.
+    val union = Registry.byName("t42_hll_union").run(spark, dir).collect()
+    assert(union.length === 1)
+    val row = union.head
+    assert(row.getString(0) === "srcA" && row.getString(1) === "srcB")
+    assert(row.getLong(2) === 540L)  // disjoint vocabularies
+    assert(row.getLong(3) === 0L)
+    val (refU, _) = referenceHll(big.toSet ++ small.toSet)
+    assert(row.getDouble(4) === math.rint(refU * 10000) / 10000, "hll_union")
+    val (refA, _) = referenceHll(big.toSet)
+    val (refB, _) = referenceHll(small.toSet)
+    assert(row.getDouble(5) ===
+      math.rint((refA + refB - refU) * 10000) / 10000, "hll_inter")
   }
 }
