@@ -103,8 +103,35 @@ object ScaleCheck {
     // path JIT-deoptimizes on its first large run in a fresh JVM (measured
     // 15.8 s for a rep=30 leg that re-measures at 1.5 s) — one untimed
     // replicated warm pass keeps the timed legs at steady state.
+    // HLL register build (t41's sketch in its single-pass shape: hash every
+    // occurrence, max is idempotent so dup tokens are free). Returns the
+    // register-row count: ≤ 64 per source at EVERY replication — the
+    // constant-shuffle property that makes the sketch the 100 TB distinct.
+    def hllRegs(docs: DataFrame): Long = {
+      val md5int = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("source"), md5int(col("tok")).as("h"))
+        .select(col("source"),
+          col("h").bitwiseAND(lit(63L)).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+        .select(col("source"), col("bucket"),
+          when(col("w") === 0, lit(55))
+            .otherwise(lit(55) - length(conv(col("w"), 10, 2))).as("rho"))
+        .groupBy("source", "bucket").agg(max("rho").as("reg"))
+        .count()
+    }
     if (legFilter.forall(_.contains("countmin"))) {
       cmCells(replicate(Tables.documents(spark, sfDir), "doc_id", 30))
+    }
+    // Same md5/conv JIT-warm rationale as countmin's pass above — but at
+    // the sweep's LARGEST replication: the deopt threshold re-trips when a
+    // timed leg first exceeds the warmed size (a solo rep=100 hll leg
+    // measured 12-20 s after a rep=30 warm and 1.8 s after a same-size
+    // one, identical 480-register result).
+    if (legFilter.forall(_.contains("hll"))) {
+      hllRegs(replicate(Tables.documents(spark, sfDir), "doc_id", reps.max))
     }
     if (legFilter.forall(_.contains("binary_ann"))) {
       val warmEmb = replicate(Tables.embeddings(spark, sfDir), "vec_id", 10)
@@ -189,6 +216,12 @@ object ScaleCheck {
       // R and the wall-clock must track the linear scan.
       val (tCm, nCells) = leg("countmin")(time {
         cmCells(docs)
+      })
+      // HLL registers: map-side partial max collapses each partition to
+      // ≤ 64 rows/source before the shuffle — register count must be
+      // IDENTICAL at every R while wall-clock tracks the linear scan.
+      val (tHll, nRegs) = leg("hll")(time {
+        hllRegs(docs)
       })
       docs.unpersist(blocking = true)
       System.gc()
@@ -295,6 +328,7 @@ object ScaleCheck {
         f""""global_rank_s":$tRank%.2f,"ranked":$nRanked,""" +
         f""""bpe_apply_s":$tBpe%.2f,"bpe_tokens":$nToks,""" +
         f""""countmin_s":$tCm%.2f,"cm_cells":$nCells,""" +
+        f""""hll_s":$tHll%.2f,"hll_regs":$nRegs,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""binary_ann_s":$tBin%.2f,"bin_rows":$nBin,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
