@@ -437,5 +437,71 @@ object StreamQueries {
          |order by subject_id""".stripMargin),
     "§2.12: flatMapGroupsWithState custom per-key state (transition counts) vs batch LAG oracle")
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8)
+  /** Streaming HLL distinct (StreamingIngest.hllDistinctUsers): per
+    * event type, the approximate distinct-user count maintained as 64
+    * HyperLogLog registers inside `flatMapGroupsWithState` — bounded
+    * per-key state for an unbounded stream, where exact streaming
+    * distinct grows with the user universe. All real events arrive in
+    * micro-batch 1 (heartbeats only after), so each event type emits
+    * exactly one final row; the oracle rebuilds the registers from the
+    * staged input bytes with t41's integer-exact SQL — hash-verifying
+    * the custom-state sketch end to end across the two engines AND the
+    * two execution models (stateful stream vs batch SQL).
+    */
+  val s9 = Q(
+    "s9_stream_hll",
+    (s, dir) => {
+      import s.implicits._
+      val real = Tables.events(s, dir).select(
+        col("event_type"),
+        col("user_id").cast("long").as("user_id"),
+        expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))").as("ts"))
+      val maxTs = real.agg(max("ts")).head.getTimestamp(0)
+      def hb(hours: Int) =
+        Seq((HbType, -1L,
+          new Timestamp(maxTs.getTime + hours * 3600 * 1000L)))
+          .toDF("event_type", "user_id", "ts")
+      BoundedStream.run(s, s"${Stage.dir(dir)}/s9_stream", real,
+          (hb(10), hb(20)),
+          st => graft.streaming.StreamingIngest.hllDistinctUsers(s, st))
+        .filter(col("event_type") =!= HbType)
+        .select(col("event_type"), col("n_events"),
+          col("zero_registers"), col("hll_users"))
+        .orderBy("event_type")
+    },
+    Some(
+      s"""with e as (
+         |  select event_type, user_id
+         |  from '${Stage.Placeholder}/s9_stream/in/00_events.parquet'
+         |  where event_type <> '$HbType'
+         |), hashed as (
+         |  select event_type,
+         |    ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint as h
+         |  from (select distinct event_type, user_id from e)
+         |), rhos as (
+         |  select event_type, (h & 63) as bucket,
+         |    case when (h >> 6) = 0 then 55
+         |         else 55 - length(bin(h >> 6)) end as rho
+         |  from hashed
+         |), regs as (
+         |  select event_type, bucket, max(rho) as reg
+         |  from rhos group by event_type, bucket
+         |), per as (
+         |  select event_type,
+         |    sum((1::bigint << (55 - reg)))::bigint as s_occ,
+         |    count(*) as n_occ
+         |  from regs group by event_type
+         |), cnt as (
+         |  select event_type, count(*) as n_events from e group by event_type
+         |)
+         |select c.event_type, c.n_events,
+         |  (64 - p.n_occ) as zero_registers,
+         |  round(0.709 * 4096.0 * pow(2.0, 55) /
+         |    ((p.s_occ + (64 - p.n_occ) * 36028797018963968)::double), 4)
+         |    + 0.0 as hll_users
+         |from cnt c join per p using (event_type)
+         |order by c.event_type""".stripMargin),
+    "§2.12: streaming HLL distinct users per event type — bounded custom state vs batch sketch-rebuild oracle")
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
 }

@@ -2255,8 +2255,63 @@ object TextQueries {
     order by u.sa, u.sb"""),
     "corpus sketching: HLL register merge — pairwise union + inclusion-exclusion intersection")
 
+  /** Quantile estimation from a DETERMINISTIC hash sample — the 100 TB
+    * length-distribution audit. Spark's exact `percentile` buffers every
+    * value per group; at corpus scale the standard move is a fixed-rate
+    * sample whose membership is a pure function of the key (md5(doc_id) %
+    * 100 < 10), so the sample is reproducible across runs/engines, needs no
+    * RNG state, and bounds the percentile buffer at 10% of the group. Both
+    * the exact and the sampled p50/p90/p99 ship per source, with the
+    * relative error the estimate carries — the number that tells a pipeline
+    * owner whether the cheap path is good enough (here ≤ a few % at 10%
+    * sampling on 250-doc groups).
+    */
+  val t43 = Q(
+    "t43_quantile_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("double").as("v"),
+          (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long"), lit(100L)) < 10).as("in_sample"))
+      docs.groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("in_sample").cast("long")).as("sample_n"),
+          round(expr("percentile(v, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(v, 0.9)"), 4).as("exact_p90"),
+          round(expr("percentile(v, 0.99)"), 4).as("exact_p99"),
+          round(expr("percentile(if(in_sample, v, null), 0.5)"), 4)
+            .as("sample_p50"),
+          round(expr("percentile(if(in_sample, v, null), 0.9)"), 4)
+            .as("sample_p90"),
+          round(expr("percentile(if(in_sample, v, null), 0.99)"), 4)
+            .as("sample_p99"))
+        .orderBy("source")
+    },
+    Some("""with d as (
+      select source, n_chars::double as v,
+        ((('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100) < 10)
+          as in_sample
+      from documents
+    )
+    select source,
+      count(*) as n,
+      sum(case when in_sample then 1 else 0 end)::bigint as sample_n,
+      round(quantile_cont(v, 0.5), 4) + 0.0 as exact_p50,
+      round(quantile_cont(v, 0.9), 4) + 0.0 as exact_p90,
+      round(quantile_cont(v, 0.99), 4) + 0.0 as exact_p99,
+      round(quantile_cont(case when in_sample then v end, 0.5), 4) + 0.0
+        as sample_p50,
+      round(quantile_cont(case when in_sample then v end, 0.9), 4) + 0.0
+        as sample_p90,
+      round(quantile_cont(case when in_sample then v end, 0.99), 4) + 0.0
+        as sample_p99
+    from d group by source order by source"""),
+    "quantiles from a deterministic hash sample vs exact, per source")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43)
 }

@@ -70,6 +70,65 @@ object StreamingIngest {
       }.toDF()
   }
 
+  final case class UserEvent(event_type: String, user_id: Long,
+      ts: java.sql.Timestamp)
+  final case class HllState(regs: Array[Int], n: Long)
+  final case class HllUpdate(event_type: String, n_events: Long,
+      zero_registers: Long, hll_users: Double)
+
+  /** Streaming approximate distinct — HyperLogLog registers
+    * (TextQueries.t41's construction: md5-prefix hash, m = 64, integer rho)
+    * maintained per key inside `flatMapGroupsWithState`. THE bounded-state
+    * streaming distinct: exact `count(distinct user)` state grows with the
+    * user universe forever, while this state is 64 bytes of registers per
+    * key for an unbounded stream, mergeable across keys/restarts by
+    * bucket-wise max. Register updates are commutative (max), so the
+    * result is independent of intra-batch order — no per-key sequence
+    * column needed, unlike [[transitionCounts]]. Emits the running
+    * estimate per key per micro-batch that contains events for it.
+    */
+  def hllDistinctUsers(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[UserEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HllState, HllUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (eventType, evs, state: GroupState[HllState]) =>
+          val st = state.getOption.getOrElse(HllState(new Array[Int](64), 0L))
+          val regs = st.regs.clone()
+          var n = st.n
+          var any = false
+          val md = java.security.MessageDigest.getInstance("MD5")
+          evs.foreach { e =>
+            any = true
+            n += 1
+            val hex = md.digest(e.user_id.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15)
+            md.reset()
+            val h = java.lang.Long.parseLong(hex, 16)
+            val bucket = (h & 63L).toInt
+            val w = h >>> 6
+            val rho = if (w == 0) 55
+              else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(HllState(regs, n))
+          if (any) {
+            // Identical operand order to the t41 column expression and the
+            // DuckDB oracle — IEEE ops on equal inputs, bit-equal result.
+            val sScaled = regs.map(m => 1L << (55 - m)).sum
+            val est = 0.709 * 4096.0 * math.pow(2.0, 55) / sScaled.toDouble
+            // Spark's round(col, 4) semantics (decimal HALF_UP), which the
+            // oracle's round(x, 4) + 0.0 is hash-proven to match.
+            val rounded = BigDecimal(est)
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            Iterator(HllUpdate(eventType, n,
+              regs.count(_ == 0).toLong, rounded))
+          } else Iterator.empty
+      }.toDF()
+  }
+
   /** Streaming exact deduplication — the streaming face of the batch dedup
     * family (TextQueries.t1): emit exactly one occurrence of each key within
     * the watermark window. Across micro-batches the FIRST batch wins (later

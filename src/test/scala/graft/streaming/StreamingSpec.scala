@@ -122,4 +122,52 @@ class StreamingSpec extends SparkSpec {
       assert(last.transitions == 2, s"got ${last.transitions} transitions")
     } finally query.stop()
   }
+
+  test("streaming HLL registers accumulate losslessly across micro-batches") {
+    implicit val sql = spark.sqlContext
+    // Same users split across two batches (with overlap) must land on the
+    // SAME final registers as a single batch would: register update is a
+    // commutative/idempotent max, the property that makes restart-safe
+    // bounded-state streaming distinct possible at all.
+    val input = MemoryStream[StreamingIngest.UserEvent]
+    val out = StreamingIngest.hllDistinctUsers(spark, input.toDF())
+    val query = out.writeStream
+      .format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 300L).map(u =>
+        StreamingIngest.UserEvent("click", u, ts(0))): _*)
+      query.processAllAvailable()
+      // Batch 2: 200 repeats + 200 new users.
+      input.addData((101L to 500L).map(u =>
+        StreamingIngest.UserEvent("click", u, ts(1))): _*)
+      query.processAllAvailable()
+
+      val rows = spark.table("hll_out")
+        .as[StreamingIngest.HllUpdate].collect()
+      assert(rows.length == 2)
+      val fin = rows.maxBy(_.n_events)
+      assert(fin.n_events == 700L)
+      // One-shot reference over the union of user ids (t41's Scala mirror).
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val regs = new Array[Int](64)
+      (1L to 500L).foreach { u =>
+        val hex = md.digest(u.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        md.reset()
+        val h = java.lang.Long.parseLong(hex, 16)
+        val w = h >>> 6
+        val rho = if (w == 0) 55
+          else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs((h & 63L).toInt)) regs((h & 63L).toInt) = rho
+      }
+      val est = 0.709 * 4096.0 * math.pow(2.0, 55) /
+        regs.map(m => 1L << (55 - m)).sum.toDouble
+      assert(fin.zero_registers == regs.count(_ == 0).toLong)
+      assert(fin.hll_users == BigDecimal(est)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // m=64 → 13% standard error; 3σ sanity on the true 500.
+      assert(math.abs(fin.hll_users - 500.0) / 500.0 < 0.39)
+    } finally query.stop()
+  }
 }
