@@ -1262,6 +1262,111 @@ object OpsQueries {
          |order by method""".stripMargin),
     "dedup eval: candidate-stage precision/recall of LSH + SimHash blocking vs exact Jaccard>=0.5 truth")
 
+  /** MinHash ESTIMATE accuracy: the matching-component fraction of two
+    * docs' 32-function signatures is an unbiased estimator of their Jaccard
+    * similarity — the property the whole MinHash/LSH family rests on
+    * (Broder 1997). For every pair with exact Jaccard ≥ 0.2 (3-shingles),
+    * ship estimate vs exact vs |error|. Completes the measured-accuracy
+    * story: every approximation in the library now carries a quantifying
+    * query (LSH/IVF/PQ/int8/binary recall e10/e11, Count-Min overestimate
+    * t40, HLL relative error t41, sampled-quantile error t43, blocking
+    * precision/recall d7 — and MinHash estimation error here). The
+    * estimate (agree/32) is a dyadic rational — exact in doubles, no FP
+    * ambiguity cross-engine; signatures rebuild from md5 strings on both
+    * sides, so nothing is staged.
+    *
+    * Scale shape: one shingle pass (persisted across the signature agg,
+    * the size agg and the pair join), one shingle-keyed self-join bounded
+    * by co-occurrence (the t6 plan), one signature agg — all keyed
+    * shuffles; the 32-column agreement compare is a broadcast-free
+    * projection on the ≥0.2 pair set.
+    */
+  val minhashAccuracy = Q(
+    "d8_minhash_accuracy",
+    (s, dir) => {
+      val nFns = 32
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.expressions.ShingleStrings(
+            split(col("text"), " "), 3)).as("shingle"))
+        .persist()
+      val aggs = (0 until nFns).map(j =>
+        min(md5(concat_ws(":", lit(j.toString), col("shingle"))))
+          .as(s"mh$j"))
+      val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val exact = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+            .as("jac"))
+        .filter(col("jac") >= 0.2)
+      val sa = sigs.select(col("doc_id").as("d1") +:
+        (0 until nFns).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+      val sb = sigs.select(col("doc_id").as("d2") +:
+        (0 until nFns).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+      val agree = (0 until nFns).map(j =>
+        when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      exact.join(sa, "d1").join(sb, "d2")
+        .select(col("d1"), col("d2"),
+          graft.Norm.rz(col("jac"), 6).as("exact_jaccard"),
+          graft.Norm.rz(agree.cast("double") / nFns, 6).as("est_jaccard"),
+          graft.Norm.rz(abs(agree.cast("double") / nFns - col("jac")), 6)
+            .as("abs_err"))
+        .orderBy("d1", "d2")
+    },
+    Some {
+      val nFns = 32
+      val mins = (0 until nFns)
+        .map(j => s"min(md5(concat_ws(':', '$j', shingle))) as mh$j")
+        .mkString(",\n        ")
+      val agree = (0 until nFns)
+        .map(j => s"case when a.mh$j = b.mh$j then 1 else 0 end")
+        .mkString(" + ")
+      s"""with toks as (
+         |  select doc_id, string_split(text, ' ') as t from documents
+         |), sub as (
+         |  select doc_id, t, generate_subscripts(t, 1) as i from toks
+         |), sh as (
+         |  select distinct doc_id, array_to_string(t[i:i+2], ' ') as shingle
+         |  from sub where i <= greatest(len(t) - 3, 0) + 1
+         |), sigs as (
+         |  select doc_id,
+         |        $mins
+         |  from sh group by doc_id
+         |), sizes as (
+         |  select doc_id, count(*) as n from sh group by doc_id
+         |), pairs as (
+         |  select x.doc_id as d1, y.doc_id as d2, count(*) as inter
+         |  from sh x join sh y
+         |    on x.shingle = y.shingle and x.doc_id < y.doc_id
+         |  group by 1, 2
+         |), exact as (
+         |  select d1, d2,
+         |    cast(inter as double) / (s1.n + s2.n - inter) as jac
+         |  from pairs
+         |  join sizes s1 on d1 = s1.doc_id
+         |  join sizes s2 on d2 = s2.doc_id
+         |  where cast(inter as double) / (s1.n + s2.n - inter) >= 0.2
+         |)
+         |select e.d1, e.d2,
+         |  round(e.jac, 6) + 0.0 as exact_jaccard,
+         |  round(($agree) / 32.0, 6) + 0.0 as est_jaccard,
+         |  round(abs(($agree) / 32.0 - e.jac), 6) + 0.0 as abs_err
+         |from exact e
+         |join sigs a on a.doc_id = e.d1
+         |join sigs b on b.doc_id = e.d2
+         |order by e.d1, e.d2""".stripMargin
+    },
+    "dedup eval: MinHash 32-fn Jaccard estimate vs exact, per near-dup pair")
+
   /** IVF-PQ — the production billion-vector index (Jégou et al. 2011 §IV,
     * the FAISS `IVFxx,PQyy` shape): a coarse inverted file prunes the scan
     * to the probed cells' posting lists AND the PQ codebooks are trained on
@@ -1400,5 +1505,6 @@ object OpsQueries {
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, ivfPqAnn,
       annRecall, annRecallMulti, mediaStats, imageFeatures, frameSample,
-      audioFeatures, imageNearDup, semanticDedup, dedupEval)
+      audioFeatures, imageNearDup, semanticDedup, dedupEval,
+      minhashAccuracy)
 }

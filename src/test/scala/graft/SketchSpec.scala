@@ -117,4 +117,35 @@ class SketchSpec extends SparkSpec {
     assert(row.getDouble(5) ===
       math.rint((refA + refB - refU) * 10000) / 10000, "hll_inter")
   }
+
+  test("MinHash estimate is exact on identical docs, bounded on overlaps") {
+    // doc 0/1: identical (J=1, estimate MUST be 1.0 — same shingle set →
+    // same signature). doc 2: half-overlapping with 0 (J≈1/3 for these
+    // shingles). doc 3: disjoint (below the 0.2 gate, must not appear).
+    val a = (0 until 40).map(i => s"w$i").mkString(" ")
+    val half = ((0 until 20).map(i => s"w$i") ++
+      (0 until 20).map(i => s"x$i")).mkString(" ")
+    val other = (0 until 40).map(i => s"z$i").mkString(" ")
+    val dir = tmpDir("mh")
+    Seq((0L, a, "en", "s0"), (1L, a, "en", "s0"),
+      (2L, half, "en", "s0"), (3L, other, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Registry.byName("d8_minhash_accuracy").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.contains((0L, 1L)) && out.contains((0L, 2L)) &&
+      out.contains((1L, 2L)))
+    assert(!out.keySet.exists { case (x, y) => x == 3L || y == 3L })
+    val (ex01, est01, err01) = out((0L, 1L))
+    assert(ex01 === 1.0 && est01 === 1.0 && err01 === 0.0)
+    // 32-fn estimate on a true J=1/3-ish pair: binomial σ = √(J(1−J)/32)
+    // ≈ 0.083 — allow 4σ.
+    val (ex02, est02, err02) = out((0L, 2L))
+    assert(math.abs(est02 - ex02) < 0.34, s"est $est02 vs exact $ex02")
+    assert(math.abs(err02 - math.abs(est02 - ex02)) < 2e-6)
+  }
 }
