@@ -1367,6 +1367,86 @@ object OpsQueries {
     },
     "dedup eval: MinHash 32-fn Jaccard estimate vs exact, per near-dup pair")
 
+  /** Bloom filter false-positive rate, MEASURED (Bloom 1970): build an
+    * m=4096-bit / k=3 filter over the corpus's distinct content hashes with
+    * md5-derived bit positions — so the DuckDB oracle rebuilds the filter
+    * itself, not a staged copy — then probe 1000 keys that are absent by
+    * construction and count how many the filter wrongly admits. Quantifies
+    * the d5 incremental-dedup prefilter: its cost model is exactly this
+    * FPR (every false positive pays the exact verify join). The filter is
+    * deliberately undersized for the key count (m/n ≈ 0.8 bit/key) so the
+    * measured FPR is far from 0 and the row actually tests the math;
+    * `members_all_hit` doubles as the no-false-negative proof (must equal
+    * n_keys). FPR = n_fp/n_probes is an exact rational — no FP ambiguity.
+    *
+    * Scale shape: the bit table is ≤ m rows NO MATTER the corpus size
+    * (the sketch contract, as t41's registers); one distinct over content
+    * hashes, one distinct over k·n positions, then two broadcast-sized
+    * joins of (probes × k) and (members × k) against the ≤ m-row bit set.
+    */
+  val bloomFpr = Q(
+    "d9_bloom_fpr",
+    (s, dir) => {
+      val m = 4096
+      val k = 3
+      val md5int = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val keys = Tables.documents(s, dir)
+        .select(md5(col("text")).as("key")).distinct()
+      def positions(keyed: DataFrame): DataFrame = keyed
+        .select(col("key"), explode(array((0 until k).map(lit): _*)).as("j"))
+        .select(col("key"),
+          pmod(md5int(concat_ws(":", col("j"), col("key"))), lit(m.toLong))
+            .as("pos"))
+      val bits = positions(keys).select("pos").distinct()
+      // Probe keys absent by construction: members are 32-char hex md5
+      // strings; "probe:i" can never collide with one.
+      val probes = s.range(1000)
+        .select(concat(lit("probe:"), col("id")).as("key"))
+      def hits(keyed: DataFrame): DataFrame = positions(keyed)
+        .join(bits, Seq("pos"), "left_semi")
+        .groupBy("key").agg(count(lit(1)).as("nset"))
+        .filter(col("nset") === k)
+      val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+      val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+      val nFp = hits(probes).agg(count(lit(1)).as("n_fp"))
+      val nMemberHits = hits(keys).agg(count(lit(1)).as("members_all_hit"))
+      nKeys.crossJoin(nBits).crossJoin(nFp).crossJoin(nMemberHits)
+        .select(col("n_keys"), col("n_bits_set"), col("members_all_hit"),
+          col("n_fp"),
+          graft.Norm.rz(col("n_fp") / lit(1000.0), 6).as("fpr"))
+    },
+    Some(s"""with keys as (
+      select distinct md5(text) as key from documents
+    ), kk as (select unnest([0, 1, 2]) as j
+    ), bits as (
+      select distinct
+        (('0x' || substr(md5(j || ':' || key), 1, 15))::bigint % 4096) as pos
+      from keys, kk
+    ), probes as (
+      select 'probe:' || i as key from generate_series(0, 999) t(i)
+    ), probe_hits as (
+      select p.key, count(*) as nset
+      from probes p, kk
+      where (('0x' || substr(md5(kk.j || ':' || p.key), 1, 15))::bigint
+               % 4096) in (select pos from bits)
+      group by p.key
+    ), member_hits as (
+      select ks.key, count(*) as nset
+      from keys ks, kk
+      where (('0x' || substr(md5(kk.j || ':' || ks.key), 1, 15))::bigint
+               % 4096) in (select pos from bits)
+      group by ks.key
+    )
+    select
+      (select count(*) from keys) as n_keys,
+      (select count(*) from bits) as n_bits_set,
+      (select count(*) from member_hits where nset = 3) as members_all_hit,
+      (select count(*) from probe_hits where nset = 3) as n_fp,
+      round((select count(*) from probe_hits where nset = 3) / 1000.0, 6)
+        + 0.0 as fpr"""),
+    "dedup eval: cross-engine Bloom filter — measured FPR on absent probes, zero false negatives")
+
   /** IVF-PQ — the production billion-vector index (Jégou et al. 2011 §IV,
     * the FAISS `IVFxx,PQyy` shape): a coarse inverted file prunes the scan
     * to the probed cells' posting lists AND the PQ codebooks are trained on
@@ -1506,5 +1586,5 @@ object OpsQueries {
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, ivfPqAnn,
       annRecall, annRecallMulti, mediaStats, imageFeatures, frameSample,
       audioFeatures, imageNearDup, semanticDedup, dedupEval,
-      minhashAccuracy)
+      minhashAccuracy, bloomFpr)
 }

@@ -148,4 +148,29 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est02 - ex02) < 0.34, s"est $est02 vs exact $ex02")
     assert(math.abs(err02 - math.abs(est02 - ex02)) < 2e-6)
   }
+
+  test("Bloom FPR matches theory, zero false negatives") {
+    // 600 distinct single-token docs → n=600 keys in an m=4096, k=3 filter.
+    val docs = (0 until 600).map(i => (i.toLong, s"content-$i", "en", "s0"))
+    val dir = tmpDir("bloom")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val r = Registry.byName("d9_bloom_fpr").run(spark, dir).collect().head
+    val (nKeys, bitsSet, allHit, nFp, fpr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nKeys === 600L)
+    assert(allHit === 600L, "a Bloom filter must never false-negative")
+    assert(fpr === nFp / 1000.0)
+    // Theory: p_bit = 1 − (1 − 1/m)^(k·n); FPR ≈ p_bit³. Binomial 4σ band
+    // over 1000 probes, plus the usual ±10% model slack for small m.
+    val pBit = 1.0 - math.pow(1.0 - 1.0 / 4096.0, 3.0 * nKeys)
+    val theory = math.pow(pBit, 3)
+    val sigma = math.sqrt(theory * (1 - theory) / 1000.0)
+    assert(math.abs(fpr - theory) < 4 * sigma + 0.1 * theory,
+      s"measured $fpr vs theory $theory")
+    // The bit population is itself a binomial draw around m·p_bit.
+    assert(math.abs(bitsSet - 4096.0 * pBit) < 4 * math.sqrt(4096.0 * pBit))
+  }
 }
