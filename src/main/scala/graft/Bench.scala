@@ -116,10 +116,30 @@ object Bench {
     val total = round3(results.map(_._2._1).filter(_ >= 0).sum)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"stat":"median"}"""
-    // The compact line goes out FIRST (and is this program's only stdout
+    // The compact line goes out FIRST (and is this program's primary stdout
     // output): the driver scrapes sbt's stdout and has truncated long tails
     // before — leading with the payload gives the scrape its best chance.
     println(json)
+    // BENCH_r06 showed the driver keeps only a 2000-byte stdout TAIL and
+    // parses from that — the full per-query line is 3.2+ KB, so it can
+    // never land intact (`parsed: null` every round, truncated at the
+    // head). Print a tail-sized summary LAST: same shape, total intact,
+    // `queries` trimmed to the slowest entries that fit the window (with
+    // sbt's ~100-byte `[success]` epilogue after it), and a pointer to the
+    // committed full artifact. A parsed total beats a null.
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1)
+    val keptQs = new StringBuilder
+    var used = 0
+    var omitted = 0
+    slowest.foreach { case (k, (med, _, _)) =>
+      val ent = "\"" + k + "\":" + round3(med)
+      if (used + ent.length <= 1200) {
+        if (used > 0) keptQs.append(',')
+        keptQs.append(ent); used += ent.length + 1
+      } else omitted += 1
+    }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{$keptQs},"queries_omitted":$omitted,"detail_file":"$out","sf":"$sfDir","passes":$passes,"stat":"median"}""")
     // Final durable copy with the full per-query spread (median/min/max
     // over the timed passes), partial=false — the stdout line stays in the
     // driver's expected {"queries":{name:sec}} shape.

@@ -2310,8 +2310,182 @@ object TextQueries {
     from d group by source order by source"""),
     "quantiles from a deterministic hash sample vs exact, per source")
 
+  /** PII detection + masking — the scrubbing pass every LLM corpus runs
+    * before training (e.g. the C4/The-Pile preprocessing described in
+    * Raffel et al. 2020; span categories follow common DLP practice:
+    * emails, NANP-shaped phone numbers, SSN-shaped ids). The synthetic
+    * corpus is lowercase-alnum only, so PII spans are first injected
+    * deterministically from `doc_id` (both engines apply the identical
+    * augmentation — the cross-engine check exercises the regex machinery,
+    * not the generator). Detection uses `regexp_count`, masking chained
+    * `regexp_replace` (email→phone→ssn; the three patterns are mutually
+    * non-overlapping by construction, so order only matters for
+    * determinism). Pure codegen'd column expressions — zero-shuffle
+    * single-pass projection over the corpus; only the output sort moves
+    * data, and at 100 TB the sort is dropped and the masked text is
+    * written back partition-local.
+    */
+  val t44 = Q(
+    "t44_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val id = col("doc_id")
+      def pad(m: Int, w: Int) = lpad((id % m).cast("string"), w, "0")
+      val aug = concat(
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit(" contact user"), id.cast("string"),
+            lit("@mail.example.com"))).otherwise(""),
+        when(id % 4 === 0,
+          concat(lit(" call 555-"), pad(1000, 3), lit("-"), pad(10000, 4)))
+          .otherwise(""),
+        when(id % 5 === 0, concat(lit(" id 123-45-"), pad(10000, 4)))
+          .otherwise(""))
+      val masked = regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"),
+        ssnRe, "[SSN]")
+      val nPii = col("n_email") + col("n_phone") + col("n_ssn")
+      Tables.documents(s, dir)
+        .select(
+          id,
+          regexp_count(aug, lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(aug, lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_count(aug, lit(ssnRe)).cast("long").as("n_ssn"),
+          md5(masked).as("masked_md5"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+          nPii.as("n_pii"), (nPii > 0).as("has_pii"), col("masked_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""with aug as (
+      select doc_id,
+        text
+        || case when doc_id % 3 = 0
+           then ' contact user' || doc_id || '@mail.example.com' else '' end
+        || case when doc_id % 4 = 0
+           then ' call 555-' || lpad((doc_id % 1000)::varchar, 3, '0')
+                || '-' || lpad((doc_id % 10000)::varchar, 4, '0') else '' end
+        || case when doc_id % 5 = 0
+           then ' id 123-45-' || lpad((doc_id % 10000)::varchar, 4, '0')
+           else '' end as text
+      from documents
+    ), hits as (
+      select doc_id,
+        cast(len(regexp_extract_all(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) as bigint) as n_email,
+        cast(len(regexp_extract_all(text,
+          '\b\d{3}-\d{3}-\d{4}\b')) as bigint) as n_phone,
+        cast(len(regexp_extract_all(text,
+          '\b\d{3}-\d{2}-\d{4}\b')) as bigint) as n_ssn,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g')) as masked_md5
+      from aug
+    )
+    select doc_id, n_email, n_phone, n_ssn,
+      n_email + n_phone + n_ssn as n_pii,
+      n_email + n_phone + n_ssn > 0 as has_pii,
+      masked_md5
+    from hits order by doc_id"""),
+    "PII scrub: regex detect + mask (email/phone/ssn), per-doc span counts")
+
+  /** Line-level boilerplate removal — the CCNet / RefinedWeb pass (Wenzek
+    * et al. 2020 §4.1; Penedo et al. 2023 §3) that drops lines repeated
+    * across many documents of the same source (navigation chrome,
+    * copyright footers) before doc-level dedup ever runs. The synthetic
+    * corpus has no newlines, so each doc is first decomposed into lines
+    * deterministically (identically in both engines): a per-source header,
+    * 10-token content chunks, a per-source footer — the header/footer play
+    * the role of real-web boilerplate and appear in all 25 docs of a
+    * source. A line is dropped when its document-frequency within its
+    * source reaches 5. Shape: one explode, one (source, line) groupBy for
+    * the frequency table, one shuffle join back, one per-doc re-aggregate
+    * — the exact two-shuffle profile a 100 TB CCNet run has. At that scale
+    * the join key becomes xxhash64(line) to cut shuffle width (collision
+    * rate 2^-64 per pair); kept exact here for cross-engine parity. The
+    * kept-line text round-trips through an order-preserving md5 so a
+    * dropped-or-reordered line can't hide behind matching counts.
+    */
+  val t45 = Q(
+    "t45_line_dedup",
+    (s, dir) => {
+      val tk = toks(col("text"))
+      val header = concat(lit("about "), col("source"),
+        lit(" terms of use apply"))
+      val footer = concat(lit("copyright "), col("source"),
+        lit(" all rights reserved"))
+      val nChunks = ceil(size(tk) / lit(10.0)).cast("int")
+      val content = transform(
+        sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tk, i * 10 + 1, lit(10)), " "))
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(concat(array(header), content, array(footer))))
+        .withColumnRenamed("col", "line")
+      val freq = lines.groupBy("source", "line")
+        .agg(countDistinct("doc_id").as("df"))
+      val kept = lines.join(freq.where(col("df") < 5), Seq("source", "line"))
+      val tot = lines.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"))
+      val ka = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              e => e.getField("line")),
+            "\n")).as("kept_md5"))
+      tot.join(ka, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""with tok as (
+      select doc_id, source, string_split(text, ' ') as t from documents
+    ), lines0 as (
+      select doc_id, source, 0 as pos,
+        'about ' || source || ' terms of use apply' as line from tok
+      union all
+      select doc_id, source, i + 1 as pos,
+        array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') as line
+      from (select doc_id, source, t,
+              unnest(range(cast(ceil(len(t) / 10.0) as bigint))) as i
+            from tok) s
+      union all
+      select doc_id, source, 1000000 as pos,
+        'copyright ' || source || ' all rights reserved' as line from tok
+    ), freq as (
+      select source, line, count(distinct doc_id) as df
+      from lines0 group by 1, 2
+    ), kept as (
+      select l.doc_id, l.pos, l.line
+      from lines0 l join freq f on l.source = f.source and l.line = f.line
+      where f.df < 5
+    ), tot as (
+      select doc_id, cast(count(*) as bigint) as n_lines
+      from lines0 group by 1
+    ), ka as (
+      select doc_id, cast(count(*) as bigint) as n_kept,
+        md5(string_agg(line, chr(10) order by pos)) as kept_md5
+      from kept group by 1
+    )
+    select t.doc_id, t.n_lines,
+      coalesce(k.n_kept, 0) as n_kept,
+      t.n_lines - coalesce(k.n_kept, 0) as n_dropped,
+      coalesce(k.kept_md5, md5('')) as kept_md5
+    from tot t left join ka k on t.doc_id = k.doc_id
+    order by t.doc_id"""),
+    "CCNet-style line dedup: drop high-doc-frequency lines within source")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43)
+      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
+      t44, t45)
 }
