@@ -10,6 +10,39 @@ import scala.collection.mutable
   * Usage: runMain graft.JobProf <queryName> <sfDir>
   */
 object JobProf {
+
+  /** `runMain graft.JobProf ALL <sfDir>`: one warm + one measured pass per
+    * registry query, printing a per-query (jobs, wall) table sorted by job
+    * count — the action-floor audit view (each extra job costs ~0.1-0.3 s
+    * of scheduling floor regardless of data size).
+    */
+  private def sweepAll(spark: SparkSession, sfDir: String): Unit = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    })
+    val rows = Registry.all.sortBy(_.name).map { q =>
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => }
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      Thread.sleep(100)
+      counter.set(0)
+      val t0 = System.nanoTime()
+      val ok = try { q.run(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // listener bus drain
+      (q.name, if (ok) counter.get() else -1, wall)
+    }
+    println(f"${"query"}%-28s ${"jobs"}%5s ${"wall_s"}%8s")
+    rows.sortBy(-_._2).foreach { case (n, j, w) =>
+      println(f"$n%-28s $j%5d $w%8.3f")
+    }
+    println(f"TOTAL jobs=${rows.map(_._2).filter(_ > 0).sum}  " +
+      f"wall=${rows.map(_._3).sum}%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,6 +53,7 @@ object JobProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "ALL") { sweepAll(spark, sfDir); spark.stop(); return }
     val q = Registry.byName(name)
     // Warm pass: codegen/JIT/parquet-footer caches are engine startup.
     try q.run(spark, sfDir).count() catch { case _: Throwable => }

@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
   *
   * Convergence is detected with a single scalar action per round: the
   * label-sum strictly decreases until fixpoint, so equal consecutive sums
-  * ⇔ done — and the sum runs against the already-materialized checkpoint,
-  * not a recomputation.
+  * ⇔ done. The round checkpoint is marked LAZY and the checksum action is
+  * what materializes it — one Spark job per round instead of the eager
+  * checkpoint-then-checksum pair (the round-7 JobProf audit measured the
+  * eager shape at 2 jobs/round, half of them pure scheduling floor; the
+  * label blocks the checksum leaves behind are identical either way, so
+  * round k+1 still plans against a flat materialized scan).
   */
 object Components {
 
@@ -47,21 +51,24 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "d1",
       bCol: String = "d2", maxIter: Int = 20): DataFrame = {
+    // Lazy checkpoint marks throughout: each round's checksum action is
+    // the materializer, so the loop costs ONE job per round (plus one for
+    // the initial labels; edges materialize inside round 1's job).
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = checksum(labels)
 
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val next = propagationRound(edges, labels).localCheckpoint(true)
+      val next = propagationRound(edges, labels).localCheckpoint(false)
       val s = checksum(next)
       labels = next
       converged = s == prevSum
