@@ -2483,9 +2483,99 @@ object TextQueries {
     order by t.doc_id"""),
     "CCNet-style line dedup: drop high-doc-frequency lines within source")
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's idf
+    * smoothing `ln((N-df+0.5)/(df+0.5)+1)`, k1=1.2, b=0.75) for a fixed
+    * query panel — the full-text-search primitive a data pipeline uses for
+    * eval-set retrieval, decontamination lookups, and hard-negative
+    * mining (t15 scores terms per doc; this ranks DOCS per query). Scale
+    * shape is the inverted-index access path: the panel-term filter runs
+    * BEFORE the tf groupBy, so only postings for panel terms ever shuffle
+    * (at 100 TB that's |panel terms| postings lists, not the corpus); doc
+    * lengths are a zero-shuffle projection, the corpus stats a 1-row
+    * broadcast, and the panel join a broadcast. Scores round at 6 after
+    * the per-query sum; ranks tie-break on doc_id for cross-engine
+    * determinism.
+    */
+  val t46 = Q(
+    "t46_bm25",
+    (s, dir) => {
+      val panel = Seq(
+        (1, "customer"), (1, "table"), (1, "join"),
+        (2, "stream"), (2, "window"), (2, "data"),
+        (3, "fast"), (3, "hash"), (3, "value"))
+      val terms = panel.map(_._2).distinct
+      val (k1, b) = (1.2, 0.75)
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .filter(col("token").isInCollection(terms))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")))
+      val dl = docs.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(avg("dl").as("avgdl"), count(lit(1)).as("n_docs"))
+      val spark = s
+      import spark.implicits._
+      val contrib = withDf
+        .join(broadcast(panel.toDF("query_id", "term")),
+          col("token") === col("term"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            col("tf") * (k1 + 1) /
+            (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+      contrib.groupBy("query_id", "doc_id")
+        .agg(round(sum(col("c")), 6).as("bm25"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""with panel(query_id, term) as (
+      values (1,'customer'),(1,'table'),(1,'join'),
+             (2,'stream'),(2,'window'),(2,'data'),
+             (3,'fast'),(3,'hash'),(3,'value')
+    ), toks as (
+      select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ), dl as (
+      select doc_id, cast(len(string_split(text, ' ')) as bigint) as dl
+      from documents
+    ), stats as (
+      select avg(dl) as avgdl, count(*) as n_docs from dl
+    ), tf as (
+      select doc_id, token, cast(count(*) as bigint) as tf from toks
+      where token in (select term from panel) group by 1, 2
+    ), df as (
+      select token, cast(count(*) as bigint) as df from tf group by 1
+    ), contrib as (
+      select p.query_id, tf.doc_id,
+        ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+          tf.tf * 2.2 /
+          (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) as c
+      from tf
+      join df using (token)
+      join panel p on p.term = tf.token
+      join dl on dl.doc_id = tf.doc_id
+      cross join stats s
+    ), scored as (
+      select query_id, doc_id, round(sum(c), 6) + 0.0 as bm25
+      from contrib group by 1, 2
+    )
+    select query_id, doc_id, bm25, rank from (
+      select query_id, doc_id, bm25,
+        cast(row_number() over (partition by query_id
+          order by bm25 desc, doc_id) as int) as rank
+      from scored) t
+    where rank <= 5
+    order by query_id, rank"""),
+    "BM25 ranked retrieval: panel-term postings only, top-5 docs per query")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
       t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
-      t44, t45)
+      t44, t45, t46)
 }

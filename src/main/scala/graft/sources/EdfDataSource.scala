@@ -6,9 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,12 +55,12 @@ object EdfDataSource {
 }
 
 private class EdfTable(properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = "edf"
   override def schema(): StructType = EdfDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdfScanBuilder(
@@ -67,6 +69,158 @@ private class EdfTable(properties: Map[String, String])
         .getOrElse(throw new IllegalArgumentException("edf: no path given")),
       Option(options.get("chunk_records")).orElse(properties.get("chunk_records"))
         .map(_.toInt).getOrElse(3600))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opt = (k: String) => Option(info.options.get(k)).orElse(properties.get(k))
+    new EdfWriteBuilder(
+      opt("path").getOrElse(
+        throw new IllegalArgumentException("edf write: no path given")),
+      info.schema(),
+      physMin = opt("phys_min").map(_.toDouble).getOrElse(-0.005),
+      physMax = opt("phys_max").map(_.toDouble).getOrElse(0.005),
+      recordDurationSec =
+        opt("record_duration_sec").map(_.toDouble).getOrElse(1.0))
+  }
+}
+
+/** DSv2 write path: `df.write.format("edf").mode("append").save(dir)` over
+  * rows in the reader's own shape (`path, channel, sfreq, chunk_idx,
+  * t0_sec, samples`) — one EDF file per distinct `path` value (its
+  * basename, under the target dir). The writer declares
+  * [[RequiresDistributionAndOrdering]]: rows CLUSTER by `path` and sort by
+  * (path, channel, chunk_idx), so Spark's planner inserts the one shuffle
+  * that lands every file's rows consecutively in one task and each writer
+  * assembles files in a single streaming pass — no per-task buffering
+  * beyond the file being built, which is how a 100 TB export stays
+  * bounded: file parallelism scales with partitions while memory stays
+  * O(one recording). Signal-only EDF (annotations are the reader's
+  * concern); all channels of a file must share one sampling rate — the
+  * writer validates and fails loudly otherwise.
+  */
+private class EdfWriteBuilder(targetDir: String, schema: StructType,
+    physMin: Double, physMax: Double, recordDurationSec: Double)
+    extends WriteBuilder {
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity("path")))
+    override def requiredOrdering(): Array[SortOrder] = Array(
+      Expressions.sort(Expressions.identity("path"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.identity("channel"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.identity("chunk_idx"), SortDirection.ASCENDING))
+
+    override def toBatch: BatchWrite = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val required = Seq("path", "channel", "sfreq", "chunk_idx", "samples")
+      val missing = required.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"edf write: missing columns $missing")
+      new EdfBatchWrite(targetDir, schema,
+        new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+        physMin, physMax, recordDurationSec)
+    }
+  }
+}
+
+private case class EdfWriteCommit(files: Seq[String]) extends WriterCommitMessage
+
+private class EdfBatchWrite(targetDir: String, schema: StructType,
+    conf: SerializableConfiguration, physMin: Double, physMax: Double,
+    recordDurationSec: Double) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    EdfWriterFactory(targetDir, schema, conf, physMin, physMax,
+      recordDurationSec)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Best-effort cleanup of files committed by finished tasks.
+    val fs = new Path(targetDir).getFileSystem(conf.value)
+    messages.collect { case EdfWriteCommit(files) => files }.flatten
+      .foreach(f => try fs.delete(new Path(f), false) catch {
+        case _: Throwable => ()
+      })
+  }
+}
+
+/** Serializable executor-side factory — a case class (not an anonymous
+  * class) so the ONLY state shipped is these fields, never an outer
+  * BatchWrite reference.
+  */
+private case class EdfWriterFactory(targetDir: String, schema: StructType,
+    conf: SerializableConfiguration, physMin: Double, physMax: Double,
+    recordDurationSec: Double) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new EdfDataWriter(targetDir, schema, conf, physMin, physMax,
+      recordDurationSec)
+}
+
+/** Streaming single-pass assembler: rows arrive sorted (path, channel,
+  * chunk_idx) by the declared ordering; channel boundaries concatenate
+  * chunk arrays, path boundaries serialize and emit one EDF file.
+  */
+private class EdfDataWriter(targetDir: String, schema: StructType,
+    conf: SerializableConfiguration, physMin: Double, physMax: Double,
+    recordDurationSec: Double) extends DataWriter[InternalRow] {
+
+  private val iPath = schema.fieldIndex("path")
+  private val iChannel = schema.fieldIndex("channel")
+  private val iSfreq = schema.fieldIndex("sfreq")
+  private val iSamples = schema.fieldIndex("samples")
+
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var curPath: String = _
+  private var curSfreq: Double = 0.0
+  private var channels =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+
+  override def write(row: InternalRow): Unit = {
+    val path = row.getUTF8String(iPath).toString
+    if (curPath == null) curPath = path
+    else if (path != curPath) { flushFile(); curPath = path }
+    val ch = row.getUTF8String(iChannel).toString
+    val sf = row.getDouble(iSfreq)
+    if (channels.isEmpty) curSfreq = sf
+    else require(sf == curSfreq,
+      s"edf write: mixed sampling rates in $path ($curSfreq vs $sf for $ch)" +
+        " — the writer emits uniform-rate signal files")
+    channels.getOrElseUpdate(ch, scala.collection.mutable.ArrayBuffer.empty)
+      .++=(row.getArray(iSamples).toDoubleArray())
+  }
+
+  private def flushFile(): Unit = {
+    if (curPath != null && channels.nonEmpty) {
+      val name = {
+        val base = curPath.substring(curPath.lastIndexOf('/') + 1)
+        if (base.toLowerCase.endsWith(".edf")) base else base + ".edf"
+      }
+      val bytes = Edf.write(
+        channels.toSeq.map { case (l, b) => l -> b.toArray },
+        curSfreq, Nil, recordDurationSec, physMin, physMax)
+      val out = new Path(targetDir, name)
+      val fs = out.getFileSystem(conf.value)
+      val os = fs.create(out, true)
+      try os.write(bytes) finally os.close()
+      written += out.toString
+    }
+    channels = scala.collection.mutable.LinkedHashMap.empty
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushFile()
+    EdfWriteCommit(written.toSeq)
+  }
+
+  override def abort(): Unit = {
+    val fs = new Path(targetDir).getFileSystem(conf.value)
+    written.foreach(f => try fs.delete(new Path(f), false) catch {
+      case _: Throwable => ()
+    })
+  }
+
+  override def close(): Unit = ()
 }
 
 private class EdfScanBuilder(pathSpec: String, chunkRecords: Int)

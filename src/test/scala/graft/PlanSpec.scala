@@ -197,6 +197,37 @@ class PlanSpec extends SparkSpec {
     assert(f.cartesian == 0 && f.bnlj == 0, s"t19 plans a product: $f")
   }
 
+  test("PII scrub is a pure projection — no shuffle before the output sort") {
+    // t44 is codegen'd regexp column work per row; the only exchange
+    // allowed is the final range sort. A join or aggregate creeping in
+    // would mean the masking pass started moving document bodies.
+    val f = fp("t44_pii_scrub")
+    assert(f.exchanges <= 1, s"t44 wants ≤1 exchange (output order), got $f")
+    assert(f.bhj + f.smj + f.bnlj + f.cartesian == 0,
+      s"t44 must plan no joins at all, got $f")
+  }
+
+  test("line dedup keeps keyed shuffles only — no products on the line table") {
+    // t45's profile is explode → (source, line) frequency agg → keyed join
+    // back → per-doc re-agg → sort. All shuffles are keyed; any
+    // cartesian/BNLJ would blow up in the 100 TB line table.
+    val f = fp("t45_line_dedup")
+    assert(f.cartesian == 0 && f.bnlj == 0, s"t45 plans a product: $f")
+  }
+
+  test("BM25 shuffles panel postings, broadcasts the panel and the stats row") {
+    // t46's scale contract: the panel-term filter runs BEFORE the tf
+    // groupBy (only matching postings shuffle), the 9-row panel joins as a
+    // broadcast hash join, and the 1-row corpus stats ride a broadcast
+    // NLJ. A shuffled panel join or a second scalar product means the
+    // inverted-index access path degraded to corpus motion.
+    val f = fp("t46_bm25")
+    assert(f.cartesian == 0, s"t46 plans a cartesian product: $f")
+    assert(f.bhj >= 1, s"t46 wants the panel broadcast-joined, got $f")
+    assert(f.bnlj <= 1,
+      s"t46 allows only the 1-row stats broadcast NLJ, got $f")
+  }
+
   test("mixture sampling moves the corpus once") {
     // t21: per-source stats + the 1-row weight total are broadcast back;
     // the corpus itself is touched by exactly one window shuffle (rank
