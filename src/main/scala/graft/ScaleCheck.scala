@@ -125,6 +125,27 @@ object ScaleCheck {
     if (legFilter.forall(_.contains("countmin"))) {
       cmCells(replicate(Tables.documents(spark, sfDir), "doc_id", 30))
     }
+    // The t45 line-dedup kernel, shared by its warm pass and timed leg.
+    def lineKept(docs: DataFrame): Long = {
+      val tk = split(col("text"), " ")
+      val nChunks = ceil(size(tk) / lit(10.0)).cast("int")
+      val content = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tk, i * 10 + 1, lit(10)), " "))
+      val lines = docs
+        .select(col("doc_id"), col("source"), posexplode(content))
+        .withColumnRenamed("col", "line")
+      val freq = lines.groupBy("source", "line")
+        .agg(countDistinct("doc_id").as("df"))
+      lines.join(freq.where(col("df") < 5), Seq("source", "line")).count()
+    }
+    // transform/slice/array_join are interpreted higher-order functions —
+    // the same first-large-run JIT-deopt cliff as the old BPE fold (a
+    // rep=30 leg measured 16.4 s on its first run in a JVM, 6.5 s for the
+    // larger rep=100 leg right after): warm untimed at the sweep's LARGEST
+    // replication, the hll-leg discipline.
+    if (legFilter.forall(_.contains("line_dedup"))) {
+      lineKept(replicate(Tables.documents(spark, sfDir), "doc_id", reps.max))
+    }
     // Same md5/conv JIT-warm rationale as countmin's pass above — but at
     // the sweep's LARGEST replication: the deopt threshold re-trips when a
     // timed leg first exceeds the warmed size (a solo rep=100 hll leg
@@ -222,6 +243,30 @@ object ScaleCheck {
       // IDENTICAL at every R while wall-clock tracks the linear scan.
       val (tHll, nRegs) = leg("hll")(time {
         hllRegs(docs)
+      })
+      // CCNet line dedup (the t45 kernel). Replicas share text, so every
+      // content line's within-source doc-frequency grows R× — at R≥5 ALL
+      // lines cross the df≥5 threshold (the mass-boilerplate worst case:
+      // kept collapses to 0) while the DISTINCT (source, line) table stays
+      // CONSTANT in R. Cost must track the explode+aggregate+join linear
+      // pass; the frequency shuffle is bounded by distinct lines, never
+      // corpus volume.
+      val (tLine, nKept) = leg("line_dedup")(time {
+        lineKept(docs)
+      })
+      // BM25 postings path (the t46 kernel): the panel-term filter runs
+      // BEFORE the tf aggregate, so the shuffle carries only panel-term
+      // postings (grows R× with the corpus but stays a sliver of it);
+      // per-(query, doc) scores grow R×, top-k stays constant. Wall-clock
+      // must track the linear token scan.
+      val (tBm, nScored) = leg("bm25")(time {
+        val terms = Seq("customer", "table", "join", "stream", "window",
+          "data", "fast", "hash", "value")
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token").isInCollection(terms))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+          .count()
       })
       docs.unpersist(blocking = true)
       System.gc()
@@ -329,6 +374,8 @@ object ScaleCheck {
         f""""bpe_apply_s":$tBpe%.2f,"bpe_tokens":$nToks,""" +
         f""""countmin_s":$tCm%.2f,"cm_cells":$nCells,""" +
         f""""hll_s":$tHll%.2f,"hll_regs":$nRegs,""" +
+        f""""line_dedup_s":$tLine%.2f,"kept_lines":$nKept,""" +
+        f""""bm25_s":$tBm%.2f,"bm25_docs":$nScored,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""binary_ann_s":$tBin%.2f,"bin_rows":$nBin,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
