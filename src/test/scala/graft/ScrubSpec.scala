@@ -95,6 +95,47 @@ class ScrubSpec extends SparkSpec {
     (10L until 13L).foreach(id => assert(rows(id) == ((3L, 3L, 0L)), s"doc $id"))
   }
 
+  // ---- t46_bm25 ------------------------------------------------------
+
+  /** Corpus where the BM25 ordering is hand-checkable: for query 1
+    * ("customer table join"), doc 0 matches two terms, doc 1 one term
+    * twice in a LONGER doc, doc 2 one term once, doc 3 none. With k1=1.2,
+    * b=0.75 the two-distinct-term doc must outrank the repeated-term doc
+    * (tf saturates), and the long doc is penalized vs a short doc with
+    * the same tf.
+    */
+  private lazy val bm25Dir: String = {
+    val dir = tmpDir("graft_scrub_bm25")
+    val filler = (0 until 20).map(i => s"f$i").mkString(" ")
+    Seq(
+      (0L, "customer table alpha beta", "en", "s0"),
+      (1L, s"customer customer $filler", "en", "s0"),
+      (2L, "customer alpha beta gamma", "en", "s0"),
+      (3L, "alpha beta gamma delta", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t46 ranks two distinct terms above a repeated term, penalizes length") {
+    val rows = Registry.byName("t46_bm25").run(spark, bm25Dir)
+      .collect()
+      .filter(_.getAs[Int]("query_id") == 1)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+    // Only docs 0-2 contain a query-1 term.
+    assert(rows.map(_._1).toSeq == Seq(0L, 2L, 1L),
+      s"unexpected ranking: ${rows.toSeq}")
+    // Two distinct matched terms beat one term no matter the tf...
+    assert(rows(0)._2 > rows(2)._2)
+    // ...and the short single-term doc beats the long repeated-term doc
+    // (length normalization + tf saturation).
+    assert(rows(1)._2 > rows(2)._2)
+    // Scores are positive and the idf is shared, so every score is finite.
+    assert(rows.forall(_._2 > 0.0))
+  }
+
   test("t45 kept_md5 preserves original line order") {
     val got = Registry.byName("t45_line_dedup").run(spark, lineDir)
       .collect().map(r => r.getAs[Long]("doc_id") ->
