@@ -1372,8 +1372,69 @@ object RelationalQueries {
     },
     "layout: Z-order (Morton) clustering buckets + per-bucket pruning stats")
 
+  /** Time-series gap-fill + resample — the regularization pass every
+    * monitoring/feature pipeline runs before modeling: aggregate raw
+    * events to a per-user DAILY grain, GENERATE the missing grid days
+    * inside each user's observed span (`sequence` + explode — no existing
+    * registry op creates rows; q20/q26/q36 only join or window existing
+    * ones), and forward-fill the value over gaps with a flag preserving
+    * which rows are synthetic. Scale shape: the raw corpus is touched by
+    * ONE aggregate shuffle at the (user, day) grain; the grid explode
+    * works on the |users| span table and rejoins at grid grain (output
+    * rows, not event rows); the fill is one user-partitioned window. The
+    * fill copies already-rounded daily values, so no summation-order ulp
+    * can leak through a gap.
+    */
+  val q38 = Q(
+    "q38_gapfill_resample",
+    (s, dir) => {
+      val day = expr("ts div 86400000000000").as("epoch_day")
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"), day, col("value"))
+        .groupBy("user_id", "epoch_day")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("day_value"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("epoch_day").as("d0"), max("epoch_day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("epoch_day"))
+      val w = Window.partitionBy("user_id").orderBy("epoch_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "epoch_day"), "left")
+        .select(col("user_id"), col("epoch_day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_value"), ignoreNulls = true).over(w)
+            .as("filled_value"),
+          col("day_value").isNull.as("is_gap"))
+        .orderBy("user_id", "epoch_day")
+    },
+    Some("""with ev as (
+      select user_id, epoch_ns(ts) // 86400000000000 as d, value from events
+    ), daily as (
+      select user_id, d, cast(count(*) as bigint) as n_events,
+        round(sum(value), 2) + 0.0 as day_value
+      from ev group by 1, 2
+    ), span as (
+      select user_id, min(d) as d0, max(d) as d1 from daily group by 1
+    ), grid as (
+      select user_id, unnest(range(d0, d1 + 1)) as epoch_day from span
+    ), j as (
+      select g.user_id, g.epoch_day, daily.n_events, daily.day_value
+      from grid g
+      left join daily on g.user_id = daily.user_id and g.epoch_day = daily.d
+    )
+    select user_id, epoch_day,
+      coalesce(n_events, 0) as n_events,
+      last_value(day_value ignore nulls) over (
+        partition by user_id order by epoch_day
+        rows between unbounded preceding and current row) as filled_value,
+      day_value is null as is_gap
+    from j
+    order by user_id, epoch_day"""),
+    "time-series gap-fill: generate missing grid days + forward-fill")
+
   def all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37)
+    q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -228,6 +228,17 @@ class PlanSpec extends SparkSpec {
       s"t46 allows only the 1-row stats broadcast NLJ, got $f")
   }
 
+  test("gap-fill touches the raw corpus in exactly one aggregate shuffle") {
+    // q38: events shuffle ONCE to the (user, day) grain; the span/grid/
+    // fill chain then works at output grain (grid join + fill window +
+    // output sort — these exchanges carry grid rows, never raw events).
+    // No products: the grid join must stay keyed on (user, day).
+    val f = fp("q38_gapfill_resample")
+    assert(f.exchanges <= 3,
+      s"q38 wants ≤3 exchanges (daily agg, grid/fill, sort), got $f")
+    assert(f.cartesian == 0 && f.bnlj == 0, s"q38 plans a product: $f")
+  }
+
   test("mixture sampling moves the corpus once") {
     // t21: per-source stats + the 1-row weight total are broadcast back;
     // the corpus itself is touched by exactly one window shuffle (rank
