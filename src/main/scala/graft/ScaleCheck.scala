@@ -128,21 +128,21 @@ object ScaleCheck {
     // The t45 line-dedup kernel, shared by its warm pass and timed leg.
     def lineKept(docs: DataFrame): Long = {
       val tk = split(col("text"), " ")
-      val nChunks = ceil(size(tk) / lit(10.0)).cast("int")
-      val content = transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(tk, i * 10 + 1, lit(10)), " "))
       val lines = docs
-        .select(col("doc_id"), col("source"), posexplode(content))
+        .select(col("doc_id"), col("source"),
+          posexplode(graft.expressions.ChunkJoin(tk, 10)))
         .withColumnRenamed("col", "line")
       val freq = lines.groupBy("source", "line")
         .agg(countDistinct("doc_id").as("df"))
       lines.join(freq.where(col("df") < 5), Seq("source", "line")).count()
     }
-    // transform/slice/array_join are interpreted higher-order functions —
-    // the same first-large-run JIT-deopt cliff as the old BPE fold (a
-    // rep=30 leg measured 16.4 s on its first run in a JVM, 6.5 s for the
-    // larger rep=100 leg right after): warm untimed at the sweep's LARGEST
-    // replication, the hll-leg discipline.
+    // Historical note: as a transform(sequence)/slice/array_join HOF nest
+    // the chunker hit the first-large-run JIT-deopt cliff (a rep=30 leg
+    // measured 16.4 s first-run in a JVM, 6.5 s for the larger rep=100 leg
+    // right after) — the same class as the pre-native BPE fold, and the
+    // reason the chunker is now the fused native ChunkJoin expression.
+    // The warm pass at the sweep's largest replication stays (the
+    // graft.Bench discipline; it also warms the explode/join path).
     if (legFilter.forall(_.contains("line_dedup"))) {
       lineKept(replicate(Tables.documents(spark, sfDir), "doc_id", reps.max))
     }

@@ -154,5 +154,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "shingle_strings takes (tokens, n)")
         ShingleStrings(children.head, intLit(children(1), "shingle_strings"))
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("chunk_join"),
+      new ExpressionInfo(classOf[ChunkJoin].getName, "chunk_join"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "chunk_join takes (tokens, width)")
+        ChunkJoin(children.head, intLit(children(1), "chunk_join"))
+      }))
   }
 }

@@ -2418,10 +2418,11 @@ object TextQueries {
         lit(" terms of use apply"))
       val footer = concat(lit("copyright "), col("source"),
         lit(" all rights reserved"))
-      val nChunks = ceil(size(tk) / lit(10.0)).cast("int")
-      val content = transform(
-        sequence(lit(0), nChunks - 1),
-        i => array_join(slice(tk, i * 10 + 1, lit(10)), " "))
+      // Fused native chunker (one eval/doc) — replaces the
+      // transform(sequence)/slice/array_join HOF nest, whose interpreted
+      // lambda path JIT-deoptimizes on its first large run (ScaleCheck,
+      // PERF.md round-7); byte-identical output, ChunkSpec-verified.
+      val content = graft.expressions.ChunkJoin(tk, 10)
       val lines = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           posexplode(concat(array(header), content, array(footer))))

@@ -28,13 +28,15 @@ class ExtensionsSpec extends SparkSpec {
           |  sorted_intersect_count(
           |    array(1L, 2L, 5L), array(2L, 5L, 9L)) as c,
           |  size(shingle_hashes(array('a', 'b', 'c'), 2)) as nh,
-          |  shingle_strings(array('a', 'b', 'c'), 2) as ss
+          |  shingle_strings(array('a', 'b', 'c'), 2) as ss,
+          |  chunk_join(array('a', 'b', 'c'), 2) as cj
           |""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == 23L)
       assert(r.getLong(2) == 2L)
       assert(r.getInt(3) == 2)
       assert(r.getSeq[String](4) == Seq("a b", "b c"))
+      assert(r.getSeq[String](5) == Seq("a b", "c"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
