@@ -1,0 +1,52 @@
+package graft
+
+/** Parallelism-invariance gate: a distributed engine's results must not
+  * depend on how the data is partitioned. `spark.sql.shuffle.partitions`
+  * is a RUNTIME conf, so each query here runs under two deliberately
+  * different shuffle widths (2 vs 17 — odd and coprime with every grouping
+  * cardinality in the testdata) and must produce byte-identical row
+  * sequences. This catches the whole class of order-dependent bugs the
+  * single-config oracle gate can't see: unsorted collect_list feeding a
+  * hash, partial-aggregation float reordering leaking through an unrounded
+  * column, window frames relying on incidental input order, iterative
+  * fixpoints sensitive to partition layout.
+  *
+  * The chosen queries are exactly the order-SENSITIVE internals: t45's
+  * order-preserving kept-line md5, q38's forward-fill window, d3/d4's
+  * iterative label propagation, t21's deterministic mixture selection,
+  * t17's running-total packing, t33's winnowing selection, and the q5
+  * sessionization chain.
+  */
+class InvarianceSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private val queries = Seq(
+    "t45_line_dedup", "q38_gapfill_resample", "d3_dedup_clusters",
+    "d4_canonical_docs", "t21_mixture_sampling", "t17_seq_packing",
+    "t33_winnowing", "q5_sessionization", "t44_pii_scrub", "t46_bm25")
+
+  private def runAt(name: String, shufflePartitions: Int): Seq[String] = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, shufflePartitions.toString)
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      Registry.byName(name).run(spark, Sf).collect().map(_.toString).toSeq
+    } finally spark.conf.set(key, prev)
+  }
+
+  queries.foreach { name =>
+    test(s"$name is invariant to the shuffle partition count") {
+      val narrow = runAt(name, 2)
+      val wide = runAt(name, 17)
+      assert(narrow.size == wide.size,
+        s"$name row count differs: ${narrow.size} vs ${wide.size}")
+      narrow.zip(wide).zipWithIndex.collectFirst {
+        case ((a, b), i) if a != b => (i, a, b)
+      }.foreach { case (i, a, b) =>
+        fail(s"$name row $i differs under repartitioning:\n  2 -> $a\n 17 -> $b")
+      }
+    }
+  }
+}
