@@ -24,7 +24,16 @@ class InvarianceSpec extends SparkSpec {
   private val queries = Seq(
     "t45_line_dedup", "q38_gapfill_resample", "d3_dedup_clusters",
     "d4_canonical_docs", "t21_mixture_sampling", "t17_seq_packing",
-    "t33_winnowing", "q5_sessionization", "t44_pii_scrub", "t46_bm25")
+    "t33_winnowing", "q5_sessionization", "t44_pii_scrub", "t46_bm25",
+    // Iterative fixpoints + float-rounding + tie-break paths: PageRank's
+    // lazy round chain, the e15 power iteration, MMR's greedy kernel,
+    // KN smoothing's nested aggregations, CCNet terciles (ntile over a
+    // rounded score), HLL register union, semantic dedup's IVF blocking,
+    // and the salted skew pair (salt assignment must not leak into
+    // results).
+    "q33_pagerank", "e15_pca_power", "e13_mmr_rerank", "t38_kneser_ney",
+    "t28_ccnet_buckets", "t42_hll_union", "d6_semantic_dedup",
+    "q22_salted_skew_agg", "q34_salted_join", "t18_training_pipeline")
 
   private def runAt(name: String, shufflePartitions: Int): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
