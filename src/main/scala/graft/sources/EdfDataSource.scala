@@ -186,6 +186,9 @@ private class EdfDataWriter(targetDir: String, schema: StructType,
     else require(sf == curSfreq,
       s"edf write: mixed sampling rates in $path ($curSfreq vs $sf for $ch)" +
         " — the writer emits uniform-rate signal files")
+    require(!row.isNullAt(iSamples),
+      s"edf write: null samples for $path/$ch — a pruned or header-only " +
+        "read cannot be written back as signal data")
     channels.getOrElseUpdate(ch, scala.collection.mutable.ArrayBuffer.empty)
       .++=(row.getArray(iSamples).toDoubleArray())
   }
