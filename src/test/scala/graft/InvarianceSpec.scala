@@ -21,7 +21,7 @@ class InvarianceSpec extends SparkSpec {
 
   private val Sf = "/root/testdata/sf0.001"
 
-  private val queries = Seq(
+  private val curated = Seq(
     "t45_line_dedup", "q38_gapfill_resample", "d3_dedup_clusters",
     "d4_canonical_docs", "t21_mixture_sampling", "t17_seq_packing",
     "t33_winnowing", "q5_sessionization", "t44_pii_scrub", "t46_bm25",
@@ -34,6 +34,15 @@ class InvarianceSpec extends SparkSpec {
     "q33_pagerank", "e15_pca_power", "e13_mmr_rerank", "t38_kneser_ney",
     "t28_ccnet_buckets", "t42_hll_union", "d6_semantic_dedup",
     "q22_salted_skew_agg", "q34_salted_join", "t18_training_pipeline")
+
+  /** `GRAFT_INVARIANCE_ALL=1 sbt "testOnly graft.InvarianceSpec"` sweeps
+    * the ENTIRE registry (every query twice — minutes, so not the default
+    * CI posture; the curated list above is the per-commit gate).
+    */
+  private val queries =
+    if (sys.env.contains("GRAFT_INVARIANCE_ALL"))
+      Registry.all.map(_.name).sorted
+    else curated
 
   private def runAt(name: String, shufflePartitions: Int): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
