@@ -70,6 +70,20 @@ object PlanAudit {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Fingerprint of the FINAL adaptive plan: executes the plan (one pass)
+    * so AQE finalizes and whole-stage-codegen span markers (`*(n)`) exist
+    * in the plan string — the pre-execution fingerprint always reads
+    * codegenSpans=0 under AQE because codegen ids are only assigned to the
+    * final stages. Use for codegen-coverage audits; `fingerprint` stays
+    * the cheap no-execution default (its exchange/join/pushdown counts
+    * come from the initial physical plan, which is what PlanSpec pins).
+    */
+  def executedFingerprint(df: org.apache.spark.sql.DataFrame): Fingerprint = {
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count() // forces AQE to final-plan; result discarded
+    fingerprint(df)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
@@ -89,7 +103,12 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
-          val f = fingerprint(df)
+          // GRAFT_PLAN_EXEC=1: execute before fingerprinting so the
+          // codegenSpans column reads the FINAL adaptive plan (real
+          // whole-stage-codegen coverage) instead of the pre-AQE zero.
+          val f =
+            if (sys.env.contains("GRAFT_PLAN_EXEC")) executedFingerprint(df)
+            else fingerprint(df)
           println(f"$name%-28s exch=${f.exchanges} bhj=${f.bhj} smj=${f.smj} " +
             f"bnlj=${f.bnlj} pushedFilters=${f.pushedFilters} codegenSpans=${f.codegenSpans}")
           if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {

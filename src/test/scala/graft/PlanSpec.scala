@@ -239,6 +239,21 @@ class PlanSpec extends SparkSpec {
     assert(f.cartesian == 0 && f.bnlj == 0, s"q38 plans a product: $f")
   }
 
+  test("hot-path projections execute inside whole-stage codegen") {
+    // Fingerprints above read the PRE-execution plan, where AQE hasn't
+    // assigned codegen ids yet (codegenSpans always 0). This runs the
+    // plan and reads the FINAL adaptive plan: the pure-projection scans
+    // (PII masking, staging casts, token stats) must land inside at least
+    // one WholeStageCodegen span — a codegen-incompatible expression
+    // creeping into these paths would drop the whole scan to interpreted
+    // eval and show up here as zero spans.
+    Seq("t44_pii_scrub", "sleep_staging", "t2_token_stats").foreach { q =>
+      val f = PlanAudit.executedFingerprint(Registry.byName(q).run(spark, Sf))
+      assert(f.codegenSpans >= 1,
+        s"$q executed with ZERO whole-stage-codegen spans: $f")
+    }
+  }
+
   test("mixture sampling moves the corpus once") {
     // t21: per-source stats + the 1-row weight total are broadcast back;
     // the corpus itself is touched by exactly one window shuffle (rank
