@@ -299,6 +299,89 @@ object Multimodal {
     }
   }
 
+  /** Audio corpus with PLANTED near-duplicate groups — the audio analog of
+    * [[syntheticImages]]' perturbed triples: `groups` distinct 8-tone
+    * chords (component bands chosen deterministically per group), each with
+    * `perGroup` member clips differing only by per-member gain and phase
+    * jitter (the re-encode/volume-normalization analog). Members of a group
+    * share their spectral support exactly; different groups overlap in ~1
+    * band by construction, so fingerprint Hamming distance is 0 within a
+    * group and ≫ the verify threshold across groups.
+    */
+  def syntheticAudioVariants(spark: SparkSession, groups: Int, perGroup: Int,
+      sampleRate: Int = 4000, seconds: Int = 1): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(groups.toLong * perGroup).map { i =>
+      val g = (i / perGroup).toInt
+      val m = (i % perGroup).toInt
+      val samples = sampleRate * seconds
+      val nyquist = sampleRate / 2.0
+      val bandHz = nyquist / 64.0
+      // 8 component tones at band CENTERS selected per group; stride 7/11
+      // keeps cross-group overlap ~1 band.
+      val freqs = Array.tabulate(8)(k => ((g * 7 + k * 11) % 62 + 1) * bandHz + bandHz / 2)
+      val amp = 0.1 * (1.0 + 0.02 * m)
+      val phase = 0.05 * m
+      val payload = new Array[Byte](samples * 2)
+      var j = 0
+      while (j < samples) {
+        var v = 0.0
+        var k = 0
+        while (k < 8) {
+          v += math.sin(2 * math.Pi * freqs(k) * j / sampleRate + phase * k)
+          k += 1
+        }
+        val s16 = (v * amp * 32767).toInt.max(-32768).min(32767)
+        payload(2 * j) = (s16 & 0xff).toByte
+        payload(2 * j + 1) = ((s16 >> 8) & 0xff).toByte
+        j += 1
+      }
+      MediaRow(i, "audio", payload, 0, 0, sampleRate, 0)
+    }
+  }
+
+  /** 64-bit spectral fingerprint per clip — the audio sibling of the image
+    * average-hash: Welch PSD, 64 equal bands over [0, Nyquist), bit b set
+    * when band b's mean power exceeds the whole-spectrum mean. Gain and
+    * phase cancel (both scale/shift the spectrum uniformly), so
+    * re-encoded/re-leveled copies collide; distinct spectral content
+    * lands ≫ any small Hamming threshold apart. Typed mapPartitions kernel
+    * — payload bytes never leave the executor; output is 16 bytes/clip.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "audio" && m.sample_rate > 0)
+      .mapPartitions(_.map { m =>
+        val n = m.payload.length / 2
+        val x = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val lo = m.payload(2 * i) & 0xff
+          val hi = m.payload(2 * i + 1).toInt
+          x(i) = (lo | (hi << 8)).toShort / 32768.0
+          i += 1
+        }
+        val p = graft.signal.Welch.psd(x, m.sample_rate.toDouble)
+        val nb = p.psd.length
+        var total = 0.0
+        i = 0
+        while (i < nb) { total += p.psd(i); i += 1 }
+        val mean = total / math.max(nb, 1)
+        var fp = 0L
+        var b = 0
+        while (b < 64) {
+          val lo = b * nb / 64
+          val hi = math.max((b + 1) * nb / 64, lo + 1)
+          var s = 0.0
+          var j = lo
+          while (j < hi && j < nb) { s += p.psd(j); j += 1 }
+          if (s / (hi - lo) > mean) fp |= (1L << b)
+          b += 1
+        }
+        (m.media_id, fp)
+      }).toDF("doc_id", "simhash")
+  }
+
   /** Metadata rollup over a media DataFrame — the relational face of the
     * multimodal table (works on any DataFrame with the MediaRow columns).
     */

@@ -691,6 +691,48 @@ object OpsQueries {
          |order by hamming, d1, d2""".stripMargin),
     "multimodal: perceptual-hash image near-dup (decode → ahash → banded candidates → hash-verified Hamming)")
 
+  /** Audio near-dup via spectral fingerprint — completes the modality
+    * symmetry (m5 is the image near-dup): PCM decode → Welch PSD → 64-band
+    * mean-threshold fingerprint → d2's chunk-banded candidates → Hamming
+    * verify. The synthetic corpus plants 24 groups of 5 gain/phase-jittered
+    * copies of an 8-tone chord ([[Multimodal.syntheticAudioVariants]]), so
+    * the expected pairs are known: jitter cancels in the spectrum (Hamming
+    * 0 within a group), distinct chords share ~1 of 8 bands (Hamming ≫ 3
+    * across groups). Fingerprints and candidates are staged; the oracle
+    * recomputes `bit_count(xor)` and the threshold independently. At
+    * 100 TB: one decode pass (payloads never leave executors), one bounded
+    * band shuffle over 8-byte fingerprints — payload bytes are never
+    * joined, the m5 contract.
+    */
+  val audioNearDup = Q(
+    "m6_audio_neardup",
+    (s, dir) => {
+      val sigs = Multimodal.audioFingerprints(
+          Multimodal.syntheticAudioVariants(s, groups = 24, perGroup = 5))
+        .persist()
+      Stage.through(sigs, dir, "m6_fps")
+      val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
+      val staged = Stage.through(pairs, dir, "m6_pairs")
+      sigs.unpersist(blocking = false)
+      staged
+        .filter(col("hamming") <= 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(
+      s"""with sigs as (
+         |  select doc_id, simhash from ${Stage.sqlPath("m6_fps")}
+         |), cand as (
+         |  select d1, d2 from ${Stage.sqlPath("m6_pairs")}
+         |)
+         |select c.d1, c.d2,
+         |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+         |from cand c
+         |join sigs a on a.doc_id = c.d1
+         |join sigs b on b.doc_id = c.d2
+         |where bit_count(xor(a.simhash, b.simhash)) <= 3
+         |order by d1, d2""".stripMargin),
+    "multimodal: spectral-fingerprint audio near-dup (decode → Welch bands → banded candidates → hash-verified Hamming)")
+
   /** Semantic dedup scoring (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into IVF cells, then for every
     * vector find its nearest neighbor WITHIN its cell and flag it a
@@ -1585,6 +1627,6 @@ object OpsQueries {
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, ivfPqAnn,
       annRecall, annRecallMulti, mediaStats, imageFeatures, frameSample,
-      audioFeatures, imageNearDup, semanticDedup, dedupEval,
+      audioFeatures, imageNearDup, audioNearDup, semanticDedup, dedupEval,
       minhashAccuracy, bloomFpr)
 }

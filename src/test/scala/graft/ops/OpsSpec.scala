@@ -232,6 +232,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprints link exactly the planted chord groups") {
+    // 6 groups × 4 jittered members: near-dup pairs must be EXACTLY the
+    // within-group pairs (gain/phase jitter cancels in the spectrum) and
+    // never a cross-group pair (distinct chords share ~1 of 8 bands, so
+    // Hamming distance lands far above the threshold).
+    val sigs = Multimodal.audioFingerprints(
+      Multimodal.syntheticAudioVariants(spark, groups = 6, perGroup = 4))
+    val pairs = graft.ops.Dedup
+      .hammingPairs(graft.ops.Dedup.simhashCandidatePairs(sigs), sigs)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val expected = (for {
+      g <- 0 until 6
+      a <- 0 until 4
+      b <- a + 1 until 4
+    } yield (g * 4L + a, g * 4L + b)).toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
+  }
+
   test("frame sampling slices video payloads per frame") {
     val media = Multimodal.syntheticMedia(spark, 9, 8, 8)
     val frames = Multimodal.sampleFrames(media, stride = 2).collect()
