@@ -2118,13 +2118,19 @@ object TextQueries {
     * per-source registers (t41's construction) combine into any union by a
     * bucket-wise max, so |A ∪ B| costs 64 rows per side instead of a
     * re-scan, and |A ∩ B| falls out by inclusion–exclusion
-    * (est_a + est_b − est_union). Every source pair is scored both ways:
-    * the sketch path touches ONLY the (source, bucket, reg) table — 64
-    * rows/source regardless of corpus size — while the exact union /
-    * intersection ground truths re-join the vocabulary (the verification
-    * cost the sketch exists to avoid; at production scale you'd ship only
-    * the sketch path). Pair fan-out uses two equijoins unioned, never an
-    * OR-condition nested loop. Integer-exact register arithmetic as t41.
+    * (est_a + est_b − est_union). Every source pair is scored both ways.
+    * The vocabulary is scanned ONCE (persisted) and everything derives from
+    * it: the sketch path touches only the (source, bucket, reg) table — 64
+    * rows/source regardless of corpus size — the exact intersection is the
+    * one vocab self-join the ground truth genuinely needs, and the exact
+    * union falls out by inclusion–exclusion from per-source exact counts
+    * (|A|+|B|−|A∩B|) instead of a second pair-fanned vocab scan. The DuckDB
+    * oracle deliberately keeps the direct union-distinct construction, so
+    * the cross-engine compare independently checks the identity. Pair
+    * fan-out is a single broadcast of the source list against the tiny
+    * register table (least/greatest orders the pair), never an OR-condition
+    * nested loop; all post-aggregate assembly joins are broadcast (row
+    * counts bounded by #sources²). Integer-exact register arithmetic as t41.
     */
   val t42 = Q(
     "t42_hll_union",
@@ -2151,36 +2157,42 @@ object TextQueries {
       def estOf(sOcc: Column, nOcc: Column): Column =
         lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55)) /
           (sOcc + (lit(64L) - nOcc) * lit(36028797018963968L)).cast("double")
-      val perSrc = regs.groupBy("source")
+      // Per-source sketch registers AND exact distinct counts off the same
+      // persisted scans — one tiny frame, broadcast into the assembly.
+      val srcStats = regs.groupBy("source")
         .agg(sum(term).as("s_occ"), count(lit(1)).as("n_occ"))
-      val srcs = vocab.select("source").distinct()
-      val pairs = srcs.select(col("source").as("sa"))
-        .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
-      val pairRegs = regs.join(pairs, col("source") === col("sa"))
-        .unionByName(regs.join(pairs, col("source") === col("sb")))
-        .select("sa", "sb", "bucket", "reg")
-      val unionEst = pairRegs
+        .join(vocab.groupBy("source").agg(count(lit(1)).as("n_exact")),
+          "source")
+      // Pair fan-out: each register row pairs with every OTHER source via
+      // one broadcast join; (least, greatest) canonicalizes the pair key,
+      // so rows from both members land under the same (sa, sb).
+      val others = regs.select("source").distinct()
+        .withColumnRenamed("source", "other")
+      val unionEst = regs
+        .join(broadcast(others), col("source") =!= col("other"))
+        .select(least(col("source"), col("other")).as("sa"),
+          greatest(col("source"), col("other")).as("sb"),
+          col("bucket"), col("reg"))
         .groupBy("sa", "sb", "bucket").agg(max("reg").as("reg"))
         .groupBy("sa", "sb")
         .agg(sum(term).as("s_u"), count(lit(1)).as("n_u"))
-      val exactUnion = vocab.join(pairs, col("source") === col("sa"))
-        .unionByName(vocab.join(pairs, col("source") === col("sb")))
-        .select("sa", "sb", "tok").distinct()
-        .groupBy("sa", "sb").agg(count(lit(1)).as("exact_union"))
       val exactInter = vocab.as("x")
         .join(vocab.as("y"),
           col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
         .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
         .agg(count(lit(1)).as("n_inter"))
-      val pa = perSrc.select(col("source").as("sa"),
-        col("s_occ").as("s_a"), col("n_occ").as("n_a"))
-      val pb = perSrc.select(col("source").as("sb"),
-        col("s_occ").as("s_b"), col("n_occ").as("n_b"))
-      exactUnion
-        .join(exactInter, Seq("sa", "sb"), "left")
-        .join(pa, "sa").join(pb, "sb")
-        .join(unionEst, Seq("sa", "sb"))
-        .select(col("sa"), col("sb"), col("exact_union"),
+      val pa = srcStats.select(col("source").as("sa"),
+        col("s_occ").as("s_a"), col("n_occ").as("n_a"),
+        col("n_exact").as("x_a"))
+      val pb = srcStats.select(col("source").as("sb"),
+        col("s_occ").as("s_b"), col("n_occ").as("n_b"),
+        col("n_exact").as("x_b"))
+      unionEst
+        .join(broadcast(exactInter), Seq("sa", "sb"), "left")
+        .join(broadcast(pa), "sa").join(broadcast(pb), "sb")
+        .select(col("sa"), col("sb"),
+          (col("x_a") + col("x_b") - coalesce(col("n_inter"), lit(0L)))
+            .as("exact_union"),
           coalesce(col("n_inter"), lit(0L)).as("exact_inter"),
           round(estOf(col("s_u"), col("n_u")), 4).as("hll_union"),
           round(estOf(col("s_a"), col("n_a")) + estOf(col("s_b"), col("n_b"))
