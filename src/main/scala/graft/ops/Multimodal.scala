@@ -304,9 +304,13 @@ object Multimodal {
     * chords (component bands chosen deterministically per group), each with
     * `perGroup` member clips differing only by per-member gain and phase
     * jitter (the re-encode/volume-normalization analog). Members of a group
-    * share their spectral support exactly; different groups overlap in ~1
-    * band by construction, so fingerprint Hamming distance is 0 within a
-    * group and ≫ the verify threshold across groups.
+    * share their spectral support exactly; band sets are assigned by a
+    * quadratic probe (first 8 distinct of (3g + j²) mod 62) whose pairwise
+    * overlap is ≤ 2 bands for every group pair up to 24 groups — so
+    * fingerprint Hamming distance is 0 within a group and ≥ 12 across
+    * groups, 4× the m6 verify threshold (a plain linear stride cannot do
+    * this: 24 groups × 8 bands in 62 slots forces ≥ 6-band overlaps at
+    * some group gap, leaving a 1-bit margin).
     */
   def syntheticAudioVariants(spark: SparkSession, groups: Int, perGroup: Int,
       sampleRate: Int = 4000, seconds: Int = 1): Dataset[MediaRow] = {
@@ -317,9 +321,19 @@ object Multimodal {
       val samples = sampleRate * seconds
       val nyquist = sampleRate / 2.0
       val bandHz = nyquist / 64.0
-      // 8 component tones at band CENTERS selected per group; stride 7/11
-      // keeps cross-group overlap ~1 band.
-      val freqs = Array.tabulate(8)(k => ((g * 7 + k * 11) % 62 + 1) * bandHz + bandHz / 2)
+      // 8 component tones at band CENTERS: quadratic-probe band sets with
+      // pairwise overlap <= 2 for any two of up to 24 groups (see doc).
+      val bandIdx = {
+        val s = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var j = 0
+        while (s.length < 8) {
+          val v = (3 * g + j * j) % 62 + 1
+          if (!s.contains(v)) s += v
+          j += 1
+        }
+        s.toArray
+      }
+      val freqs = bandIdx.map(b => b * bandHz + bandHz / 2)
       val amp = 0.1 * (1.0 + 0.02 * m)
       val phase = 0.05 * m
       val payload = new Array[Byte](samples * 2)

@@ -1388,7 +1388,12 @@ object RelationalQueries {
   val q38 = Q(
     "q38_gapfill_resample",
     (s, dir) => {
-      val day = expr("ts div 86400000000000").as("epoch_day")
+      // Floor division in exact long arithmetic (pmod keeps the remainder
+      // non-negative, so the subtraction lands on the grid multiple at or
+      // below ts): matches DuckDB's `//` floor semantics for pre-1970
+      // timestamps too, where `div` (truncate toward zero) would diverge.
+      val day = expr(
+        "(ts - pmod(ts, 86400000000000)) div 86400000000000").as("epoch_day")
       val daily = Tables.events(s, dir)
         .select(col("user_id"), day, col("value"))
         .groupBy("user_id", "epoch_day")

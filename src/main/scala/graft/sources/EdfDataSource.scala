@@ -121,7 +121,11 @@ private class EdfWriteBuilder(targetDir: String, schema: StructType,
   }
 }
 
-private case class EdfWriteCommit(files: Seq[String]) extends WriterCommitMessage
+/** Per-task commit message: (attempt-private temp path, final basename)
+  * pairs. Files reach their final names only in [[EdfBatchWrite.commit]].
+  */
+private case class EdfWriteCommit(files: Seq[(String, String)])
+    extends WriterCommitMessage
 
 private class EdfBatchWrite(targetDir: String, schema: StructType,
     conf: SerializableConfiguration, physMin: Double, physMax: Double,
@@ -132,17 +136,43 @@ private class EdfBatchWrite(targetDir: String, schema: StructType,
     EdfWriterFactory(targetDir, schema, conf, physMin, physMax,
       recordDurationSec)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Two-phase commit: tasks stream into attempt-unique dirs under
+    * `_temporary/` (so a retried or speculative attempt can never clobber
+    * a committed file — its abort deletes only attempt-private paths);
+    * the driver promotes temp files to final names here, AFTER Spark's
+    * commit coordination has picked exactly one winning attempt per
+    * partition. Duplicate final basenames (distinct input `path` values
+    * sharing a basename, possibly from different tasks) fail loudly
+    * before anything is promoted.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(conf.value)
+    val pairs = messages.collect { case EdfWriteCommit(fs0) => fs0 }.flatten
+    val dups = pairs.groupBy(_._2).filter(_._2.length > 1).keys.toSeq.sorted
+    if (dups.nonEmpty) throw new IllegalStateException(
+      s"edf write: duplicate output basenames ${dups.mkString(", ")} — " +
+        "distinct input `path` values share a basename; they would " +
+        "silently clobber each other")
+    fs.mkdirs(target)
+    pairs.foreach { case (tmp, name) =>
+      val dst = new Path(target, name)
+      fs.delete(dst, false) // overwrite semantics, matching mode("append") on re-runs
+      if (!fs.rename(new Path(tmp), dst))
+        throw new java.io.IOException(s"edf write: rename $tmp -> $dst failed")
+    }
+    fs.delete(new Path(target, EdfBatchWrite.TempDirName), true)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // Best-effort cleanup of files committed by finished tasks.
+    // No task output ever reached a final name; drop the staging tree.
     val fs = new Path(targetDir).getFileSystem(conf.value)
-    messages.collect { case EdfWriteCommit(files) => files }.flatten
-      .foreach(f => try fs.delete(new Path(f), false) catch {
-        case _: Throwable => ()
-      })
+    try fs.delete(new Path(targetDir, EdfBatchWrite.TempDirName), true)
+    catch { case _: Throwable => () }
   }
 }
+
+private object EdfBatchWrite { val TempDirName = "_temporary" }
 
 /** Serializable executor-side factory — a case class (not an anonymous
   * class) so the ONLY state shipped is these fields, never an outer
@@ -153,24 +183,29 @@ private case class EdfWriterFactory(targetDir: String, schema: StructType,
     recordDurationSec: Double) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new EdfDataWriter(targetDir, schema, conf, physMin, physMax,
-      recordDurationSec)
+    new EdfDataWriter(targetDir,
+      s"${EdfBatchWrite.TempDirName}/task-$partitionId-$taskId",
+      schema, conf, physMin, physMax, recordDurationSec)
 }
 
 /** Streaming single-pass assembler: rows arrive sorted (path, channel,
   * chunk_idx) by the declared ordering; channel boundaries concatenate
-  * chunk arrays, path boundaries serialize and emit one EDF file.
+  * chunk arrays, path boundaries serialize and emit one EDF file — into
+  * this attempt's private staging dir, promoted to final names only by
+  * the driver-side [[EdfBatchWrite.commit]].
   */
-private class EdfDataWriter(targetDir: String, schema: StructType,
-    conf: SerializableConfiguration, physMin: Double, physMax: Double,
-    recordDurationSec: Double) extends DataWriter[InternalRow] {
+private class EdfDataWriter(targetDir: String, attemptDir: String,
+    schema: StructType, conf: SerializableConfiguration, physMin: Double,
+    physMax: Double, recordDurationSec: Double)
+    extends DataWriter[InternalRow] {
 
   private val iPath = schema.fieldIndex("path")
   private val iChannel = schema.fieldIndex("channel")
   private val iSfreq = schema.fieldIndex("sfreq")
   private val iSamples = schema.fieldIndex("samples")
 
-  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val written =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
   private var curPath: String = _
   private var curSfreq: Double = 0.0
   private var channels =
@@ -202,11 +237,11 @@ private class EdfDataWriter(targetDir: String, schema: StructType,
       val bytes = Edf.write(
         channels.toSeq.map { case (l, b) => l -> b.toArray },
         curSfreq, Nil, recordDurationSec, physMin, physMax)
-      val out = new Path(targetDir, name)
+      val out = new Path(new Path(targetDir, attemptDir), name)
       val fs = out.getFileSystem(conf.value)
       val os = fs.create(out, true)
       try os.write(bytes) finally os.close()
-      written += out.toString
+      written += (out.toString -> name)
     }
     channels = scala.collection.mutable.LinkedHashMap.empty
   }
@@ -217,10 +252,10 @@ private class EdfDataWriter(targetDir: String, schema: StructType,
   }
 
   override def abort(): Unit = {
+    // Attempt-private staging dir only — committed output is untouchable.
     val fs = new Path(targetDir).getFileSystem(conf.value)
-    written.foreach(f => try fs.delete(new Path(f), false) catch {
-      case _: Throwable => ()
-    })
+    try fs.delete(new Path(targetDir, attemptDir), true)
+    catch { case _: Throwable => () }
   }
 
   override def close(): Unit = ()

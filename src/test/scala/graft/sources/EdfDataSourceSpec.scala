@@ -74,6 +74,15 @@ class EdfDataSourceSpec extends SparkSpec {
     }
   }
 
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  private def listOut(out: String): Seq[String] = {
+    val d = new java.io.File(out)
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.map(_.getName)
+  }
+
   test("edf write rejects mixed sampling rates within one file") {
     val out = tmpDir("edfsink_mixed")
     val src = spark.read.format("edf").load(dir)
@@ -82,9 +91,53 @@ class EdfDataSourceSpec extends SparkSpec {
     val e = intercept[Exception] {
       src.write.format("edf").mode("append").save(out)
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("mixed sampling rates")), e.toString)
+  }
+
+  test("aborted write leaves no partial files and no staging dir") {
+    val out = tmpDir("edfsink_abort")
+    // One good file's rows then a mid-stream failure: rec0 may already be
+    // flushed to staging by the time rec1's mixed rate kills the task —
+    // abort must remove staged output too, not just the in-flight file.
+    val src = spark.read.format("edf").load(dir)
+      .withColumn("sfreq",
+        when(col("path").contains("rec1") && col("channel") === "EEG Fpz-Cz",
+          lit(50.0)).otherwise(col("sfreq")))
+    val e = intercept[Exception] {
+      src.write.format("edf").mode("append").save(out)
+    }
+    assert(msgs(e).exists(_.contains("mixed sampling rates")), e.toString)
+    assert(listOut(out).forall(n => !n.endsWith(".edf")),
+      s"partial .edf files survived abort: ${listOut(out)}")
+    assert(!listOut(out).contains("_temporary"),
+      s"staging dir survived abort: ${listOut(out)}")
+  }
+
+  test("successful write leaves no staging dir behind") {
+    val out = tmpDir("edfsink_clean")
+    spark.read.format("edf").load(dir)
+      .write.format("edf").mode("append").save(out)
+    val names = listOut(out)
+    assert(names.count(_.endsWith(".edf")) == 2, names.toString)
+    assert(!names.contains("_temporary"), names.toString)
+  }
+
+  test("duplicate output basenames fail loudly and commit nothing") {
+    val out = tmpDir("edfsink_dup")
+    // Distinct full paths, same basename: dir1/rec0.edf and dir2/rec0.edf
+    // would map to the same final file — commit must refuse.
+    val src = spark.read.format("edf").load(dir)
+      .filter(col("path").contains("rec0"))
+    val dup = src.withColumn("path",
+        concat(lit("dir1/"), element_at(split(col("path"), "/"), -1)))
+      .unionByName(src.withColumn("path",
+        concat(lit("dir2/"), element_at(split(col("path"), "/"), -1))))
+    val e = intercept[Exception] {
+      dup.write.format("edf").mode("append").save(out)
+    }
+    assert(msgs(e).exists(_.contains("duplicate output basenames")), e.toString)
+    assert(listOut(out).forall(n => !n.endsWith(".edf")),
+      s"files committed despite duplicate basenames: ${listOut(out)}")
   }
 
   test("chunk time offsets advance by chunk length") {
