@@ -66,6 +66,15 @@ object Dedup {
     cappedPairJoin(banded, maxBucketSize)
   }
 
+  /** Public face of [[cappedPairJoin]] for callers that build their own
+    * `(doc_id, band, bucket)` banding — e.g. the per-frame video banding
+    * (m7), where the band key composes (frame index, hash chunk). Same
+    * star-cap skew guard as every other band join.
+    */
+  def bandedCandidatePairs(banded: DataFrame,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    cappedPairJoin(banded, maxBucketSize)
+
   /** Distinct (d1, d2) pairs from a (doc_id, band, bucket) table with the
     * star-expansion skew guard — shared by the MinHash band join and the
     * SimHash chunk join. One shuffle on (band, bucket) computes both bucket

@@ -202,24 +202,55 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       rows.map { m =>
-        val px = FakeCodec.resize(Codec.decode(m.payload, m.width, m.height), 8, 8)
-        var sum = 0L
-        px.foreach(_.foreach(sum += _))
-        val mean = sum / 64
-        var h = 0L
-        var bit = 0
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (px(r)(c) > mean) h |= (1L << bit)
-            bit += 1; c += 1
-          }
-          r += 1
-        }
-        (m.media_id, h)
+        (m.media_id,
+          ahash64(Codec.decode(m.payload, m.width, m.height)))
       }
     }.toDF("media_id", "ahash")
+  }
+
+  /** The 8×8 average-hash kernel shared by [[imageHashes]] and
+    * [[videoFrameHashes]]: shrink to 8×8 (nearest-neighbor), threshold each
+    * cell against the integer mean; bit i is cell (i/8, i%8). All-integer,
+    * bit-deterministic across engines and runs.
+    */
+  def ahash64(px: Array[Array[Int]]): Long = {
+    val small = FakeCodec.resize(px, 8, 8)
+    var sum = 0L
+    small.foreach(_.foreach(sum += _))
+    val mean = sum / 64
+    var h = 0L
+    var bit = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (small(r)(c) > mean) h |= (1L << bit)
+        bit += 1; c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Per-sampled-frame perceptual hash for video rows — m3's frame slicing
+    * chained into m5's average-hash: every `stride`-th frame of each video
+    * becomes `(media_id, frame_idx, fhash)`, 12 bytes/frame regardless of
+    * frame size. One typed mapPartitions pass; payload bytes never leave
+    * the executor — the clip-level near-dup downstream (m7) only ever
+    * shuffles these hash rows.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { m =>
+        val frameBytes = m.width * m.height
+        (0 until m.n_frames by stride).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(m.payload, f * frameBytes,
+            math.min((f + 1) * frameBytes, m.payload.length))
+          (m.media_id, f, ahash64(FakeCodec.decode(frame, m.width, m.height)))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fhash")
   }
 
   /** Synthetic image corpus with PLANTED near-duplicates: each group of 3
@@ -260,6 +291,49 @@ object Multimodal {
         case _ => raster(g + 1000000L)
       }
       MediaRow(i, "image", payload, width, height, 0, 1)
+    }
+  }
+
+  /** Video corpus with PLANTED near-duplicate groups — the video analog of
+    * [[syntheticImages]]: `groups` base clips of `frames` pseudo-random
+    * raster frames (splitmix64 per (group, frame, pixel) — iid-quality
+    * bytes, so unrelated clips land ~32 bits apart per frame in ahash
+    * space), each with `perGroup` members. Member 0 is the base; members
+    * 1+ perturb five pixels PER FRAME at member-dependent positions (the
+    * re-encode/transcode analog — small, frame-local damage). Within a
+    * group, per-frame ahashes differ by at most a few bits; across groups
+    * they are unrelated, so clip-level mean Hamming separates cleanly.
+    */
+  def syntheticVideoVariants(spark: SparkSession, groups: Int, perGroup: Int,
+      width: Int = 32, height: Int = 32, frames: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    val frameBytes = width * height
+    spark.range(groups.toLong * perGroup).map { i =>
+      val g = i / perGroup
+      val m = (i % perGroup).toInt
+      def mix(x0: Long): Long = {
+        var z = x0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val payload = Array.tabulate(frameBytes * frames) { j =>
+        (mix(g * 16777216L + j) & 0xff).toByte
+      }
+      if (m > 0) {
+        var f = 0
+        while (f < frames) {
+          var k = 0
+          while (k < 5) {
+            val idx = f * frameBytes +
+              ((g * 37 + f * 101 + m * 389 + k * 211) % frameBytes).toInt
+            payload(idx) = (payload(idx) + 96).toByte
+            k += 1
+          }
+          f += 1
+        }
+      }
+      MediaRow(i, "video", payload, width, height, 0, frames)
     }
   }
 

@@ -733,6 +733,75 @@ object OpsQueries {
          |order by d1, d2""".stripMargin),
     "multimodal: spectral-fingerprint audio near-dup (decode → Welch bands → banded candidates → hash-verified Hamming)")
 
+  /** Video near-dup via per-frame perceptual hashes — completes the
+    * image (m5) / audio (m6) / video modality symmetry: m3's frame slicing
+    * chained into m5's average-hash gives `(media_id, frame_idx, fhash)`;
+    * candidates come from per-frame chunk banding (band key = frame index ×
+    * hash chunk, through the same star-capped band join as d2/m5/m6 —
+    * clips colliding on ANY frame's chunk become a pair); the verify is
+    * CLIP-level: frame-aligned mean Hamming over the sampled frames, so a
+    * transcode that damages every frame a little still matches while two
+    * clips sharing one coincidental frame chunk do not. The synthetic
+    * corpus plants 24 groups of 5 per-frame-perturbed copies
+    * ([[Multimodal.syntheticVideoVariants]]), so expected pairs are known.
+    * Frame hashes and candidates are staged; the oracle recomputes the
+    * frame-aligned join, `bit_count(xor)` average, and threshold
+    * independently. At 100 TB: one decode pass (payloads never leave
+    * executors), then every shuffle moves 12-byte hash rows — frames per
+    * clip × 12 bytes, never pixels — the m5/m6 contract extended along the
+    * time axis.
+    */
+  val videoNearDup = Q(
+    "m7_video_neardup",
+    (s, dir) => {
+      val fh = Multimodal.videoFrameHashes(
+          Multimodal.syntheticVideoVariants(s, groups = 24, perGroup = 5),
+          stride = 2)
+        .persist()
+      val stagedFh = Stage.through(fh, dir, "m7_frame_hashes")
+      val banded = fh
+        .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .select(col("doc_id"),
+          (col("frame_idx") * 4 + col("chunk")).as("band"),
+          expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
+      val stagedPairs = Stage.through(
+        Dedup.bandedCandidatePairs(banded), dir, "m7_pairs")
+      fh.unpersist(blocking = false)
+      val f1 = stagedFh.select(col("media_id").as("d1"), col("frame_idx"),
+        col("fhash").as("h1"))
+      val f2 = stagedFh.select(col("media_id").as("d2"), col("frame_idx"),
+        col("fhash").as("h2"))
+      stagedPairs
+        .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_frames_aligned"),
+          graft.Norm.rz(avg(bit_count(col("h1").bitwiseXOR(col("h2")))), 4)
+            .as("avg_hamming"))
+        .filter(col("avg_hamming") <= 6.0)
+        .orderBy("d1", "d2")
+    },
+    Some(
+      s"""with fh as (
+         |  select media_id, frame_idx, fhash
+         |  from ${Stage.sqlPath("m7_frame_hashes")}
+         |), cand as (
+         |  select d1, d2 from ${Stage.sqlPath("m7_pairs")}
+         |), j as (
+         |  select c.d1, c.d2, a.frame_idx,
+         |    bit_count(xor(a.fhash, b.fhash)) as hd
+         |  from cand c
+         |  join fh a on a.media_id = c.d1
+         |  join fh b on b.media_id = c.d2 and b.frame_idx = a.frame_idx
+         |)
+         |select d1, d2, count(*) as n_frames_aligned,
+         |  round(avg(hd), 4) + 0.0 as avg_hamming
+         |from j
+         |group by d1, d2
+         |having round(avg(hd), 4) <= 6.0
+         |order by d1, d2""".stripMargin),
+    "multimodal: clip-level video near-dup (frame slicing → per-frame ahash → frame-banded candidates → hash-verified mean Hamming)")
+
   /** Semantic dedup scoring (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into IVF cells, then for every
     * vector find its nearest neighbor WITHIN its cell and flag it a
@@ -1627,6 +1696,6 @@ object OpsQueries {
     Seq(ingest, lshNearDup, simhashNearDup, dedupClusters, canonicalDocs,
       bloomIncremental, embNearDupExact, lshAnn, ivfAnn, pqAnn, ivfPqAnn,
       annRecall, annRecallMulti, mediaStats, imageFeatures, frameSample,
-      audioFeatures, imageNearDup, audioNearDup, semanticDedup, dedupEval,
-      minhashAccuracy, bloomFpr)
+      audioFeatures, imageNearDup, audioNearDup, videoNearDup, semanticDedup,
+      dedupEval, minhashAccuracy, bloomFpr)
 }

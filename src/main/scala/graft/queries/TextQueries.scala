@@ -2586,9 +2586,120 @@ object TextQueries {
     order by query_id, rank"""),
     "BM25 ranked retrieval: panel-term postings only, top-5 docs per query")
 
+  /** URL canonicalization + per-domain document caps — RefinedWeb §3.1's
+    * pre-dedup step (Penedo et al. 2023): normalize URLs (lowercase host,
+    * strip `www.` and query-tracking params — the utm_*, ref, fbclid family)
+    * so syntactic variants of one page collapse, then cap each domain's
+    * document count so no single site dominates the training mixture. The
+    * corpus has no URL column, so URLs are injected deterministically from
+    * `doc_id` (both engines build identical strings — mixed-case hosts,
+    * www. prefixes, tracking params, a sqrt-skewed domain distribution so
+    * some domains exceed the cap and some don't); the cross-engine check
+    * exercises the CANONICALIZATION, which Spark does with native
+    * `parse_url` + regexp/HOF expressions and DuckDB independently with
+    * its own regexp/list functions. The cap is a rank-filter (row_number
+    * per domain by doc_id — deterministic), NEVER a collect: one window
+    * shuffle on the domain key, one per-domain rollup reusing that
+    * partitioning, corpus share from a whole-output window over ≤40 rollup
+    * rows. At 100 TB this is exactly one wide shuffle of (domain, doc)
+    * pairs — the same profile the RefinedWeb pipeline reports.
+    */
+  val t47 = Q(
+    "t47_domain_caps",
+    (s, dir) => {
+      val id = col("doc_id")
+      val domIdx = floor(sqrt((id % 1600).cast("double"))).cast("int")
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (domIdx % 3) + 1)
+      val hostRaw = concat(lit("site"), domIdx.cast("string"),
+        lit(".example."), tld)
+      val url = concat(
+        when(id % 2 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+        when(id % 5 === 0, lit("www.")).otherwise(lit("")),
+        when(id % 7 === 0, upper(hostRaw)).otherwise(hostRaw),
+        lit("/p/"), (id % 13).cast("string"),
+        when(id % 3 === 0,
+          concat(lit("?utm_source=feed&id="), (id % 11).cast("string"),
+            lit("&utm_campaign=c&ref=x")))
+          .when(id % 3 === 1, concat(lit("?id="), (id % 11).cast("string")))
+          .otherwise(lit("")))
+      val withUrl = Tables.documents(s, dir).select(id, url.as("url"))
+      val domain = regexp_replace(
+        lower(expr("parse_url(url, 'HOST')")), "^www\\.", "")
+      val keptQ = array_join(
+        filter(split(coalesce(expr("parse_url(url, 'QUERY')"), lit("")), "&"),
+          p => p =!= "" && !p.rlike("^(utm_[a-z]+|ref|fbclid)=")), "&")
+      val canon = concat(domain, expr("parse_url(url, 'PATH')"),
+        when(length(keptQ) > 0, concat(lit("?"), keptQ)).otherwise(lit("")))
+      val ranked = withUrl
+        .select(id, domain.as("domain"), canon.as("canonical_url"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("domain").orderBy("doc_id")))
+      ranked.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= 50, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("rk") <= 50, col("canonical_url"))).as("first_url"))
+        .select(col("domain"), col("n_docs"), col("n_kept"),
+          (col("n_docs") > col("n_kept")).as("capped"),
+          graft.Norm.rz(
+            col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6)
+            .as("corpus_share"),
+          col("first_url"))
+        .orderBy("domain")
+    },
+    Some("""with base as (
+      select doc_id, cast(floor(sqrt(doc_id % 1600)) as int) as k
+      from documents
+    ), urls as (
+      select doc_id,
+        (case when doc_id % 2 = 0 then 'https' else 'http' end) || '://' ||
+        (case when doc_id % 5 = 0 then 'www.' else '' end) ||
+        (case when doc_id % 7 = 0 then upper(h) else h end) ||
+        '/p/' || (doc_id % 13)::varchar ||
+        (case when doc_id % 3 = 0
+           then '?utm_source=feed&id=' || (doc_id % 11)::varchar
+                || '&utm_campaign=c&ref=x'
+          when doc_id % 3 = 1 then '?id=' || (doc_id % 11)::varchar
+          else '' end) as url
+      from (
+        select doc_id,
+          'site' || k::varchar || '.example.' ||
+            (case k % 3 when 0 then 'com' when 1 then 'org' else 'net' end)
+            as h
+        from base)
+    ), canon as (
+      select doc_id,
+        regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+          '^www\.', '') as domain,
+        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) as path,
+        array_to_string(list_filter(string_split(
+            case when contains(url, '?')
+              then regexp_extract(url, '\?(.*)$', 1) else '' end, '&'),
+          x -> x <> '' and not regexp_matches(x,
+            '^(utm_[a-z]+|ref|fbclid)=')), '&') as keptq
+      from urls
+    ), ranked as (
+      select doc_id, domain,
+        domain || path ||
+          case when keptq <> '' then '?' || keptq else '' end
+          as canonical_url,
+        row_number() over (partition by domain order by doc_id) as rk
+      from canon
+    )
+    select domain,
+      cast(count(*) as bigint) as n_docs,
+      cast(sum(case when rk <= 50 then 1 else 0 end) as bigint) as n_kept,
+      count(*) > sum(case when rk <= 50 then 1 else 0 end) as capped,
+      round(count(*) / (sum(count(*)) over ()), 6) + 0.0 as corpus_share,
+      min(case when rk <= 50 then canonical_url end) as first_url
+    from ranked
+    group by domain
+    order by domain"""),
+    "URL canonicalization + per-domain caps: parse_url normalize, tracking-param strip, rank-filter cap, share stats")
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
       t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
-      t44, t45, t46)
+      t44, t45, t46, t47)
 }

@@ -228,6 +228,29 @@ class PlanSpec extends SparkSpec {
       s"t46 allows only the 1-row stats broadcast NLJ, got $f")
   }
 
+  test("domain caps rank-filter in the plan — one domain shuffle, no joins") {
+    // t47's cap must be a row_number window on the domain key feeding the
+    // rollup — never a per-domain collect or a self-join. Plan contract:
+    // a Window node present, zero joins of any kind, and ≤3 exchanges
+    // (domain hash for the window+rollup, the ≤40-row share window's
+    // single partition, the output sort).
+    val q = Registry.byName("t47_domain_caps").run(spark, Sf)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), "t47 must cap via a window rank-filter")
+    val f = fp("t47_domain_caps")
+    assert(f.bhj + f.smj + f.bnlj + f.cartesian == 0,
+      s"t47 must plan no joins at all, got $f")
+    assert(f.exchanges <= 3, s"t47 wants ≤3 exchanges, got $f")
+  }
+
+  test("video near-dup joins hashes only — no products, broadcast verify") {
+    // m7's verify joins move 12-byte frame-hash rows; the staged pair and
+    // hash tables are small enough to broadcast at any sf, and nothing may
+    // plan a product (a cartesian here would be pixels × pixels at scale).
+    val f = fp("m7_video_neardup")
+    assert(f.cartesian == 0 && f.bnlj == 0, s"m7 plans a product: $f")
+  }
+
   test("gap-fill touches the raw corpus in exactly one aggregate shuffle") {
     // q38: events shuffle ONCE to the (user, day) grain; the span/grid/
     // fill chain then works at output grain (grid join + fill window +

@@ -284,6 +284,41 @@ class MultimodalSpec extends SparkSpec {
     assert(stats == Map("image" -> 6L, "video" -> 3L))
   }
 
+  test("video frame-hash near-dup links exactly the planted clip groups") {
+    import org.apache.spark.sql.functions._
+    // 6 groups × 4 members: per-frame perturbed copies must pair up at
+    // clip level (frame-aligned mean Hamming <= 6) and unrelated clips
+    // must not — even if a coincidental 16-bit frame chunk collides, the
+    // clip-level verify rejects it.
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.syntheticVideoVariants(spark, groups = 6, perGroup = 4),
+      stride = 2)
+    val banded = fh
+      .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .select(col("doc_id"),
+        (col("frame_idx") * 4 + col("chunk")).as("band"),
+        expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
+    val f1 = fh.select(col("media_id").as("d1"), col("frame_idx"),
+      col("fhash").as("h1"))
+    val f2 = fh.select(col("media_id").as("d2"), col("frame_idx"),
+      col("fhash").as("h2"))
+    val pairs = Dedup.bandedCandidatePairs(banded)
+      .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
+      .groupBy("d1", "d2")
+      .agg(avg(bit_count(col("h1").bitwiseXOR(col("h2")))).as("avg_hamming"))
+      .filter(col("avg_hamming") <= 6.0)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      g <- 0 until 6
+      a <- 0 until 4
+      b <- a + 1 until 4
+    } yield (g * 4L + a, g * 4L + b)).toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
+  }
+
   test("perceptual-hash near-dup finds exactly the planted image pairs") {
     import org.apache.spark.sql.functions.col
     val sigs = Multimodal.imageHashes(Multimodal.syntheticImages(spark, 90))
