@@ -268,6 +268,34 @@ object ScaleCheck {
           .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
           .count()
       })
+      // Domain caps (the t47 kernel): URL synthesis + parse_url
+      // canonicalization are per-row codegen'd projection; the only
+      // corpus-sized shuffle is the domain-keyed rank window. Kept count
+      // saturates at 50 × |domains| (constant in R once every domain
+      // fills its cap) while wall-clock must track the linear scan +
+      // one keyed shuffle.
+      val (tDom, nDomKept) = leg("domain_caps")(time {
+        val id = col("doc_id")
+        val domIdx = floor(sqrt((id % 1600).cast("double"))).cast("int")
+        val hostRaw = concat(lit("site"), domIdx.cast("string"),
+          lit(".example.com"))
+        val url = concat(
+          when(id % 2 === 0, lit("https")).otherwise(lit("http")),
+          lit("://"),
+          when(id % 5 === 0, lit("www.")).otherwise(lit("")),
+          when(id % 7 === 0, upper(hostRaw)).otherwise(hostRaw),
+          lit("/p/"), (id % 13).cast("string"),
+          when(id % 3 === 0, lit("?utm_source=feed&ref=x")).otherwise(lit("")))
+        val domain = regexp_replace(
+          lower(expr("parse_url(url, 'HOST')")), "^www\\.", "")
+        docs.select(id, url.as("url"))
+          .select(id, domain.as("domain"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("domain").orderBy("doc_id")))
+          .filter(col("rk") <= 50)
+          .count()
+      })
       docs.unpersist(blocking = true)
       System.gc()
 
@@ -311,6 +339,37 @@ object ScaleCheck {
           packed.filter(col("vec_id") < 20), "vec_id", 5).count()
       })
       emb.unpersist(blocking = true)
+
+      // Video near-dup (the m7 kernel): corpus scales by GROUP count (24R
+      // planted groups × 5 members), so true pairs grow exactly 240R while
+      // spurious 16-bit chunk collisions stay birthday-bounded. Synthesis +
+      // frame hashing is per-row executor work (linear); the band join and
+      // the frame-aligned verify only ever move 12-byte hash rows.
+      val (tVid, nVidPairs) = leg("video_fp")(time {
+        val fh = graft.ops.Multimodal.videoFrameHashes(
+            graft.ops.Multimodal.syntheticVideoVariants(
+              spark, groups = 24 * r, perGroup = 5),
+            stride = 2)
+          .persist()
+        val banded = fh
+          .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
+            explode(sequence(lit(0), lit(3))).as("chunk"))
+          .select(col("doc_id"),
+            (col("frame_idx") * 4 + col("chunk")).as("band"),
+            expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
+        val f1 = fh.select(col("media_id").as("d1"), col("frame_idx"),
+          col("fhash").as("h1"))
+        val f2 = fh.select(col("media_id").as("d2"), col("frame_idx"),
+          col("fhash").as("h2"))
+        val n = Dedup.bandedCandidatePairs(banded)
+          .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
+          .groupBy("d1", "d2")
+          .agg(avg(bit_count(col("h1").bitwiseXOR(col("h2")))).as("ah"))
+          .filter(col("ah") <= 6.0)
+          .count()
+        fh.unpersist(blocking = true)
+        n
+      })
 
       // Graph scaling: offset BOTH orderkey and partkey per replica, so the
       // replicated lineitem forms R disjoint copies of the same co-purchase
@@ -376,6 +435,8 @@ object ScaleCheck {
         f""""hll_s":$tHll%.2f,"hll_regs":$nRegs,""" +
         f""""line_dedup_s":$tLine%.2f,"kept_lines":$nKept,""" +
         f""""bm25_s":$tBm%.2f,"bm25_docs":$nScored,""" +
+        f""""domain_caps_s":$tDom%.2f,"dom_kept":$nDomKept,""" +
+        f""""video_fp_s":$tVid%.2f,"vid_pairs":$nVidPairs,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""binary_ann_s":$tBin%.2f,"bin_rows":$nBin,""" +
         f""""quant_topk_s":$tQuant%.2f,"quant_rows":$nQuant,""" +
