@@ -656,8 +656,12 @@ object OpsQueries {
     * exact machinery of d2 (a perceptual hash IS a 64-bit fingerprint to
     * the banded join). The synthetic corpus plants a near-duplicate in
     * every id-triple (five perturbed pixels — a re-encode analog), so the
-    * expected pairs are known; hashes and candidates are staged and the
-    * oracle recomputes `bit_count(xor)` and the threshold independently.
+    * expected pairs are known. ONLY the hashes (decode is not
+    * DuckDB-reproducible) are staged — the d2 contract: chunk banding,
+    * the bucket-size/star-cap skew guard, the candidate self-join AND
+    * the Hamming verify are ALL recomputed independently by the oracle
+    * from the staged 8-byte rows, so a banding bug that misses a planted
+    * pair shows as a row mismatch, not a silently-trusted candidate set.
     * At 100 TB: one decode pass (payloads never leave executors), one
     * bounded band shuffle over 8-byte hashes — the payload bytes are
     * never joined.
@@ -665,22 +669,37 @@ object OpsQueries {
   val imageNearDup = Q(
     "m5_image_neardup",
     (s, dir) => {
-      val sigs = Multimodal.imageHashes(Multimodal.syntheticImages(s, 300))
-        .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
-        .persist()
-      Stage.through(sigs, dir, "m5_hashes")
-      val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
-      val staged = Stage.through(pairs, dir, "m5_pairs")
-      sigs.unpersist(blocking = false)
-      staged
+      val sigs = Stage.through(
+        Multimodal.imageHashes(Multimodal.syntheticImages(s, 300))
+          .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
+        dir, "m5_hashes")
+      Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
         .filter(col("hamming") <= 6)
         .orderBy(col("hamming"), col("d1"), col("d2"))
     },
     Some(
       s"""with sigs as (
          |  select doc_id, simhash from ${Stage.sqlPath("m5_hashes")}
+         |), banded as (
+         |  select s.doc_id, g.band,
+         |    (s.simhash >> (g.band * 16)) & 65535 as bucket
+         |  from sigs s cross join range(4) g(band)
+         |), marked as (
+         |  select doc_id, band, bucket,
+         |    count(*) over (partition by band, bucket) as bsize,
+         |    min(doc_id) over (partition by band, bucket) as bmin
+         |  from banded
          |), cand as (
-         |  select d1, d2 from ${Stage.sqlPath("m5_pairs")}
+         |  select distinct d1, d2 from (
+         |    select a.doc_id as d1, b.doc_id as d2
+         |    from marked a
+         |    join marked b on a.band = b.band and a.bucket = b.bucket
+         |      and a.doc_id < b.doc_id
+         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
+         |    union all
+         |    select bmin, doc_id
+         |    from marked
+         |    where bsize > ${Dedup.DefaultMaxBucketSize} and doc_id <> bmin)
          |)
          |select c.d1, c.d2,
          |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
@@ -689,7 +708,7 @@ object OpsQueries {
          |join sigs b on b.doc_id = c.d2
          |where bit_count(xor(a.simhash, b.simhash)) <= 6
          |order by hamming, d1, d2""".stripMargin),
-    "multimodal: perceptual-hash image near-dup (decode → ahash → banded candidates → hash-verified Hamming)")
+    "multimodal: perceptual-hash image near-dup — staged hashes only; banding + skew cap + Hamming verify all hash-verified")
 
   /** Audio near-dup via spectral fingerprint — completes the modality
     * symmetry (m5 is the image near-dup): PCM decode → Welch PSD → 64-band
@@ -697,32 +716,49 @@ object OpsQueries {
     * verify. The synthetic corpus plants 24 groups of 5 gain/phase-jittered
     * copies of an 8-tone chord ([[Multimodal.syntheticAudioVariants]]), so
     * the expected pairs are known: jitter cancels in the spectrum (Hamming
-    * 0 within a group), distinct chords share ~1 of 8 bands (Hamming ≫ 3
-    * across groups). Fingerprints and candidates are staged; the oracle
-    * recomputes `bit_count(xor)` and the threshold independently. At
-    * 100 TB: one decode pass (payloads never leave executors), one bounded
-    * band shuffle over 8-byte fingerprints — payload bytes are never
-    * joined, the m5 contract.
+    * 0 within a group), distinct chords share ≤2 of 8 bands (Hamming ≥ 12
+    * across groups). ONLY the fingerprints (the Welch decode is not
+    * DuckDB-reproducible) are staged — the d2 contract: chunk banding,
+    * the star-cap skew guard, the candidate self-join AND the Hamming
+    * verify are ALL recomputed independently by the oracle from the
+    * staged 8-byte rows. At 100 TB: one decode pass (payloads never leave
+    * executors), one bounded band shuffle over 8-byte fingerprints —
+    * payload bytes are never joined, the m5 contract.
     */
   val audioNearDup = Q(
     "m6_audio_neardup",
     (s, dir) => {
-      val sigs = Multimodal.audioFingerprints(
-          Multimodal.syntheticAudioVariants(s, groups = 24, perGroup = 5))
-        .persist()
-      Stage.through(sigs, dir, "m6_fps")
-      val pairs = Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
-      val staged = Stage.through(pairs, dir, "m6_pairs")
-      sigs.unpersist(blocking = false)
-      staged
+      val sigs = Stage.through(
+        Multimodal.audioFingerprints(
+          Multimodal.syntheticAudioVariants(s, groups = 24, perGroup = 5)),
+        dir, "m6_fps")
+      Dedup.hammingPairs(Dedup.simhashCandidatePairs(sigs), sigs)
         .filter(col("hamming") <= 3)
         .orderBy(col("d1"), col("d2"))
     },
     Some(
       s"""with sigs as (
          |  select doc_id, simhash from ${Stage.sqlPath("m6_fps")}
+         |), banded as (
+         |  select s.doc_id, g.band,
+         |    (s.simhash >> (g.band * 16)) & 65535 as bucket
+         |  from sigs s cross join range(4) g(band)
+         |), marked as (
+         |  select doc_id, band, bucket,
+         |    count(*) over (partition by band, bucket) as bsize,
+         |    min(doc_id) over (partition by band, bucket) as bmin
+         |  from banded
          |), cand as (
-         |  select d1, d2 from ${Stage.sqlPath("m6_pairs")}
+         |  select distinct d1, d2 from (
+         |    select a.doc_id as d1, b.doc_id as d2
+         |    from marked a
+         |    join marked b on a.band = b.band and a.bucket = b.bucket
+         |      and a.doc_id < b.doc_id
+         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
+         |    union all
+         |    select bmin, doc_id
+         |    from marked
+         |    where bsize > ${Dedup.DefaultMaxBucketSize} and doc_id <> bmin)
          |)
          |select c.d1, c.d2,
          |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
@@ -731,7 +767,7 @@ object OpsQueries {
          |join sigs b on b.doc_id = c.d2
          |where bit_count(xor(a.simhash, b.simhash)) <= 3
          |order by d1, d2""".stripMargin),
-    "multimodal: spectral-fingerprint audio near-dup (decode → Welch bands → banded candidates → hash-verified Hamming)")
+    "multimodal: spectral-fingerprint audio near-dup — staged fingerprints only; banding + skew cap + Hamming verify all hash-verified")
 
   /** Video near-dup via per-frame perceptual hashes — completes the
     * image (m5) / audio (m6) / video modality symmetry: m3's frame slicing
@@ -744,35 +780,34 @@ object OpsQueries {
     * clips sharing one coincidental frame chunk do not. The synthetic
     * corpus plants 24 groups of 5 per-frame-perturbed copies
     * ([[Multimodal.syntheticVideoVariants]]), so expected pairs are known.
-    * Frame hashes and candidates are staged; the oracle recomputes the
-    * frame-aligned join, `bit_count(xor)` average, and threshold
-    * independently. At 100 TB: one decode pass (payloads never leave
-    * executors), then every shuffle moves 12-byte hash rows — frames per
-    * clip × 12 bytes, never pixels — the m5/m6 contract extended along the
-    * time axis.
+    * ONLY the frame hashes (the decode is not DuckDB-reproducible) are
+    * staged — the d2 contract: per-frame banding, the star-cap skew
+    * guard, the candidate self-join AND the frame-aligned mean-Hamming
+    * verify are ALL recomputed independently by the oracle from the
+    * staged 12-byte rows. At 100 TB: one decode pass (payloads never
+    * leave executors), then every shuffle moves hash rows — frames per
+    * clip × 12 bytes, never pixels — the m5/m6 contract extended along
+    * the time axis.
     */
   val videoNearDup = Q(
     "m7_video_neardup",
     (s, dir) => {
-      val fh = Multimodal.videoFrameHashes(
+      val fh = Stage.through(
+        Multimodal.videoFrameHashes(
           Multimodal.syntheticVideoVariants(s, groups = 24, perGroup = 5),
-          stride = 2)
-        .persist()
-      val stagedFh = Stage.through(fh, dir, "m7_frame_hashes")
+          stride = 2),
+        dir, "m7_frame_hashes")
       val banded = fh
         .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
           explode(sequence(lit(0), lit(3))).as("chunk"))
         .select(col("doc_id"),
           (col("frame_idx") * 4 + col("chunk")).as("band"),
           expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
-      val stagedPairs = Stage.through(
-        Dedup.bandedCandidatePairs(banded), dir, "m7_pairs")
-      fh.unpersist(blocking = false)
-      val f1 = stagedFh.select(col("media_id").as("d1"), col("frame_idx"),
+      val f1 = fh.select(col("media_id").as("d1"), col("frame_idx"),
         col("fhash").as("h1"))
-      val f2 = stagedFh.select(col("media_id").as("d2"), col("frame_idx"),
+      val f2 = fh.select(col("media_id").as("d2"), col("frame_idx"),
         col("fhash").as("h2"))
-      stagedPairs
+      Dedup.bandedCandidatePairs(banded)
         .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
         .groupBy("d1", "d2")
         .agg(count(lit(1)).as("n_frames_aligned"),
@@ -785,8 +820,26 @@ object OpsQueries {
       s"""with fh as (
          |  select media_id, frame_idx, fhash
          |  from ${Stage.sqlPath("m7_frame_hashes")}
+         |), banded as (
+         |  select f.media_id, f.frame_idx * 4 + g.c as band,
+         |    (f.fhash >> (g.c * 16)) & 65535 as bucket
+         |  from fh f cross join range(4) g(c)
+         |), marked as (
+         |  select media_id, band, bucket,
+         |    count(*) over (partition by band, bucket) as bsize,
+         |    min(media_id) over (partition by band, bucket) as bmin
+         |  from banded
          |), cand as (
-         |  select d1, d2 from ${Stage.sqlPath("m7_pairs")}
+         |  select distinct d1, d2 from (
+         |    select a.media_id as d1, b.media_id as d2
+         |    from marked a
+         |    join marked b on a.band = b.band and a.bucket = b.bucket
+         |      and a.media_id < b.media_id
+         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
+         |    union all
+         |    select bmin, media_id
+         |    from marked
+         |    where bsize > ${Dedup.DefaultMaxBucketSize} and media_id <> bmin)
          |), j as (
          |  select c.d1, c.d2, a.frame_idx,
          |    bit_count(xor(a.fhash, b.fhash)) as hd
@@ -800,7 +853,7 @@ object OpsQueries {
          |group by d1, d2
          |having round(avg(hd), 4) <= 6.0
          |order by d1, d2""".stripMargin),
-    "multimodal: clip-level video near-dup (frame slicing → per-frame ahash → frame-banded candidates → hash-verified mean Hamming)")
+    "multimodal: clip-level video near-dup — staged frame hashes only; banding + skew cap + mean-Hamming verify all hash-verified")
 
   /** Semantic dedup scoring (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into IVF cells, then for every
