@@ -34,7 +34,8 @@ class InvarianceSpec extends SparkSpec {
     "q33_pagerank", "e15_pca_power", "e13_mmr_rerank", "t38_kneser_ney",
     "t28_ccnet_buckets", "t42_hll_union", "d6_semantic_dedup",
     "q22_salted_skew_agg", "q34_salted_join", "t18_training_pipeline",
-    "m6_audio_neardup", "m7_video_neardup", "t47_domain_caps")
+    "m5_image_neardup", "m6_audio_neardup", "m7_video_neardup",
+    "t47_domain_caps")
 
   /** `GRAFT_INVARIANCE_ALL=1 sbt "testOnly graft.InvarianceSpec"` sweeps
     * the ENTIRE registry (every query twice — minutes, so not the default

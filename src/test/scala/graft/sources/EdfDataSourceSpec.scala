@@ -122,6 +122,47 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(!names.contains("_temporary"), names.toString)
   }
 
+  test("losing speculative attempt's abort cannot destroy committed output") {
+    // The exact round-7 advice scenario: two attempts of the SAME partition
+    // write the same logical file; the winner's message is committed, the
+    // loser aborts AFTER commit. With final-name writes the loser's abort
+    // deleted the winner's committed file; with attempt-unique staging the
+    // committed output must survive byte-identical.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val out = tmpDir("edfsink_spec")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    val srcSchema = src.schema
+    val rows = src.queryExecution.toRdd.collect().map(_.copy())
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "spec-test"
+      override def schema(): org.apache.spark.sql.types.StructType = srcSchema
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val table = new EdfDataSource().getTable(srcSchema, Array.empty,
+      java.util.Map.of("path", out))
+    val batch = table.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build().toBatch
+    val factory = batch.createBatchWriterFactory(null)
+    val attempt1 = factory.createWriter(0, 1L)
+    val attempt2 = factory.createWriter(0, 2L)
+    rows.foreach { r => attempt1.write(r); attempt2.write(r) }
+    val winner = attempt1.commit()   // commit coordination picks attempt 1
+    batch.commit(Array(winner))
+    val committed = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/rec0.edf"))
+    attempt2.abort()                 // the losing attempt cleans up late
+    val after = java.nio.file.Paths.get(s"$out/rec0.edf")
+    assert(java.nio.file.Files.exists(after),
+      "losing attempt's abort deleted the committed file")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(after), committed),
+      "committed bytes changed after the losing attempt's abort")
+  }
+
   test("duplicate output basenames fail loudly and commit nothing") {
     val out = tmpDir("edfsink_dup")
     // Distinct full paths, same basename: dir1/rec0.edf and dir2/rec0.edf
