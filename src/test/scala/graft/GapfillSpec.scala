@@ -52,4 +52,24 @@ class GapfillSpec extends SparkSpec {
     assert(rows.keys.count(_._1 == 2L) == 1)
     assert(rows((2L, d1 + 2)) == ((1L, 7.5, false)))
   }
+
+  test("epoch-day bucketing floors (not truncates) pre-1970 timestamps") {
+    // q38's day bucket must match DuckDB's `//` floor division for ALL
+    // inputs: `ts div N` truncates toward zero, so a negative nano
+    // timestamp (1969-12-31 ≈ -1e14 ns) would land on day 0 instead of
+    // day -1 and silently break cross-engine parity. The pmod-based
+    // spelling floors exactly in long arithmetic.
+    val day = "(ts - pmod(ts, 86400000000000)) div 86400000000000"
+    val nanos = Seq(
+      -1L,                       // one ns before epoch → day -1
+      -86400000000000L,          // exactly day -1 start → day -1
+      -86400000000001L,          // one ns earlier → day -2
+      0L,                        // epoch → day 0
+      86399999999999L,           // last ns of day 0 → day 0
+      123456789L * 86400000000L) // far future, exact multiple round-trip
+    val got = nanos.toDF("ts").selectExpr(s"$day as d")
+      .collect().map(_.getLong(0)).toSeq
+    val want = nanos.map(n => Math.floorDiv(n, 86400000000000L))
+    assert(got == want, s"floor mismatch: $got vs $want")
+  }
 }
