@@ -75,6 +75,7 @@ private class EdfTable(properties: Map[String, String])
     new EdfWriteBuilder(
       opt("path").getOrElse(
         throw new IllegalArgumentException("edf write: no path given")),
+      info.queryId(),
       info.schema(),
       physMin = opt("phys_min").map(_.toDouble).getOrElse(-0.005),
       physMax = opt("phys_max").map(_.toDouble).getOrElse(0.005),
@@ -97,9 +98,9 @@ private class EdfTable(properties: Map[String, String])
   * concern); all channels of a file must share one sampling rate — the
   * writer validates and fails loudly otherwise.
   */
-private class EdfWriteBuilder(targetDir: String, schema: StructType,
-    physMin: Double, physMax: Double, recordDurationSec: Double)
-    extends WriteBuilder {
+private class EdfWriteBuilder(targetDir: String, queryId: String,
+    schema: StructType, physMin: Double, physMax: Double,
+    recordDurationSec: Double) extends WriteBuilder {
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
@@ -114,7 +115,7 @@ private class EdfWriteBuilder(targetDir: String, schema: StructType,
       val required = Seq("path", "channel", "sfreq", "chunk_idx", "samples")
       val missing = required.filterNot(schema.fieldNames.contains)
       require(missing.isEmpty, s"edf write: missing columns $missing")
-      new EdfBatchWrite(targetDir, schema,
+      new EdfBatchWrite(targetDir, queryId, schema,
         new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
         physMin, physMax, recordDurationSec)
     }
@@ -127,13 +128,21 @@ private class EdfWriteBuilder(targetDir: String, schema: StructType,
 private case class EdfWriteCommit(files: Seq[(String, String)])
     extends WriterCommitMessage
 
-private class EdfBatchWrite(targetDir: String, schema: StructType,
-    conf: SerializableConfiguration, physMin: Double, physMax: Double,
-    recordDurationSec: Double) extends BatchWrite {
+private class EdfBatchWrite(targetDir: String, queryId: String,
+    schema: StructType, conf: SerializableConfiguration, physMin: Double,
+    physMax: Double, recordDurationSec: Double) extends BatchWrite {
+
+  /** Staging root for THIS query: two concurrent writes into the same
+    * target dir must not share a staging tree, or one job's commit/abort
+    * would delete the other's in-flight files (the same reason Spark's
+    * file committers key their temp dirs by job/app attempt).
+    */
+  private def stagingDir: String =
+    s"${EdfBatchWrite.TempDirName}/${EdfBatchWrite.sanitize(queryId)}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    EdfWriterFactory(targetDir, schema, conf, physMin, physMax,
+    EdfWriterFactory(targetDir, stagingDir, schema, conf, physMin, physMax,
       recordDurationSec)
 
   /** Two-phase commit: tasks stream into attempt-unique dirs under
@@ -161,30 +170,41 @@ private class EdfBatchWrite(targetDir: String, schema: StructType,
       if (!fs.rename(new Path(tmp), dst))
         throw new java.io.IOException(s"edf write: rename $tmp -> $dst failed")
     }
-    fs.delete(new Path(target, EdfBatchWrite.TempDirName), true)
+    fs.delete(new Path(target, stagingDir), true)
+    // Drop the shared _temporary root too iff no other query is staging
+    // under it (non-recursive delete only succeeds on an empty dir).
+    try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
+    catch { case _: Throwable => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // No task output ever reached a final name; drop the staging tree.
+    // No task output ever reached a final name; drop THIS query's staging
+    // tree only — a concurrent query's staging must survive. The shared
+    // root goes too iff empty (non-recursive delete, as in commit).
     val fs = new Path(targetDir).getFileSystem(conf.value)
-    try fs.delete(new Path(targetDir, EdfBatchWrite.TempDirName), true)
-    catch { case _: Throwable => () }
+    try {
+      fs.delete(new Path(targetDir, stagingDir), true)
+      fs.delete(new Path(targetDir, EdfBatchWrite.TempDirName), false)
+    } catch { case _: Throwable => () }
   }
 }
 
-private object EdfBatchWrite { val TempDirName = "_temporary" }
+private object EdfBatchWrite {
+  val TempDirName = "_temporary"
+  def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+}
 
 /** Serializable executor-side factory — a case class (not an anonymous
   * class) so the ONLY state shipped is these fields, never an outer
   * BatchWrite reference.
   */
-private case class EdfWriterFactory(targetDir: String, schema: StructType,
-    conf: SerializableConfiguration, physMin: Double, physMax: Double,
-    recordDurationSec: Double) extends DataWriterFactory {
+private case class EdfWriterFactory(targetDir: String, stagingDir: String,
+    schema: StructType, conf: SerializableConfiguration, physMin: Double,
+    physMax: Double, recordDurationSec: Double) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new EdfDataWriter(targetDir,
-      s"${EdfBatchWrite.TempDirName}/task-$partitionId-$taskId",
+      s"$stagingDir/task-$partitionId-$taskId",
       schema, conf, physMin, physMax, recordDurationSec)
 }
 

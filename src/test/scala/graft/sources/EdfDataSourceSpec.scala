@@ -163,6 +163,46 @@ class EdfDataSourceSpec extends SparkSpec {
       "committed bytes changed after the losing attempt's abort")
   }
 
+  test("concurrent queries into one target dir keep separate staging trees") {
+    // Staging is keyed by queryId: query A's commit (which clears its own
+    // staging and opportunistically the shared _temporary root) must not
+    // destroy query B's still-in-flight staged files.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val out = tmpDir("edfsink_concurrent")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    val srcSchema = src.schema
+    val rows = src.queryExecution.toRdd.collect().map(_.copy())
+    def batchFor(qid: String) = {
+      val info = new LogicalWriteInfo {
+        override def queryId(): String = qid
+        override def schema(): org.apache.spark.sql.types.StructType =
+          srcSchema
+        override def options() = CaseInsensitiveStringMap.empty()
+      }
+      new EdfDataSource().getTable(srcSchema, Array.empty,
+          java.util.Map.of("path", out))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).build().toBatch
+    }
+    val batchA = batchFor("query-a")
+    val batchB = batchFor("query-b")
+    val writerA = batchA.createBatchWriterFactory(null).createWriter(0, 1L)
+    val writerB = batchB.createBatchWriterFactory(null).createWriter(0, 1L)
+    rows.foreach { r => writerA.write(r); writerB.write(r) }
+    val msgA = writerA.commit()
+    val msgB = writerB.commit() // B staged but not yet job-committed
+    batchA.commit(Array(msgA))
+    // A's commit must leave B's staged file intact for B's own commit.
+    batchB.commit(Array(msgB))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/rec0.edf")))
+    assert(!listOut(out).contains("_temporary"),
+      s"staging survived both commits: ${listOut(out)}")
+  }
+
   test("duplicate output basenames fail loudly and commit nothing") {
     val out = tmpDir("edfsink_dup")
     // Distinct full paths, same basename: dir1/rec0.edf and dir2/rec0.edf
