@@ -351,21 +351,8 @@ object ScaleCheck {
               spark, groups = 24 * r, perGroup = 5),
             stride = 2)
           .persist()
-        val banded = fh
-          .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
-            explode(sequence(lit(0), lit(3))).as("chunk"))
-          .select(col("doc_id"),
-            (col("frame_idx") * 4 + col("chunk")).as("band"),
-            expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
-        val f1 = fh.select(col("media_id").as("d1"), col("frame_idx"),
-          col("fhash").as("h1"))
-        val f2 = fh.select(col("media_id").as("d2"), col("frame_idx"),
-          col("fhash").as("h2"))
-        val n = Dedup.bandedCandidatePairs(banded)
-          .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
-          .groupBy("d1", "d2")
-          .agg(avg(bit_count(col("h1").bitwiseXOR(col("h2")))).as("ah"))
-          .filter(col("ah") <= 6.0)
+        val n = graft.ops.Multimodal.videoNearDupPairs(fh)
+          .filter(col("avg_hamming") <= 6.0)
           .count()
         fh.unpersist(blocking = true)
         n

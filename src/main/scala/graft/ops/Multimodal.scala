@@ -470,6 +470,33 @@ object Multimodal {
       }).toDF("doc_id", "simhash")
   }
 
+  /** Clip-level near-dup scores from a `(media_id, frame_idx, fhash)`
+    * frame-hash table ([[videoFrameHashes]]' shape) — the single source of
+    * truth for the m7 kernel (registry query, planted-fixture spec, and
+    * ScaleCheck's `video_fp` leg all call this): per-frame chunk banding
+    * (band key = frame index × hash chunk) through the star-capped band
+    * join, then a frame-aligned mean-Hamming verify. Returns
+    * `(d1, d2, n_frames_aligned, avg_hamming)` UNROUNDED and unfiltered —
+    * callers round/threshold at their output edge.
+    */
+  def videoNearDupPairs(fh: DataFrame): DataFrame = {
+    val banded = fh
+      .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .select(col("doc_id"),
+        (col("frame_idx") * 4 + col("chunk")).as("band"),
+        expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
+    val f1 = fh.select(col("media_id").as("d1"), col("frame_idx"),
+      col("fhash").as("h1"))
+    val f2 = fh.select(col("media_id").as("d2"), col("frame_idx"),
+      col("fhash").as("h2"))
+    Dedup.bandedCandidatePairs(banded)
+      .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_frames_aligned"),
+        avg(bit_count(col("h1").bitwiseXOR(col("h2")))).as("avg_hamming"))
+  }
+
   /** Metadata rollup over a media DataFrame — the relational face of the
     * multimodal table (works on any DataFrame with the MediaRow columns).
     */

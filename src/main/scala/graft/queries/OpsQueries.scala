@@ -100,6 +100,44 @@ object OpsQueries {
          |order by jaccard desc, d1, d2""".stripMargin),
     "dedup-minhash-lsh: banded candidates (staged) + hash-verified exact rerank")
 
+  /** DuckDB mirror of [[Dedup.cappedPairJoin]] — the banded→marked→cand
+    * CTE chain (bucket-size window, star-cap skew guard, candidate
+    * self-join) shared verbatim by the d2/m5/m6/m7 oracles, so the
+    * skew-cap semantics live in ONE SQL spelling: if the Spark-side cap
+    * ever changes, one helper changes with it instead of four strings
+    * drifting independently. `bandedSelect` must yield
+    * `($idCol, band, bucket)`; callers interpolate the result after
+    * `with ` and close with their verify CTEs. No stripMargin inside —
+    * the caller's stripMargin handles the `|` margins.
+    */
+  private def candSqlCtes(bandedSelect: String, idCol: String): String =
+    s"""banded as (
+       |  $bandedSelect
+       |), marked as (
+       |  select $idCol, band, bucket,
+       |    count(*) over (partition by band, bucket) as bsize,
+       |    min($idCol) over (partition by band, bucket) as bmin
+       |  from banded
+       |), cand as (
+       |  select distinct d1, d2 from (
+       |    select a.$idCol as d1, b.$idCol as d2
+       |    from marked a
+       |    join marked b on a.band = b.band and a.bucket = b.bucket
+       |      and a.$idCol < b.$idCol
+       |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
+       |    union all
+       |    select bmin, $idCol
+       |    from marked
+       |    where bsize > ${Dedup.DefaultMaxBucketSize} and $idCol <> bmin)
+       |)"""
+
+  /** The 64-bit-fingerprint banded select over a staged `sigs` CTE —
+    * d2/m5/m6's shared `bandedSelect` argument for [[candSqlCtes]].
+    */
+  private val SimhashBandedSelect: String =
+    "select s.doc_id, g.band, (s.simhash >> (g.band * 16)) & 65535 " +
+      "as bucket from sigs s cross join range(4) g(band)"
+
   /** SimHash near-dup on documents — the bit-fingerprint alternative to
     * d1's MinHash. ONLY the 64-bit signatures (xxhash64 token bits,
     * majority vote — not DuckDB-reproducible) are staged; everything
@@ -125,27 +163,7 @@ object OpsQueries {
     Some(
       s"""with sigs as (
          |  select doc_id, simhash from ${Stage.sqlPath("d2_sigs")}
-         |), banded as (
-         |  select s.doc_id, g.band,
-         |    (s.simhash >> (g.band * 16)) & 65535 as bucket
-         |  from sigs s cross join range(4) g(band)
-         |), marked as (
-         |  select doc_id, band, bucket,
-         |    count(*) over (partition by band, bucket) as bsize,
-         |    min(doc_id) over (partition by band, bucket) as bmin
-         |  from banded
-         |), cand as (
-         |  select distinct d1, d2 from (
-         |    select a.doc_id as d1, b.doc_id as d2
-         |    from marked a
-         |    join marked b on a.band = b.band and a.bucket = b.bucket
-         |      and a.doc_id < b.doc_id
-         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
-         |    union all
-         |    select bmin, doc_id
-         |    from marked
-         |    where bsize > ${Dedup.DefaultMaxBucketSize} and doc_id <> bmin)
-         |)
+         |), ${candSqlCtes(SimhashBandedSelect, "doc_id")}
          |select c.d1, c.d2,
          |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
          |from cand c
@@ -680,27 +698,7 @@ object OpsQueries {
     Some(
       s"""with sigs as (
          |  select doc_id, simhash from ${Stage.sqlPath("m5_hashes")}
-         |), banded as (
-         |  select s.doc_id, g.band,
-         |    (s.simhash >> (g.band * 16)) & 65535 as bucket
-         |  from sigs s cross join range(4) g(band)
-         |), marked as (
-         |  select doc_id, band, bucket,
-         |    count(*) over (partition by band, bucket) as bsize,
-         |    min(doc_id) over (partition by band, bucket) as bmin
-         |  from banded
-         |), cand as (
-         |  select distinct d1, d2 from (
-         |    select a.doc_id as d1, b.doc_id as d2
-         |    from marked a
-         |    join marked b on a.band = b.band and a.bucket = b.bucket
-         |      and a.doc_id < b.doc_id
-         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
-         |    union all
-         |    select bmin, doc_id
-         |    from marked
-         |    where bsize > ${Dedup.DefaultMaxBucketSize} and doc_id <> bmin)
-         |)
+         |), ${candSqlCtes(SimhashBandedSelect, "doc_id")}
          |select c.d1, c.d2,
          |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
          |from cand c
@@ -739,27 +737,7 @@ object OpsQueries {
     Some(
       s"""with sigs as (
          |  select doc_id, simhash from ${Stage.sqlPath("m6_fps")}
-         |), banded as (
-         |  select s.doc_id, g.band,
-         |    (s.simhash >> (g.band * 16)) & 65535 as bucket
-         |  from sigs s cross join range(4) g(band)
-         |), marked as (
-         |  select doc_id, band, bucket,
-         |    count(*) over (partition by band, bucket) as bsize,
-         |    min(doc_id) over (partition by band, bucket) as bmin
-         |  from banded
-         |), cand as (
-         |  select distinct d1, d2 from (
-         |    select a.doc_id as d1, b.doc_id as d2
-         |    from marked a
-         |    join marked b on a.band = b.band and a.bucket = b.bucket
-         |      and a.doc_id < b.doc_id
-         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
-         |    union all
-         |    select bmin, doc_id
-         |    from marked
-         |    where bsize > ${Dedup.DefaultMaxBucketSize} and doc_id <> bmin)
-         |)
+         |), ${candSqlCtes(SimhashBandedSelect, "doc_id")}
          |select c.d1, c.d2,
          |  cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
          |from cand c
@@ -797,22 +775,9 @@ object OpsQueries {
           Multimodal.syntheticVideoVariants(s, groups = 24, perGroup = 5),
           stride = 2),
         dir, "m7_frame_hashes")
-      val banded = fh
-        .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
-          explode(sequence(lit(0), lit(3))).as("chunk"))
-        .select(col("doc_id"),
-          (col("frame_idx") * 4 + col("chunk")).as("band"),
-          expr("shiftright(fhash, chunk * 16) & 65535").as("bucket"))
-      val f1 = fh.select(col("media_id").as("d1"), col("frame_idx"),
-        col("fhash").as("h1"))
-      val f2 = fh.select(col("media_id").as("d2"), col("frame_idx"),
-        col("fhash").as("h2"))
-      Dedup.bandedCandidatePairs(banded)
-        .join(f1, "d1").join(f2, Seq("d2", "frame_idx"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).as("n_frames_aligned"),
-          graft.Norm.rz(avg(bit_count(col("h1").bitwiseXOR(col("h2")))), 4)
-            .as("avg_hamming"))
+      Multimodal.videoNearDupPairs(fh)
+        .select(col("d1"), col("d2"), col("n_frames_aligned"),
+          graft.Norm.rz(col("avg_hamming"), 4).as("avg_hamming"))
         .filter(col("avg_hamming") <= 6.0)
         .orderBy("d1", "d2")
     },
@@ -820,27 +785,11 @@ object OpsQueries {
       s"""with fh as (
          |  select media_id, frame_idx, fhash
          |  from ${Stage.sqlPath("m7_frame_hashes")}
-         |), banded as (
-         |  select f.media_id, f.frame_idx * 4 + g.c as band,
-         |    (f.fhash >> (g.c * 16)) & 65535 as bucket
-         |  from fh f cross join range(4) g(c)
-         |), marked as (
-         |  select media_id, band, bucket,
-         |    count(*) over (partition by band, bucket) as bsize,
-         |    min(media_id) over (partition by band, bucket) as bmin
-         |  from banded
-         |), cand as (
-         |  select distinct d1, d2 from (
-         |    select a.media_id as d1, b.media_id as d2
-         |    from marked a
-         |    join marked b on a.band = b.band and a.bucket = b.bucket
-         |      and a.media_id < b.media_id
-         |    where a.bsize <= ${Dedup.DefaultMaxBucketSize}
-         |    union all
-         |    select bmin, media_id
-         |    from marked
-         |    where bsize > ${Dedup.DefaultMaxBucketSize} and media_id <> bmin)
-         |), j as (
+         |), ${candSqlCtes(
+             "select f.media_id, f.frame_idx * 4 + g.c as band, " +
+               "(f.fhash >> (g.c * 16)) & 65535 as bucket " +
+               "from fh f cross join range(4) g(c)",
+             "media_id")}, j as (
          |  select c.d1, c.d2, a.frame_idx,
          |    bit_count(xor(a.fhash, b.fhash)) as hd
          |  from cand c

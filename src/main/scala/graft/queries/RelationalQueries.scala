@@ -1221,8 +1221,9 @@ object RelationalQueries {
   /** Weekly retention-cohort matrix over the events stream — the product
     * analytics companion to q23's funnel: users are cohorted by their
     * first active week (integer week index from the raw nanosecond
-    * timestamps — `ts div 7·86400·10⁹`, exact integer division on both
-    * engines, no calendar/timezone surface to disagree on), and each
+    * timestamps, floored via the same pmod spelling as q38 so pre-1970
+    * timestamps match DuckDB's `//` — `div` alone truncates toward zero;
+    * no calendar/timezone surface to disagree on), and each
     * (cohort, week-offset) cell counts the cohort members still active.
     * The cohort assignment is a min-window over the distinct (user, week)
     * frame — no cohort agg+join round-trip — and after that frame every
@@ -1239,7 +1240,9 @@ object RelationalQueries {
     "q35_retention",
     (s, dir) => {
       val weeks = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .select(col("user_id"),
+          expr("(ts - pmod(ts, 604800000000000)) div 604800000000000")
+            .as("week"))
         .distinct()
       val matrix = weeks
         .withColumn("cohort_week",

@@ -164,11 +164,17 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
         "distinct input `path` values share a basename; they would " +
         "silently clobber each other")
     fs.mkdirs(target)
+    // Atomic rename-with-overwrite (FileContext, not FileSystem.rename):
+    // a delete-then-rename spelling has a window where a failed rename
+    // leaves NEITHER the pre-existing committed file nor its staged
+    // replacement — the abort that follows would delete the staging tree
+    // too. Posix/HDFS rename-over replaces in one step.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(target).toUri, conf.value)
     pairs.foreach { case (tmp, name) =>
-      val dst = new Path(target, name)
-      fs.delete(dst, false) // overwrite semantics, matching mode("append") on re-runs
-      if (!fs.rename(new Path(tmp), dst))
-        throw new java.io.IOException(s"edf write: rename $tmp -> $dst failed")
+      fc.rename(fs.makeQualified(new Path(tmp)),
+        fs.makeQualified(new Path(target, name)),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     fs.delete(new Path(target, stagingDir), true)
     // Drop the shared _temporary root too iff no other query is staging
@@ -273,9 +279,18 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
 
   override def abort(): Unit = {
     // Attempt-private staging dir only — committed output is untouchable.
+    // A speculative loser can be mid-write when the driver's commit has
+    // already cleared the query's staging tree; its own fs.create then
+    // re-creates the parent dirs. Clearing the (now attempt-only) parents
+    // non-recursively here — they only delete when empty — keeps that
+    // race from leaving _temporary/<queryId> behind in the output dir.
     val fs = new Path(targetDir).getFileSystem(conf.value)
-    try fs.delete(new Path(targetDir, attemptDir), true)
-    catch { case _: Throwable => () }
+    try {
+      val attempt = new Path(targetDir, attemptDir)
+      fs.delete(attempt, true)
+      fs.delete(attempt.getParent, false)
+      fs.delete(new Path(targetDir, EdfBatchWrite.TempDirName), false)
+    } catch { case _: Throwable => () }
   }
 
   override def close(): Unit = ()
