@@ -78,7 +78,18 @@ object Edf {
 
   def parse(bytes: Array[Byte]): EdfFile = parseImpl(bytes, headerOnly = false)
 
-  private def parseImpl(bytes: Array[Byte], headerOnly: Boolean): EdfFile = {
+  /** Selective decode: parse all headers but decode waveforms ONLY for
+    * the channels in `wanted` (trimmed labels); other signals' bytes are
+    * skipped with pure position arithmetic, so a channel-filtered read
+    * pays decode cost proportional to the channels it keeps, not the
+    * file. `signals` contains exactly the wanted channels present in the
+    * file; annotations are still collected (their signal is tiny).
+    */
+  def parseSignals(bytes: Array[Byte], wanted: Set[String]): EdfFile =
+    parseImpl(bytes, headerOnly = false, wanted = wanted)
+
+  private def parseImpl(bytes: Array[Byte], headerOnly: Boolean,
+      wanted: Set[String] = null): EdfFile = {
     require(bytes.length >= 256, "truncated EDF header")
     val nSignals = ascii(bytes, 252, 4).trim.toInt
     val headerBytes = ascii(bytes, 184, 8).trim.toInt
@@ -126,7 +137,8 @@ object Edf {
       else (bytes.length - headerBytes) / bytesPerRecord
 
     val signalData = sigHeaders.map(h =>
-      if (h.isAnnotation || headerOnly) null
+      if (h.isAnnotation || headerOnly ||
+          (wanted != null && !wanted.contains(h.label.trim))) null
       else new Array[Double](nRecords * h.samplesPerRecord))
     val annotationText = new StringBuilder
 
@@ -139,7 +151,7 @@ object Edf {
         val n = h.samplesPerRecord
         if (h.isAnnotation) {
           annotationText.append(new String(bytes, pos, n * 2, US_ASCII))
-        } else {
+        } else if (signalData(s) != null) {
           val out = signalData(s)
           val base = r * n
           val sc = h.scale
@@ -171,7 +183,8 @@ object Edf {
       signals =
         if (headerOnly) Map.empty
         else sigHeaders.zipWithIndex.collect {
-          case (h, i) if !h.isAnnotation => h.label.trim -> signalData(i)
+          case (h, i) if !h.isAnnotation && signalData(i) != null =>
+            h.label.trim -> signalData(i)
         }.toMap,
       annotations = parseAnnotations(annotationText.toString))
   }
