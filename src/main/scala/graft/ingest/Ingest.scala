@@ -54,6 +54,25 @@ object Ingest {
   final case class ExtractResult(
       rows: Vector[SleepEpoch], totalEvents: Int, dropped: Int)
 
+  /** Parse a PSG with waveform decode narrowed to the channels
+    * [[extractRecording]] will pick: a header-only pass computes the EEG
+    * picks (with the reference's all-channels fallback,
+    * `processing.py:77-87`), then [[Edf.parseSignals]] decodes just
+    * those. The pick logic runs on headers alone, so the picked set is
+    * IDENTICAL to what extractRecording derives from a full parse — the
+    * non-picked channels (EOG/EMG/Resp/Temp/marker, 5 of 7 on a real
+    * Sleep-EDF PSG) skip the per-sample scale/offset loop entirely.
+    */
+  def parsePsgPicked(bytes: Array[Byte]): Edf.EdfFile = {
+    val hdr = Edf.parseHeader(bytes)
+    val renamed: Map[String, String] =
+      hdr.channelNames.map(n => n -> ChannelRename.getOrElse(n, n)).toMap
+    val eeg = hdr.channelNames.filter(n =>
+      renamed(n).contains("EEG") && !NonEegChannels.contains(renamed(n)))
+    val picked = if (eeg.nonEmpty) eeg else hdr.channelNames
+    Edf.parseSignals(bytes, picked.toSet)
+  }
+
   /** Pure kernel: one parsed recording pair → epoch rows. */
   def extractRecording(subjectId: Int, psg: Edf.EdfFile,
       hypno: Edf.EdfFile): ExtractResult = {
@@ -149,7 +168,7 @@ object Ingest {
       .mapPartitions { iter =>
         iter.flatMap { ref =>
           try {
-            val psg = Edf.parse(readBytes(conf, ref.psgPath))
+            val psg = parsePsgPicked(readBytes(conf, ref.psgPath))
             val hypno = Edf.parse(readBytes(conf, ref.hypnoPath))
             val res = extractRecording(ref.subjectId, psg, hypno)
             droppedAcc.add(res.dropped)
@@ -177,8 +196,8 @@ object Ingest {
       .mapPartitions { it =>
         it.flatMap { s =>
           val (psgB, hypB) = SyntheticSource.recording(s.toInt, seed)
-          extractRecording(s.toInt, Edf.parse(psgB), Edf.parse(hypB)).rows
-            .map(r => ExtractRow(Some(r), None))
+          extractRecording(s.toInt, parsePsgPicked(psgB), Edf.parse(hypB))
+            .rows.map(r => ExtractRow(Some(r), None))
         }
       }
   }

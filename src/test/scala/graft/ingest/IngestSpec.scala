@@ -30,6 +30,23 @@ class IngestSpec extends SparkSpec {
     assert(res.rows.forall(r => !r.delta_power.isNaN && !r.beta_power.isNaN))
   }
 
+  test("picked-channel selective parse extracts bit-identical epochs") {
+    // parsePsgPicked must derive the SAME pick set from headers alone
+    // that extractRecording derives from a full parse, and the selective
+    // decode must be bit-identical on the picked channels — so the
+    // extracted rows match exactly, while the skipped EOG decoy is absent
+    // from the selective parse's signal map.
+    val (psgB, hypB) = SyntheticSource.recording(3)
+    val hyp = Edf.parse(hypB)
+    val full = Ingest.extractRecording(3, Edf.parse(psgB), hyp)
+    val sel = Ingest.parsePsgPicked(psgB)
+    assert(!sel.signals.contains("EOG horizontal"),
+      s"decoy channel decoded anyway: ${sel.signals.keySet}")
+    val picked = Ingest.extractRecording(3, sel, hyp)
+    assert(picked.rows == full.rows)
+    assert(picked.dropped == full.dropped)
+  }
+
   test("distributed extract isolates per-subject failures as error rows") {
     val dir = tmpDir("ingest")
     val refs = SyntheticSource.writeRecordings(dir, 2)
