@@ -92,6 +92,7 @@ object Edf {
       wanted: Set[String] = null): EdfFile = {
     require(bytes.length >= 256, "truncated EDF header")
     val nSignals = ascii(bytes, 252, 4).trim.toInt
+    require(nSignals > 0, s"bad signal count $nSignals")
     val headerBytes = ascii(bytes, 184, 8).trim.toInt
     require(headerBytes == 256 + nSignals * 256, s"bad header size $headerBytes")
     require(bytes.length >= headerBytes, "truncated signal headers")
@@ -128,13 +129,34 @@ object Edf {
         samplesPerRecord = nsamps(i).trim.toInt)
     }
 
+    // Structural guards BEFORE any signal-array allocation: at corpus
+    // scale some files WILL be corrupt, and a header that declares a huge
+    // or negative size must surface as a catchable per-file error (the
+    // ingest V8 channel isolates those, reference
+    // tests/test_pipeline_integration.py:91-150), never as a multi-GB
+    // allocation that OOMs the executor or a JVM-level Error.
+    sigHeaders.foreach { h =>
+      require(h.samplesPerRecord > 0,
+        s"signal '${h.label}': bad samples-per-record ${h.samplesPerRecord}")
+    }
     val nRecordsHeader = num(bytes, 236, 8).toInt
     val recordDuration = num(bytes, 244, 8)
-    val bytesPerRecord = sigHeaders.map(_.samplesPerRecord * 2).sum
-    // -1 record count (unknown length) → derive from file size.
+    // Long math: ASCII fields allow counts whose product overflows Int.
+    val bytesPerRecord = sigHeaders.map(_.samplesPerRecord.toLong * 2).sum
+    // Cap the record count by the bytes actually present. A declared
+    // count beyond the payload is corruption (or truncation) — reject it
+    // while the allocation is still only a plan; -1 (unknown length, per
+    // the EDF spec) derives the count from the file size instead.
+    val maxRecords = (bytes.length.toLong - headerBytes) / bytesPerRecord
     val nRecords =
-      if (nRecordsHeader >= 0) nRecordsHeader
-      else (bytes.length - headerBytes) / bytesPerRecord
+      if (nRecordsHeader < 0) maxRecords.toInt
+      else {
+        require(nRecordsHeader <= maxRecords,
+          s"header declares $nRecordsHeader records but the payload holds " +
+            s"only $maxRecords (${bytes.length - headerBytes} bytes at " +
+            s"$bytesPerRecord per record)")
+        nRecordsHeader
+      }
 
     val signalData = sigHeaders.map(h =>
       if (h.isAnnotation || headerOnly ||
@@ -193,10 +215,27 @@ object Edf {
   private val TalDurationSep = '\u0015' // separates onset from duration
   private val TalEnd = '\u0000' // terminates each TAL
 
+  private def talNum(s: String, what: String, tal: String): Double =
+    try s.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"malformed TAL $what '$s' in '${tal.take(64)}'")
+    }
+
   /** Parse TALs: `+onset[<0x15>duration]<0x14>label<0x14>...<0x00>`.
-    * Record-timestamp TALs (no label) produce no annotation.
+    * Record-timestamp TALs (no label) produce no annotation. Strict on
+    * structure, like the binary parser: malformed onset/duration fields
+    * and an unterminated trailing TAL raise catchable
+    * IllegalArgumentExceptions (the per-file V8 error channel), never
+    * JVM-level errors — fragments that don't claim to be TALs (no
+    * leading sign) are padding/garbage and are skipped.
     */
   def parseAnnotations(text: String): Vector[Annotation] = {
+    // Every TAL must be \x00-terminated; bytes after the last terminator
+    // are zero padding by spec. A non-empty trailing fragment means the
+    // annotation stream was truncated mid-TAL.
+    val tail = text.substring(text.lastIndexOf(TalEnd) + 1)
+    require(tail.trim.isEmpty,
+      s"unterminated TAL fragment '${tail.trim.take(64)}'")
     val out = Vector.newBuilder[Annotation]
     text.split(TalEnd).foreach { tal =>
       val t = tal.trim
@@ -209,8 +248,10 @@ object Edf {
             case i => (head.substring(0, i), head.substring(i + 1))
           }
           val labels = parts.drop(1).filter(_.nonEmpty)
-          labels.foreach { lbl =>
-            out += Annotation(onsetStr.toDouble, durStr.toDouble, lbl)
+          if (labels.nonEmpty) {
+            val onset = talNum(onsetStr, "onset", t)
+            val dur = talNum(durStr, "duration", t)
+            labels.foreach(lbl => out += Annotation(onset, dur, lbl))
           }
         }
       }

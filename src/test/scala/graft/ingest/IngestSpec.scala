@@ -54,16 +54,28 @@ class IngestSpec extends SparkSpec {
     val badPsg = s"$dir/bad_psg.edf"
     java.nio.file.Files.write(java.nio.file.Paths.get(badPsg),
       "not an edf at all".getBytes)
-    val all = refs :+ RecordingRef(99, badPsg, badPsg)
+    // Subject 98: a structurally VALID file whose header declares a huge
+    // record count — must land in the error channel as a catchable parse
+    // failure, never as an executor-OOMing allocation.
+    val (psgB, _) = SyntheticSource.recording(98)
+    val hostile = psgB.clone()
+    System.arraycopy("99999999".getBytes("US-ASCII"), 0, hostile, 236, 8)
+    val hostilePsg = s"$dir/hostile_psg.edf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(hostilePsg), hostile)
+    val all = refs :+ RecordingRef(99, badPsg, badPsg) :+
+      RecordingRef(98, hostilePsg, hostilePsg)
 
     val extracted = Ingest.extract(spark, all).persist()
     val epochs = Ingest.epochsOf(extracted)
     val errors = Ingest.errorsOf(extracted).collect()
 
     assert(epochs.select("subject_id").distinct().count() == 2)
-    assert(errors.length == 1)
-    assert(errors(0).getAs[Int]("subject_id") == 99)
-    assert(errors(0).getAs[String]("error_type").nonEmpty)
+    assert(errors.length == 2)
+    val bySubject = errors.map(r =>
+      r.getAs[Int]("subject_id") -> r.getAs[String]("error_message")).toMap
+    assert(bySubject.keySet == Set(98, 99))
+    assert(bySubject(98).contains("payload holds"), bySubject(98))
+    assert(errors.forall(_.getAs[String]("error_type").nonEmpty))
     extracted.unpersist()
   }
 
