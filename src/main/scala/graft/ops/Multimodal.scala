@@ -244,9 +244,15 @@ object Multimodal {
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { m =>
         val frameBytes = m.width * m.height
-        (0 until m.n_frames by stride).iterator.map { f =>
+        // Hash only COMPLETE frames: a malformed row whose payload is
+        // shorter than n_frames×frameBytes yields fewer frames, never a
+        // task-killing short-slice decode failure or an out-of-range copy.
+        val nFrames =
+          if (frameBytes <= 0) 0
+          else math.min(m.n_frames.toLong, m.payload.length.toLong / frameBytes).toInt
+        (0 until nFrames by stride).iterator.map { f =>
           val frame = java.util.Arrays.copyOfRange(m.payload, f * frameBytes,
-            math.min((f + 1) * frameBytes, m.payload.length))
+            (f + 1) * frameBytes)
           (m.media_id, f, ahash64(FakeCodec.decode(frame, m.width, m.height)))
         }
       }
@@ -475,11 +481,14 @@ object Multimodal {
     * truth for the m7 kernel (registry query, planted-fixture spec, and
     * ScaleCheck's `video_fp` leg all call this): per-frame chunk banding
     * (band key = frame index × hash chunk) through the star-capped band
-    * join, then a frame-aligned mean-Hamming verify. Returns
-    * `(d1, d2, n_frames_aligned, avg_hamming)` UNROUNDED and unfiltered —
-    * callers round/threshold at their output edge.
+    * join, then a frame-aligned mean-Hamming verify. The mean is taken
+    * over frame indices present in BOTH clips, so `minAligned` (default 2)
+    * floors the evidence: without it, two unequal-length clips sharing a
+    * single colliding sampled frame would pass any mean threshold on one
+    * coincidence. Returns `(d1, d2, n_frames_aligned, avg_hamming)` with
+    * avg_hamming UNROUNDED — callers round/threshold at their output edge.
     */
-  def videoNearDupPairs(fh: DataFrame): DataFrame = {
+  def videoNearDupPairs(fh: DataFrame, minAligned: Int = 2): DataFrame = {
     val banded = fh
       .select(col("media_id").as("doc_id"), col("frame_idx"), col("fhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
@@ -495,6 +504,7 @@ object Multimodal {
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_frames_aligned"),
         avg(bit_count(col("h1").bitwiseXOR(col("h2")))).as("avg_hamming"))
+      .filter(col("n_frames_aligned") >= minAligned)
   }
 
   /** Metadata rollup over a media DataFrame — the relational face of the

@@ -753,9 +753,11 @@ object OpsQueries {
     * candidates come from per-frame chunk banding (band key = frame index ×
     * hash chunk, through the same star-capped band join as d2/m5/m6 —
     * clips colliding on ANY frame's chunk become a pair); the verify is
-    * CLIP-level: frame-aligned mean Hamming over the sampled frames, so a
-    * transcode that damages every frame a little still matches while two
-    * clips sharing one coincidental frame chunk do not. The synthetic
+    * CLIP-level: frame-aligned mean Hamming over the sampled frames with
+    * a ≥2-aligned-frames evidence floor, so a transcode that damages
+    * every frame a little still matches while two clips sharing one
+    * coincidental frame chunk do not — even unequal-length clips whose
+    * single shared frame index collides exactly. The synthetic
     * corpus plants 24 groups of 5 per-frame-perturbed copies
     * ([[Multimodal.syntheticVideoVariants]]), so expected pairs are known.
     * ONLY the frame hashes (the decode is not DuckDB-reproducible) are
@@ -800,7 +802,7 @@ object OpsQueries {
          |  round(avg(hd), 4) + 0.0 as avg_hamming
          |from j
          |group by d1, d2
-         |having round(avg(hd), 4) <= 6.0
+         |having round(avg(hd), 4) <= 6.0 and count(*) >= 2
          |order by d1, d2""".stripMargin),
     "multimodal: clip-level video near-dup — staged frame hashes only; banding + skew cap + mean-Hamming verify all hash-verified")
 

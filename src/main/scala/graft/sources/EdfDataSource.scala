@@ -146,6 +146,16 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
   private def stagingDir: String =
     s"${EdfBatchWrite.TempDirName}/${EdfBatchWrite.sanitize(queryId)}"
 
+  /** Set once [[commit]] starts promoting files. Job commit is
+    * v1-committer-like: each rename is atomic, the loop over them is
+    * not. If promotion fails mid-loop, files already promoted replaced
+    * their destinations (Rename.OVERWRITE — the pre-existing versions
+    * are gone) and the staged remainder is the ONLY surviving copy of
+    * those task outputs — so the abort that follows must leave the
+    * staging tree intact for recovery instead of deleting it.
+    */
+  @volatile private var promotionStarted = false
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     EdfWriterFactory(targetDir, stagingDir, schema, conf, physMin, physMax,
@@ -177,6 +187,7 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     // too. Posix/HDFS rename-over replaces in one step.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(target).toUri, conf.value)
+    promotionStarted = true
     pairs.foreach { case (tmp, name) =>
       fc.rename(fs.makeQualified(new Path(tmp)),
         fs.makeQualified(new Path(target, name)),
@@ -190,6 +201,11 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Promotion already began → some files may have reached (and
+    // REPLACED) final names; the staged remainder is the only copy of
+    // the rest. Keep the staging tree for recovery — see
+    // [[promotionStarted]].
+    if (promotionStarted) return
     // No task output ever reached a final name; drop THIS query's staging
     // tree only — a concurrent query's staging must survive. The shared
     // root goes too iff empty (non-recursive delete, as in commit).

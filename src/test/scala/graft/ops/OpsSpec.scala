@@ -306,6 +306,41 @@ class MultimodalSpec extends SparkSpec {
       s"missing=${expected -- pairs} spurious=${pairs -- expected}")
   }
 
+  test("short video payloads hash only complete frames, without failing") {
+    import spark.implicits._
+    // A malformed row whose payload holds 2.5 of the declared 4 frames
+    // must contribute its 2 complete frames — not kill the task on a
+    // short final slice. A zero-area row contributes nothing.
+    val w = 8; val h = 8; val fb = w * h
+    val rows = Seq(
+      Multimodal.MediaRow(0, "video", new Array[Byte](fb * 4), w, h, 0, 4),
+      Multimodal.MediaRow(1, "video", new Array[Byte](fb * 2 + fb / 2), w, h, 0, 4),
+      Multimodal.MediaRow(2, "video", new Array[Byte](0), 0, 0, 0, 4))
+    val got = Multimodal.videoFrameHashes(spark.createDataset(rows), stride = 1)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 4L, 1L -> 2L), got.toString)
+  }
+
+  test("clip verify needs >=2 aligned frames: one colliding frame is not a pair") {
+    import spark.implicits._
+    // Unequal-length clips: clip 0 has 4 sampled frames, clip 1 only one —
+    // and that one frame's hash collides EXACTLY. The mean-Hamming over
+    // shared indices is 0, so without the evidence floor this would pass
+    // any threshold on a single coincidence.
+    val fh = Seq(
+      (0L, 0, 0x1234L), (0L, 1, 0x9999L), (0L, 2, 0x5678L), (0L, 3, 0x4242L),
+      (1L, 0, 0x1234L),
+      // Control: a genuine pair aligned on two frames must survive.
+      (2L, 0, 0xAAAAL), (2L, 1, 0xBBBBL),
+      (3L, 0, 0xAAAAL), (3L, 1, 0xBBBBL))
+      .toDF("media_id", "frame_idx", "fhash")
+    val pairs = Multimodal.videoNearDupPairs(fh)
+      .filter(org.apache.spark.sql.functions.col("avg_hamming") <= 6.0)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)), pairs.toString)
+  }
+
   test("perceptual-hash near-dup finds exactly the planted image pairs") {
     import org.apache.spark.sql.functions.col
     val sigs = Multimodal.imageHashes(Multimodal.syntheticImages(spark, 90))

@@ -198,6 +198,52 @@ class EdfDataSourceSpec extends SparkSpec {
       "committed bytes changed after the losing attempt's abort")
   }
 
+  test("failed mid-promotion commit leaves the staging tree for recovery") {
+    // Job commit is v1-committer-like: each rename is atomic, the loop
+    // over them is not. If promotion fails mid-loop, files already
+    // promoted REPLACED their destinations and the staged remainder is
+    // the only copy of the rest — so the abort that follows a failed
+    // commit must keep the staging tree, not delete it.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val out = tmpDir("edfsink_partial")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    val srcSchema = src.schema
+    // Copy INSIDE the task: the scan reuses its row buffer, so a
+    // post-collect copy would alias every row to the last file read.
+    val rows = src.queryExecution.toRdd.mapPartitions(_.map(_.copy())).collect()
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "partial-fail"
+      override def schema(): org.apache.spark.sql.types.StructType = srcSchema
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val batch = new EdfDataSource().getTable(srcSchema, Array.empty,
+        java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build().toBatch
+    val writer = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+    rows.foreach(writer.write)
+    val msg = writer.commit().asInstanceOf[EdfWriteCommit]
+    assert(msg.files.map(_._2) == Seq("rec0.edf", "rec1.edf"), msg.toString)
+    // Sabotage the SECOND promotion: a non-empty directory squatting on
+    // rec1.edf's final name makes its rename-overwrite fail after
+    // rec0.edf was already promoted.
+    val squatter = java.nio.file.Paths.get(s"$out/rec1.edf")
+    java.nio.file.Files.createDirectories(squatter)
+    java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+    intercept[Exception](batch.commit(Array(msg)))
+    batch.abort(Array(msg)) // Spark aborts after a failed job commit
+    // rec0 was promoted before the failure...
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$out/rec0.edf")))
+    // ...and rec1's staged copy must survive the abort for recovery.
+    val staged = java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(msg.files(1)._1).toUri.getPath)
+    assert(java.nio.file.Files.isRegularFile(staged),
+      s"staged remainder deleted by abort: $staged")
+  }
+
   test("concurrent queries into one target dir keep separate staging trees") {
     // Staging is keyed by queryId: query A's commit (which clears its own
     // staging and opportunistically the shared _temporary root) must not
