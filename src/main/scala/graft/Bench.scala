@@ -40,6 +40,26 @@ object Bench {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 limits the set; unset
     // (the driver's mode) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Named subset for cross-engine pairings (`runMain graft.Bench fullcomp`
+    // or SPARK_GRAFT_SUBSET=fullcomp): the full-computation cut — t*/q*/
+    // dash_*/e1–e4 — excludes the ~30 staged-intermediate oracles (which
+    // replay Spark's own staged outputs on the DuckDB side) and the 9
+    // streaming queries (micro-batch floors with no DuckDB equivalent), so
+    // a Spark-vs-DuckDB total compares like for like. The matching DuckDB
+    // side is `tools/duckdb_replay.py <sf> <outdir> 32 fullcomp`; recipe in
+    // PERF.md.
+    val subset: Option[String => Boolean] =
+      args.headOption.filter(_.nonEmpty)
+        .orElse(sys.env.get("SPARK_GRAFT_SUBSET")) match {
+        case Some("fullcomp") => Some(n =>
+          n.startsWith("t") || n.startsWith("q") || n.startsWith("dash_") ||
+            Set("e1_knn_brute", "e2_label_centroids", "e3_vector_norms",
+              "e4_embedding_neardup")(n))
+        case Some(other) =>
+          System.err.println(s"[bench] unknown subset '$other' — running all")
+          None
+        case None => None
+      }
     // One untimed warm pass per query (codegen compilation + JIT are engine
     // warm-up, not query cost). Disable with SPARK_GRAFT_COLD=1 to measure
     // cold-start instead (which also drops to a single timed pass).
@@ -71,7 +91,7 @@ object Bench {
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Double, Double, Double))]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && subset.forall(_(n)) }
       .map { case (name, fn) =>
         if (warmRuns) {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => }

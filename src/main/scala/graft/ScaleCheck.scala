@@ -151,7 +151,7 @@ object ScaleCheck {
     // timed leg first exceeds the warmed size (a solo rep=100 hll leg
     // measured 12-20 s after a rep=30 warm and 1.8 s after a same-size
     // one, identical 480-register result).
-    if (legFilter.forall(_.contains("hll"))) {
+    if (legFilter.forall(f => f.contains("hll") || f.contains("hll_union"))) {
       hllRegs(replicate(Tables.documents(spark, sfDir), "doc_id", reps.max))
     }
     if (legFilter.forall(_.contains("binary_ann"))) {
@@ -296,6 +296,34 @@ object ScaleCheck {
           .filter(col("rk") <= 50)
           .count()
       })
+      // HLL union/intersection assembly (the t42 kernel, replanned in r8):
+      // per-replica token suffixes make replica vocabularies DISJOINT, so
+      // the distinct (source, tok) vocab grows exactly R× while sources
+      // stay fixed — probing each piece of the replan: the register table
+      // stays ≤64 rows/source (constant shuffle regardless of R), the ONE
+      // vocab self-join (exact intersection, the only quadratic-looking
+      // step) grows linearly with vocab, and the assembly joins stay
+      // broadcasts bounded by #sources². Invariants: pair rows stay
+      // C(#sources, 2) at every R, and the exact-intersection total grows
+      // EXACTLY R× (each replica contributes one disjoint copy of the
+      // base overlap).
+      val nSrc = Tables.documents(spark, sfDir)
+        .select("source").distinct().count()
+      val (tHllU, nInterTot) = leg("hll_union")(time {
+        val rep = floor(col("doc_id") / 10000000L).cast("string")
+        val suffixed = docs.select(col("source"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("#"), rep)), " ").as("text"))
+        val out = graft.queries.TextQueries.hllUnionStats(suffixed)
+          .agg(count(lit(1)).as("pairs"), sum("exact_inter").as("inter"))
+          .head
+        require(out.getLong(0) == nSrc * (nSrc - 1) / 2,
+          s"pair rows ${out.getLong(0)} != C($nSrc,2)")
+        out.getLong(1)
+      })
+      // hllUnionStats persists its vocab/register scans; docs is about to
+      // be dropped anyway, so a full cache clear is the cheap cleanup.
+      spark.sharedState.cacheManager.clearCache()
       docs.unpersist(blocking = true)
       System.gc()
 
@@ -423,6 +451,7 @@ object ScaleCheck {
         f""""line_dedup_s":$tLine%.2f,"kept_lines":$nKept,""" +
         f""""bm25_s":$tBm%.2f,"bm25_docs":$nScored,""" +
         f""""domain_caps_s":$tDom%.2f,"dom_kept":$nDomKept,""" +
+        f""""hll_union_s":$tHllU%.2f,"union_inter":$nInterTot,""" +
         f""""video_fp_s":$tVid%.2f,"vid_pairs":$nVidPairs,""" +
         f""""ann_cand_s":$tAnn%.2f,"ann_cands":$nAnn,""" +
         f""""binary_ann_s":$tBin%.2f,"bin_rows":$nBin,""" +

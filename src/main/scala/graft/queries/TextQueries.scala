@@ -2132,12 +2132,16 @@ object TextQueries {
     * nested loop; all post-aggregate assembly joins are broadcast (row
     * counts bounded by #sources²). Integer-exact register arithmetic as t41.
     */
-  val t42 = Q(
-    "t42_hll_union",
-    (s, dir) => {
+  /** t42's kernel on an arbitrary `(source, text)` frame — shared by the
+    * registry query and ScaleCheck's `hll_union` decade leg. Persists its
+    * vocab and register scans (the single-scan property the replan is
+    * built on); a caller that loops over growing inputs should clear the
+    * cache between calls.
+    */
+  def hllUnionStats(docs: DataFrame): DataFrame = {
       val md5int = (c: Column) =>
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val vocab = Tables.documents(s, dir)
+      val vocab = docs
         .select(col("source"), explode(toks(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .distinct()
@@ -2198,7 +2202,11 @@ object TextQueries {
           round(estOf(col("s_a"), col("n_a")) + estOf(col("s_b"), col("n_b"))
             - estOf(col("s_u"), col("n_u")), 4).as("hll_inter"))
         .orderBy("sa", "sb")
-    },
+  }
+
+  val t42 = Q(
+    "t42_hll_union",
+    (s, dir) => hllUnionStats(Tables.documents(s, dir)),
     Some("""with tok0 as (
       select source, unnest(string_split(text, ' ')) as tok from documents
     ), vocab as (

@@ -8,7 +8,11 @@ The oracle SQLs reference (a) the base parquet tables under the sf dir and
 `tools/parity.py <sfdir> <outdir>` (or at minimum `graft.Verify`) first at
 the SAME sf to materialize both, then:
 
-    python3 tools/duckdb_replay.py <sfdir> <outdir> [threads]
+    python3 tools/duckdb_replay.py <sfdir> <outdir> [threads] [subset]
+
+`subset` may be `fullcomp`: the full-computation cut (t*/q*/dash_*/e1-e4)
+mirroring `runMain graft.Bench fullcomp` — excludes staged-intermediate
+oracles and streaming queries so the two totals compare like for like.
 
 Methodology matches graft.Bench: one untimed warm pass per query (catalog /
 buffer warm-up), then one timed pass. A failing query reports -1.
@@ -28,6 +32,15 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    subset = sys.argv[4] if len(sys.argv) > 4 else None
+
+    def in_subset(name):
+        if subset != "fullcomp":
+            return True
+        return (name.startswith("t") or name.startswith("q")
+                or name.startswith("dash_")
+                or name in ("e1_knn_brute", "e2_label_centroids",
+                            "e3_vector_norms", "e4_embedding_neardup"))
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
@@ -37,6 +50,8 @@ def main():
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     times = {}
     for name, sql in sorted(oracle.items()):
+        if not in_subset(name):
+            continue
         try:
             con.execute(sql).fetchall()  # warm pass
             t0 = time.perf_counter()
