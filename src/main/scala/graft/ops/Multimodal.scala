@@ -127,7 +127,11 @@ object Multimodal {
     */
   def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
-    media.filter(m => m.kind == "audio" && m.sample_rate > 0)
+    // Eligibility, not error handling: like sample_rate > 0, a payload
+    // without one full PCM16 sample is not audio — skipping it keeps a
+    // malformed row from killing the task (Welch rejects empty signals).
+    media.filter(m => m.kind == "audio" && m.sample_rate > 0 &&
+        m.payload.length >= 2)
       .mapPartitions(_.map { m =>
         val n = m.payload.length / 2
         val x = new Array[Double](n)
@@ -161,7 +165,17 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val frameBytes = m.width * m.height
-      (0 until m.n_frames by stride).iterator.map { f =>
+      // Emit only frames with at least one payload byte: a short payload
+      // still yields its short FINAL slice, but declared frame indices
+      // entirely past the payload no longer throw from copyOfRange — the
+      // malformed-row isolation [[videoFrameHashes]] applies, minus its
+      // complete-frames-only restriction (stats tolerate partial slices,
+      // hashes don't).
+      val nAvail =
+        if (frameBytes <= 0) 0
+        else math.min(m.n_frames.toLong,
+          (m.payload.length.toLong + frameBytes - 1) / frameBytes).toInt
+      (0 until nAvail by stride).iterator.map { f =>
         FrameSample(m.media_id, f,
           java.util.Arrays.copyOfRange(m.payload, f * frameBytes,
             math.min((f + 1) * frameBytes, m.payload.length)))
@@ -444,7 +458,10 @@ object Multimodal {
     */
   def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    media.filter(m => m.kind == "audio" && m.sample_rate > 0)
+    // Same eligibility floor as [[audioFeatures]]: an empty PCM payload
+    // has no spectrum to fingerprint and must not fail the task.
+    media.filter(m => m.kind == "audio" && m.sample_rate > 0 &&
+        m.payload.length >= 2)
       .mapPartitions(_.map { m =>
         val n = m.payload.length / 2
         val x = new Array[Double](n)

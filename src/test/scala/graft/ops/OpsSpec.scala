@@ -322,6 +322,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(0L -> 4L, 1L -> 2L), got.toString)
   }
 
+  test("malformed media rows degrade instead of failing the task") {
+    import spark.implicits._
+    val w = 8; val h = 8; val fb = w * h
+    val rows = Seq(
+      // Video declaring 4 frames but holding 2.5: frames 0 and 1 are
+      // full, frame 2 is the short final slice, frame 3 must not throw
+      // from copyOfRange.
+      Multimodal.MediaRow(0, "video", new Array[Byte](fb * 2 + fb / 2),
+        w, h, 0, 4),
+      // Zero-area video row: nothing to slice.
+      Multimodal.MediaRow(1, "video", new Array[Byte](5), 0, 0, 0, 3),
+      // Empty / sub-sample audio payloads: not one full PCM16 sample —
+      // ineligible, like sample_rate <= 0.
+      Multimodal.MediaRow(2, "audio", new Array[Byte](0), 0, 0, 4000, 0),
+      Multimodal.MediaRow(3, "audio", Array[Byte](7), 0, 0, 4000, 0),
+      // A healthy audio row in the same partition must still process.
+      Multimodal.MediaRow(4, "audio",
+        Array.tabulate(800)(i => (i % 120).toByte), 0, 0, 4000, 0))
+    val ds = spark.createDataset(rows)
+    val frames = Multimodal.sampleFrames(ds, stride = 1).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.payload.length)).toSet
+      == Set((0L, 0, fb), (0L, 1, fb), (0L, 2, fb / 2)), frames.mkString(","))
+    val af = Multimodal.audioFeatures(ds).collect()
+    assert(af.map(_.media_id).toSeq == Seq(4L))
+    assert(af.head.n_samples == 400)
+    val fp = Multimodal.audioFingerprints(ds).collect()
+    assert(fp.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("clip verify needs >=2 aligned frames: one colliding frame is not a pair") {
     import spark.implicits._
     // Unequal-length clips: clip 0 has 4 sampled frames, clip 1 only one —
