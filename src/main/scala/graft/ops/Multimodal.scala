@@ -80,33 +80,52 @@ object Multimodal {
   /** Decode + feature-extract images, streaming per partition: real
     * PNG/JPEG payloads decode via `javax.imageio` ([[Codec]]); raw-raster
     * payloads use the fallback. Output width/height are the decoded
-    * dimensions.
+    * dimensions. Undecodable rows (truncated container, payload shorter
+    * than its declared raster, zero-area metadata) are SKIPPED: a corrupt
+    * image carries no pixel evidence, and one bad object must not kill a
+    * corpus-scale pass — per-file error accounting is the ingest error
+    * channel's job (V8), bulk kernels degrade.
     */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      rows.map { m =>
-        val px = Codec.decode(m.payload, m.width, m.height)
-        val h = px.length
-        val w = if (h == 0) 0 else px(0).length
-        var sum = 0L
-        val hist = new Array[Long](16)
-        px.foreach(_.foreach { v => sum += v; hist(v / 16) += 1 })
-        ImageFeatures(m.media_id, w, h,
-          sum.toDouble / math.max(w * h, 1), hist)
+      rows.flatMap { m =>
+        decodeOrNone(m).filter(px => px.length > 0 && px(0).length > 0)
+          .iterator.map { px =>
+            val h = px.length
+            val w = px(0).length
+            var sum = 0L
+            val hist = new Array[Long](16)
+            px.foreach(_.foreach { v => sum += v; hist(v / 16) += 1 })
+            ImageFeatures(m.media_id, w, h,
+              sum.toDouble / (w * h), hist)
+          }
       }
     }
   }
 
-  /** Resize stage: payload → payload, metadata updated. */
+  /** [[Codec.decode]] as a total function: None for undecodable rows —
+    * the skip contract [[imageFeatures]] and [[imageHashes]] document.
+    */
+  private def decodeOrNone(m: MediaRow): Option[Array[Array[Int]]] =
+    try Some(Codec.decode(m.payload, m.width, m.height))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resize stage: payload → payload, metadata updated. Undecodable or
+    * zero-area image rows are skipped — the [[imageFeatures]] contract.
+    */
   def resizeImages(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      if (m.kind != "image") m
+    media.mapPartitions(_.flatMap { m =>
+      if (m.kind != "image") Iterator.single(m)
       else {
-        val out = FakeCodec.resize(FakeCodec.decode(m.payload, m.width, m.height),
-          newW, newH)
-        m.copy(payload = FakeCodec.encode(out), width = newW, height = newH)
+        val px =
+          try Some(FakeCodec.decode(m.payload, m.width, m.height))
+          catch { case scala.util.control.NonFatal(_) => None }
+        px.filter(p => p.length > 0 && p(0).length > 0).iterator.map { p =>
+          m.copy(payload = FakeCodec.encode(FakeCodec.resize(p, newW, newH)),
+            width = newW, height = newH)
+        }
       }
     })
   }
@@ -215,9 +234,11 @@ object Multimodal {
   def imageHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      rows.map { m =>
-        (m.media_id,
-          ahash64(Codec.decode(m.payload, m.width, m.height)))
+      rows.flatMap { m =>
+        // Undecodable/zero-area rows carry no perceptual evidence: skip
+        // (the imageFeatures contract) instead of killing the hash pass.
+        decodeOrNone(m).filter(px => px.length > 0 && px(0).length > 0)
+          .iterator.map(px => (m.media_id, ahash64(px)))
       }
     }.toDF("media_id", "ahash")
   }

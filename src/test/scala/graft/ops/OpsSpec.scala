@@ -349,6 +349,28 @@ class MultimodalSpec extends SparkSpec {
     assert(af.head.n_samples == 400)
     val fp = Multimodal.audioFingerprints(ds).collect()
     assert(fp.map(_.getLong(0)).toSeq == Seq(4L))
+
+    // Image rows: a truncated PNG container (magic intact, data gone), a
+    // raw raster shorter than its declared dims, and a zero-area row are
+    // all SKIPPED by the image kernels; the healthy raster in the same
+    // partition still hashes/extracts/resizes.
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val truncatedPng = baos.toByteArray.take(40)
+    val imgs = spark.createDataset(Seq(
+      Multimodal.MediaRow(10, "image", truncatedPng, 16, 16, 0, 1),
+      Multimodal.MediaRow(11, "image", new Array[Byte](10), w, h, 0, 1),
+      Multimodal.MediaRow(12, "image", new Array[Byte](0), 0, 0, 0, 1),
+      Multimodal.MediaRow(13, "image", new Array[Byte](fb), w, h, 0, 1)))
+    assert(Multimodal.imageHashes(imgs).collect()
+      .map(_.getLong(0)).toSeq == Seq(13L))
+    assert(Multimodal.imageFeatures(imgs).collect()
+      .map(_.media_id).toSeq == Seq(13L))
+    val resized = Multimodal.resizeImages(imgs, 4, 4).collect()
+    assert(resized.map(_.media_id).toSeq == Seq(13L))
+    assert(resized.head.payload.length == 16)
   }
 
   test("clip verify needs >=2 aligned frames: one colliding frame is not a pair") {
