@@ -279,7 +279,17 @@ object Edf {
       physMin: Double = -0.005,
       physMax: Double = 0.005): Array[Byte] = {
     require(channels.nonEmpty, "no channels")
+    // Write-side mirror of the parse-side allocation guards: a corrupt
+    // input row reaching the sink with sfreq <= 0 (or a degenerate
+    // record duration) would otherwise make nSamplesPerRec 0 and
+    // nRecords ceil(x/0) = Int.MaxValue — a task-hanging record loop and
+    // an Int.MaxValue TAL-slot allocation. Fail catchably instead.
+    require(recordDurationSec > 0, s"bad record duration $recordDurationSec")
     val nSamplesPerRec = math.round(sfreq * recordDurationSec).toInt
+    require(nSamplesPerRec > 0,
+      s"bad samples-per-record $nSamplesPerRec (sfreq $sfreq × " +
+        s"$recordDurationSec s)")
+    require(physMax > physMin, s"bad physical range [$physMin, $physMax]")
     val nRecords = math.ceil(
       channels.head._2.length.toDouble / nSamplesPerRec).toInt
 
