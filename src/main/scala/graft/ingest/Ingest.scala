@@ -212,13 +212,26 @@ object Ingest {
     rows.flatMap(_.error).toDF()
   }
 
-  private def readBytes(conf: SerializableConfiguration, path: String): Array[Byte] = {
+  /** Whole-file reads are sized for recordings (one PSG night is tens of
+    * MB): anything past this cap is a wrong or corrupt object, not data.
+    */
+  private[ingest] val MaxWholeFileBytes: Long = 1L << 30
+
+  private[ingest] def readBytes(conf: SerializableConfiguration,
+      path: String, maxBytes: Long = MaxWholeFileBytes): Array[Byte] = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf.value)
+    // Check the size BEFORE allocating: a multi-GB object would otherwise
+    // be an uncatchable executor OOM (and >2 GB overflows the Int array
+    // length) — this way it lands in the per-file error channel like any
+    // other corrupt input.
+    val len = fs.getFileStatus(p).getLen
+    require(len <= maxBytes,
+      s"$path is $len bytes — over the $maxBytes-byte whole-file read cap;" +
+        " a recording this size is a wrong or corrupt object")
     val in = fs.open(p)
     try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

@@ -79,6 +79,22 @@ class IngestSpec extends SparkSpec {
     extracted.unpersist()
   }
 
+  test("whole-file read cap fails catchably before allocating") {
+    // A wrong/huge object must land in the per-file error channel, never
+    // allocate task heap for itself (or overflow the Int array length at
+    // >2 GB). Exercised with a small cap override on a real file.
+    val dir = tmpDir("ingest-cap")
+    val f = s"$dir/big.edf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      new Array[Byte](1000))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException](
+      Ingest.readBytes(conf, f, maxBytes = 100))
+    assert(e.getMessage.contains("read cap"), e.getMessage)
+    assert(Ingest.readBytes(conf, f).length == 1000) // default cap passes
+  }
+
   test("extract output feeds the model DAG end to end") {
     val dir = tmpDir("ingest-e2e")
     val refs = SyntheticSource.writeRecordings(dir, 1)
