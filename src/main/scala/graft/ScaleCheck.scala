@@ -154,12 +154,31 @@ object ScaleCheck {
     if (legFilter.forall(f => f.contains("hll") || f.contains("hll_union"))) {
       hllRegs(replicate(Tables.documents(spark, sfDir), "doc_id", reps.max))
     }
+    // The hll_union leg's per-token suffix projection (transform/concat/
+    // array_join HOFs) is its own first-large-run JIT surface, distinct
+    // from the md5 path hllRegs warms — run it once at the sweep's
+    // largest replication so the timed legs see steady state (the same
+    // discipline as the BPE/chunker warm passes above).
+    if (legFilter.forall(_.contains("hll_union"))) {
+      val d = replicate(Tables.documents(spark, sfDir), "doc_id", reps.max)
+      val rep = floor(col("doc_id") / 10000000L).cast("string")
+      d.select(array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("#"), rep)), " ").as("text"))
+        .agg(sum(length(col("text")))).head
+    }
     if (legFilter.forall(_.contains("binary_ann"))) {
       val warmEmb = replicate(Tables.embeddings(spark, sfDir), "vec_id", 10)
       val p = Similarity.signPack(warmEmb, "vec_id", "embedding")
       Similarity.binaryTopK(p, p.filter(col("vec_id") < 20), "vec_id", 5)
         .count()
     }
+
+    // Rep-invariant expectation for the hll_union leg (replication never
+    // adds sources); computed once, and only when the leg will run.
+    val nSrc: Long =
+      if (legFilter.forall(_.contains("hll_union")))
+        Tables.documents(spark, sfDir).select("source").distinct().count()
+      else -1L
 
     reps.foreach { r =>
       // Leg isolation (same discipline as graft.Bench): an earlier leg's
@@ -307,15 +326,14 @@ object ScaleCheck {
       // C(#sources, 2) at every R, and the exact-intersection total grows
       // EXACTLY R× (each replica contributes one disjoint copy of the
       // base overlap).
-      val nSrc = Tables.documents(spark, sfDir)
-        .select("source").distinct().count()
       val (tHllU, nInterTot) = leg("hll_union")(time {
         val rep = floor(col("doc_id") / 10000000L).cast("string")
         val suffixed = docs.select(col("source"),
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("#"), rep)), " ").as("text"))
         val out = graft.queries.TextQueries.hllUnionStats(suffixed)
-          .agg(count(lit(1)).as("pairs"), sum("exact_inter").as("inter"))
+          .agg(count(lit(1)).as("pairs"),
+            coalesce(sum("exact_inter"), lit(0L)).as("inter"))
           .head
         require(out.getLong(0) == nSrc * (nSrc - 1) / 2,
           s"pair rows ${out.getLong(0)} != C($nSrc,2)")

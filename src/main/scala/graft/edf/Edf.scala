@@ -146,12 +146,15 @@ object Edf {
     // Cap the record count by the bytes actually present. A declared
     // count beyond the payload is corruption (or truncation) — reject it
     // while the allocation is still only a plan; -1 (unknown length, per
-    // the EDF spec) derives the count from the file size instead.
+    // the EDF spec) derives the count from the file size instead. A
+    // header-ONLY parse allocates nothing and decodes nothing, so it may
+    // still report metadata (as declared) for a payload-truncated file —
+    // a channel inventory over a corpus shouldn't die on one bad object.
     val maxRecords = (bytes.length.toLong - headerBytes) / bytesPerRecord
     val nRecords =
       if (nRecordsHeader < 0) maxRecords.toInt
       else {
-        require(nRecordsHeader <= maxRecords,
+        require(headerOnly || nRecordsHeader <= maxRecords,
           s"header declares $nRecordsHeader records but the payload holds " +
             s"only $maxRecords (${bytes.length - headerBytes} bytes at " +
             s"$bytesPerRecord per record)")
@@ -290,6 +293,9 @@ object Edf {
       s"bad samples-per-record $nSamplesPerRec (sfreq $sfreq × " +
         s"$recordDurationSec s)")
     require(physMax > physMin, s"bad physical range [$physMin, $physMax]")
+    require(channels.head._2.nonEmpty,
+      "empty channel data — zero records to write (the annotation slot " +
+        "distribution would divide by zero)")
     val nRecords = math.ceil(
       channels.head._2.length.toDouble / nSamplesPerRec).toInt
 

@@ -214,8 +214,9 @@ object Ingest {
 
   /** Whole-file reads are sized for recordings (one PSG night is tens of
     * MB): anything past this cap is a wrong or corrupt object, not data.
+    * Shared with the DSv2 reader, which does the same whole-file read.
     */
-  private[ingest] val MaxWholeFileBytes: Long = 1L << 30
+  private[graft] val MaxWholeFileBytes: Long = 1L << 30
 
   private[ingest] def readBytes(conf: SerializableConfiguration,
       path: String, maxBytes: Long = MaxWholeFileBytes): Array[Byte] = {

@@ -424,8 +424,17 @@ private class EdfReaderFactory(
         val in = fs.open(p)
         val bytes =
           try {
-            val len = fs.getFileStatus(p).getLen.toInt
-            val buf = new Array[Byte](len)
+            // Same whole-file read cap as the ingest path: a wrong
+            // multi-GB object fails with a clear error instead of an
+            // uncatchable OOM — and getLen can no longer wrap past Int
+            // into a silently truncated read.
+            val len = fs.getFileStatus(p).getLen
+            require(len <= graft.ingest.Ingest.MaxWholeFileBytes,
+              s"$path is $len bytes — over the " +
+                s"${graft.ingest.Ingest.MaxWholeFileBytes}-byte whole-file" +
+                " read cap; a recording this size is a wrong or corrupt " +
+                "object")
+            val buf = new Array[Byte](len.toInt)
             in.readFully(0, buf)
             buf
           } finally in.close()

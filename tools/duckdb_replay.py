@@ -33,6 +33,12 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     subset = sys.argv[4] if len(sys.argv) > 4 else None
+    if subset not in (None, "fullcomp"):
+        # Mirror the Scala side: a typo'd subset must not silently become
+        # a full-registry total pasted into a fullcomp comparison.
+        print(f"[replay] unknown subset '{subset}' — running all",
+              file=sys.stderr)
+        subset = None
 
     def in_subset(name):
         if subset != "fullcomp":
