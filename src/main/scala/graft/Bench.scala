@@ -56,8 +56,11 @@ object Bench {
             Set("e1_knn_brute", "e2_label_centroids", "e3_vector_norms",
               "e4_embedding_neardup")(n))
         case Some(other) =>
-          System.err.println(s"[bench] unknown subset '$other' — running all")
-          None
+          // Fail fast: a typo'd subset silently becoming a full-registry
+          // total would poison a fullcomp comparison, and the warning is
+          // easy to miss in driver output. Mirrored in duckdb_replay.py.
+          System.err.println(s"[bench] unknown subset '$other' — aborting")
+          sys.exit(2)
         case None => None
       }
     // One untimed warm pass per query (codegen compilation + JIT are engine

@@ -48,7 +48,12 @@ object Edf {
       /** physical-unit samples per ordinary signal, aligned with
         * signalHeaders minus annotation signals */
       signals: Map[String, Array[Double]],
-      annotations: Vector[Annotation]) {
+      annotations: Vector[Annotation],
+      /** Records the header declared but the payload did not hold —
+        * nonzero only under a lenient parse that salvaged the complete
+        * records present (MNE-style truncation; 0 for strict parses,
+        * which reject such files instead). */
+      salvagedRecords: Int = 0) {
 
     /** Sampling frequency of a named signal. */
     def sfreq(label: String): Double = {
@@ -76,20 +81,39 @@ object Edf {
   def parseHeader(bytes: Array[Byte]): EdfFile =
     parseImpl(bytes, headerOnly = true)
 
-  def parse(bytes: Array[Byte]): EdfFile = parseImpl(bytes, headerOnly = false)
+  /** Full parse. Strict by default: a declared record count beyond the
+    * payload, a malformed TAL, or an unterminated annotation stream all
+    * raise catchable per-file errors so corpus-scale ingest can route the
+    * object to the V8 error channel. `lenient = true` instead SALVAGES —
+    * complete records present are decoded (the header's excess count is
+    * ignored, like the -1 unknown-count path; [[EdfFile.salvagedRecords]]
+    * reports the shortfall) and malformed TALs are skipped. This is the
+    * reference pipeline's behavior (MNE `read_raw_edf` truncates to the
+    * records present with a warning), so interrupted-but-usable
+    * recordings load; the strict default diverges DELIBERATELY: at 100 TB
+    * the error channel must see corrupt objects, not silently shortened
+    * ones — leniency is an explicit caller decision.
+    */
+  def parse(bytes: Array[Byte], lenient: Boolean = false): EdfFile =
+    parseImpl(bytes, headerOnly = false, lenient = lenient)
 
   /** Selective decode: parse all headers but decode waveforms ONLY for
     * the channels in `wanted` (trimmed labels); other signals' bytes are
     * skipped with pure position arithmetic, so a channel-filtered read
     * pays decode cost proportional to the channels it keeps, not the
     * file. `signals` contains exactly the wanted channels present in the
-    * file; annotations are still collected (their signal is tiny).
+    * file; annotations are still collected (their signal is tiny) — but a
+    * malformed TAL voids the whole file under the strict default even
+    * when the caller only wanted signal channels; pass `lenient = true`
+    * to salvage the signals (and every well-formed TAL) instead — see
+    * [[parse]] for the strict-vs-reference divergence.
     */
-  def parseSignals(bytes: Array[Byte], wanted: Set[String]): EdfFile =
-    parseImpl(bytes, headerOnly = false, wanted = wanted)
+  def parseSignals(bytes: Array[Byte], wanted: Set[String],
+      lenient: Boolean = false): EdfFile =
+    parseImpl(bytes, headerOnly = false, wanted = wanted, lenient = lenient)
 
   private def parseImpl(bytes: Array[Byte], headerOnly: Boolean,
-      wanted: Set[String] = null): EdfFile = {
+      wanted: Set[String] = null, lenient: Boolean = false): EdfFile = {
     require(bytes.length >= 256, "truncated EDF header")
     val nSignals = ascii(bytes, 252, 4).trim.toInt
     require(nSignals > 0, s"bad signal count $nSignals")
@@ -153,6 +177,10 @@ object Edf {
     val maxRecords = (bytes.length.toLong - headerBytes) / bytesPerRecord
     val nRecords =
       if (nRecordsHeader < 0) maxRecords.toInt
+      else if (lenient && !headerOnly)
+        // Salvage mode (reference/MNE behavior): decode the complete
+        // records present; the allocation stays bounded by actual bytes.
+        math.min(nRecordsHeader.toLong, maxRecords).toInt
       else {
         require(headerOnly || nRecordsHeader <= maxRecords,
           s"header declares $nRecordsHeader records but the payload holds " +
@@ -160,6 +188,8 @@ object Edf {
             s"$bytesPerRecord per record)")
         nRecordsHeader
       }
+    val salvaged =
+      if (nRecordsHeader >= 0 && !headerOnly) nRecordsHeader - nRecords else 0
 
     val signalData = sigHeaders.map(h =>
       if (h.isAnnotation || headerOnly ||
@@ -211,7 +241,8 @@ object Edf {
           case (h, i) if !h.isAnnotation && signalData(i) != null =>
             h.label.trim -> signalData(i)
         }.toMap,
-      annotations = parseAnnotations(annotationText.toString))
+      annotations = parseAnnotations(annotationText.toString, lenient),
+      salvagedRecords = salvaged)
   }
 
   private val TalFieldSep = '\u0014' // separates onset+duration from labels
@@ -226,21 +257,28 @@ object Edf {
 
   /** Parse TALs: `+onset[<0x15>duration]<0x14>label<0x14>...<0x00>`.
     * Record-timestamp TALs (no label) produce no annotation. Strict on
-    * structure, like the binary parser: malformed onset/duration fields
-    * and an unterminated trailing TAL raise catchable
-    * IllegalArgumentExceptions (the per-file V8 error channel), never
-    * JVM-level errors — fragments that don't claim to be TALs (no
-    * leading sign) are padding/garbage and are skipped.
+    * structure by default, like the binary parser: malformed
+    * onset/duration fields and an unterminated trailing TAL raise
+    * catchable IllegalArgumentExceptions (the per-file V8 error channel),
+    * never JVM-level errors — fragments that don't claim to be TALs (no
+    * leading sign) are padding/garbage and are skipped. `lenient = true`
+    * instead keeps every well-formed TAL and skips the malformed ones
+    * ([[parse]]'s salvage contract).
     */
-  def parseAnnotations(text: String): Vector[Annotation] = {
+  def parseAnnotations(text: String,
+      lenient: Boolean = false): Vector[Annotation] = {
     // Every TAL must be \x00-terminated; bytes after the last terminator
     // are zero padding by spec. A non-empty trailing fragment means the
     // annotation stream was truncated mid-TAL.
-    val tail = text.substring(text.lastIndexOf(TalEnd) + 1)
-    require(tail.trim.isEmpty,
+    val lastEnd = text.lastIndexOf(TalEnd)
+    val tail = text.substring(lastEnd + 1)
+    if (!lenient) require(tail.trim.isEmpty,
       s"unterminated TAL fragment '${tail.trim.take(64)}'")
+    // Only \x00-terminated TALs are trusted: in lenient mode the
+    // truncated trailing fragment is dropped rather than half-parsed.
+    val body = if (lastEnd < 0) "" else text.substring(0, lastEnd)
     val out = Vector.newBuilder[Annotation]
-    text.split(TalEnd).foreach { tal =>
+    body.split(TalEnd).foreach { tal =>
       val t = tal.trim
       if (t.nonEmpty && (t.startsWith("+") || t.startsWith("-"))) {
         val parts = t.split(TalFieldSep)
@@ -252,9 +290,16 @@ object Edf {
           }
           val labels = parts.drop(1).filter(_.nonEmpty)
           if (labels.nonEmpty) {
-            val onset = talNum(onsetStr, "onset", t)
-            val dur = talNum(durStr, "duration", t)
-            labels.foreach(lbl => out += Annotation(onset, dur, lbl))
+            val parsed =
+              try Some((talNum(onsetStr, "onset", t),
+                talNum(durStr, "duration", t)))
+              catch {
+                case e: IllegalArgumentException =>
+                  if (lenient) None else throw e
+              }
+            parsed.foreach { case (onset, dur) =>
+              labels.foreach(lbl => out += Annotation(onset, dur, lbl))
+            }
           }
         }
       }

@@ -62,7 +62,16 @@ object Multimodal {
     */
   object FakeCodec {
     def decode(payload: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
-      require(payload.length >= width * height,
+      // Long math on the declared area: hostile dims like 65537×65537
+      // overflow Int (→131073), pass an Int-math payload guard, and then
+      // Array.tabulate attempts a multi-GB allocation — an OutOfMemoryError
+      // the NonFatal skip contract cannot intercept. A raster can never
+      // hold more pixels than its payload has bytes, so comparing the Long
+      // area against the payload length both validates and bounds the
+      // allocation by bytes actually present (the EDF parser's byte-budget
+      // discipline). Non-positive dims are rejected on the same check.
+      val area = width.toLong * height
+      require(width > 0 && height > 0 && area <= payload.length,
         s"payload ${payload.length} < ${width}x$height")
       Array.tabulate(height, width)((r, c) => payload(r * width + c) & 0xff)
     }
@@ -183,7 +192,11 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val frameBytes = m.width * m.height
+      // Long frame size: hostile dims whose product overflows Int would
+      // otherwise alias to a small positive frameBytes and slice garbage
+      // frames (or pass a frame the decode guard then kills the task on).
+      // Non-positive dims are ineligible the same way frameBytes <= 0 is.
+      val frameBytes = m.width.toLong * m.height
       // Emit only frames with at least one payload byte: a short payload
       // still yields its short FINAL slice, but declared frame indices
       // entirely past the payload no longer throw from copyOfRange — the
@@ -191,13 +204,15 @@ object Multimodal {
       // complete-frames-only restriction (stats tolerate partial slices,
       // hashes don't).
       val nAvail =
-        if (frameBytes <= 0) 0
+        if (m.width <= 0 || m.height <= 0) 0
         else math.min(m.n_frames.toLong,
-          (m.payload.length.toLong + frameBytes - 1) / frameBytes).toInt
+          (m.payload.length + frameBytes - 1) / frameBytes).toInt
       (0 until nAvail by stride).iterator.map { f =>
+        // f < ceil(len/frameBytes) keeps f*frameBytes < len, so both slice
+        // bounds fit Int even when frameBytes alone would not.
         FrameSample(m.media_id, f,
-          java.util.Arrays.copyOfRange(m.payload, f * frameBytes,
-            math.min((f + 1) * frameBytes, m.payload.length)))
+          java.util.Arrays.copyOfRange(m.payload, (f * frameBytes).toInt,
+            math.min((f + 1) * frameBytes, m.payload.length.toLong).toInt))
       }
     }
   }
@@ -278,16 +293,20 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { m =>
-        val frameBytes = m.width * m.height
+        // Long frame size with a positive-dims eligibility gate ([[
+        // sampleFrames]] doc): an Int-overflowed or negative-dim row must
+        // not reach the unwrapped FakeCodec.decode below and kill the task.
+        val frameBytes = m.width.toLong * m.height
         // Hash only COMPLETE frames: a malformed row whose payload is
         // shorter than n_frames×frameBytes yields fewer frames, never a
         // task-killing short-slice decode failure or an out-of-range copy.
         val nFrames =
-          if (frameBytes <= 0) 0
-          else math.min(m.n_frames.toLong, m.payload.length.toLong / frameBytes).toInt
+          if (m.width <= 0 || m.height <= 0) 0
+          else math.min(m.n_frames.toLong, m.payload.length / frameBytes).toInt
         (0 until nFrames by stride).iterator.map { f =>
-          val frame = java.util.Arrays.copyOfRange(m.payload, f * frameBytes,
-            (f + 1) * frameBytes)
+          // f*frameBytes <= len - frameBytes < len: Int-safe slice bounds.
+          val frame = java.util.Arrays.copyOfRange(m.payload,
+            (f * frameBytes).toInt, ((f + 1) * frameBytes).toInt)
           (m.media_id, f, ahash64(FakeCodec.decode(frame, m.width, m.height)))
         }
       }

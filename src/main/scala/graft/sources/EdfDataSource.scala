@@ -74,7 +74,12 @@ private class EdfTable(properties: Map[String, String])
         .orElse(properties.get("paths"))
         .getOrElse(throw new IllegalArgumentException("edf: no path given")),
       Option(options.get("chunk_records")).orElse(properties.get("chunk_records"))
-        .map(_.toInt).getOrElse(3600))
+        .map(_.toInt).getOrElse(3600),
+      // `option("lenient", "true")`: salvage truncated recordings (MNE's
+      // behavior — complete records + well-formed TALs) instead of the
+      // strict default's per-file error; see [[graft.edf.Edf.parse]].
+      Option(options.get("lenient")).orElse(properties.get("lenient"))
+        .exists(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opt = (k: String) => Option(info.options.get(k)).orElse(properties.get(k))
@@ -318,7 +323,8 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
   override def close(): Unit = ()
 }
 
-private class EdfScanBuilder(pathSpec: String, chunkRecords: Int)
+private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
+    lenient: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -400,7 +406,7 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int)
       val spark = org.apache.spark.sql.SparkSession.active
       new EdfReaderFactory(required,
         new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-        chunkRecords, wantedChannels)
+        chunkRecords, wantedChannels, lenient)
     }
   }
 }
@@ -411,7 +417,8 @@ private class EdfReaderFactory(
     required: StructType,
     conf: SerializableConfiguration,
     chunkRecords: Int,
-    wantedChannels: Option[Set[String]] = None)
+    wantedChannels: Option[Set[String]] = None,
+    lenient: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -443,8 +450,8 @@ private class EdfReaderFactory(
         val edf =
           if (!needSamples) Edf.parseHeader(bytes)
           else wantedChannels match {
-            case Some(w) => Edf.parseSignals(bytes, w)
-            case None => Edf.parse(bytes)
+            case Some(w) => Edf.parseSignals(bytes, w, lenient)
+            case None => Edf.parse(bytes, lenient)
           }
         edf.signalHeaders.filterNot(_.isAnnotation)
           .filter(h => wantedChannels.forall(_.contains(h.label.trim)))

@@ -373,6 +373,39 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.head.payload.length == 16)
   }
 
+  test("Int-overflow raster dims are rejected catchably, never allocated") {
+    import spark.implicits._
+    // 65537×65537 overflows Int to 131073: an Int-math payload guard
+    // passes it and Array.tabulate then attempts a multi-GB allocation —
+    // an OutOfMemoryError the NonFatal skip contract cannot intercept.
+    // The Long-math guard must reject hostile dims as a catchable
+    // IllegalArgumentException so the bulk kernels skip the row.
+    val w = 65537
+    val payload = new Array[Byte](200000) // > 131073, passes the Int guard
+    intercept[IllegalArgumentException](
+      Multimodal.FakeCodec.decode(payload, w, w))
+    // Two negative dims: positive product, still not a raster.
+    intercept[IllegalArgumentException](
+      Multimodal.FakeCodec.decode(payload, -3, -5))
+    val rows = Seq(
+      Multimodal.MediaRow(0, "image", payload, w, w, 0, 1),
+      Multimodal.MediaRow(1, "video", payload, w, w, 0, 4),
+      Multimodal.MediaRow(2, "video", payload, -3, -5, 0, 4),
+      Multimodal.MediaRow(3, "image", new Array[Byte](64), 8, 8, 0, 1))
+    val ds = spark.createDataset(rows)
+    assert(Multimodal.imageFeatures(ds).collect().map(_.media_id).toSeq
+      == Seq(3L))
+    assert(Multimodal.imageHashes(ds).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    // sampleFrames tolerates partial slices by contract, so the overflowed
+    // row yields ONE slice bounded by its actual payload — never a 4 GB
+    // frame; the hash kernel (complete frames only) yields nothing.
+    assert(Multimodal.sampleFrames(ds, 1).collect()
+      .map(f => (f.media_id, f.frame_idx, f.payload.length)).toSeq
+      == Seq((1L, 0, 200000)))
+    assert(Multimodal.videoFrameHashes(ds, 1).collect().isEmpty)
+  }
+
   test("clip verify needs >=2 aligned frames: one colliding frame is not a pair") {
     import spark.implicits._
     // Unequal-length clips: clip 0 has 4 sampled frames, clip 1 only one —

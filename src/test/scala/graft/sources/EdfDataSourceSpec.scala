@@ -302,6 +302,21 @@ class EdfDataSourceSpec extends SparkSpec {
       s"files committed despite duplicate basenames: ${listOut(out)}")
   }
 
+  test("lenient option salvages a truncated recording the strict read rejects") {
+    val d = tmpDir("edf_lenient")
+    val bytes = Edf.write(Seq("EEG Fpz-Cz" ->
+      Array.tabulate(1000)(j => 1e-5 * math.sin(j * 0.07))), 100.0)
+    // Clip half of the last record: an interrupted-but-usable recording.
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/trunc.edf"),
+      bytes.dropRight(100))
+    val strict = spark.read.format("edf").load(d)
+    val e = intercept[Exception](strict.collect())
+    assert(msgs(e).exists(_.contains("payload holds")), e.toString)
+    val lenient = spark.read.format("edf").option("lenient", "true").load(d)
+      .agg(sum(size(col("samples")))).head().getLong(0)
+    assert(lenient == 900L, s"salvaged $lenient samples, want 900")
+  }
+
   test("chunk time offsets advance by chunk length") {
     val df = spark.read.format("edf").option("chunk_records", "4").load(dir)
     val t0s = df.filter(col("channel") === "EOG horizontal")

@@ -34,11 +34,12 @@ def main():
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     subset = sys.argv[4] if len(sys.argv) > 4 else None
     if subset not in (None, "fullcomp"):
-        # Mirror the Scala side: a typo'd subset must not silently become
-        # a full-registry total pasted into a fullcomp comparison.
-        print(f"[replay] unknown subset '{subset}' — running all",
+        # Fail fast (mirroring graft.Bench): a typo'd subset must not
+        # silently become a full-registry total pasted into a fullcomp
+        # comparison.
+        print(f"[replay] unknown subset '{subset}' — aborting",
               file=sys.stderr)
-        subset = None
+        sys.exit(2)
 
     def in_subset(name):
         if subset != "fullcomp":
