@@ -151,13 +151,14 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
   private def stagingDir: String =
     s"${EdfBatchWrite.TempDirName}/${EdfBatchWrite.sanitize(queryId)}"
 
-  /** Set once [[commit]] starts promoting files. Job commit is
-    * v1-committer-like: each rename is atomic, the loop over them is
-    * not. If promotion fails mid-loop, files already promoted replaced
-    * their destinations (Rename.OVERWRITE — the pre-existing versions
-    * are gone) and the staged remainder is the ONLY surviving copy of
-    * those task outputs — so the abort that follows must leave the
-    * staging tree intact for recovery instead of deleting it.
+  /** Set once [[commit]] publishes the staged manifest (the commit
+    * point). From that instant the staged files are reader-visible
+    * through the manifest redirect, and if promotion then fails
+    * mid-loop, files already promoted replaced their destinations
+    * (Rename.OVERWRITE — the pre-existing versions are gone) and the
+    * staged remainder is the ONLY surviving copy of those task outputs
+    * — so the abort that follows must leave the staging tree AND the
+    * manifest intact for recovery instead of deleting them.
     */
   @volatile private var promotionStarted = false
 
@@ -166,14 +167,31 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     EdfWriterFactory(targetDir, stagingDir, schema, conf, physMin, physMax,
       recordDurationSec)
 
-  /** Two-phase commit: tasks stream into attempt-unique dirs under
-    * `_temporary/` (so a retried or speculative attempt can never clobber
-    * a committed file — its abort deletes only attempt-private paths);
-    * the driver promotes temp files to final names here, AFTER Spark's
-    * commit coordination has picked exactly one winning attempt per
-    * partition. Duplicate final basenames (distinct input `path` values
-    * sharing a basename, possibly from different tasks) fail loudly
-    * before anything is promoted.
+  /** Two-phase commit with an ATOMIC commit point: tasks stream into
+    * attempt-unique dirs under `_temporary/` (so a retried or speculative
+    * attempt can never clobber a committed file — its abort deletes only
+    * attempt-private paths); the driver then, AFTER Spark's commit
+    * coordination has picked exactly one winning attempt per partition:
+    *
+    *  1. validates (duplicate final basenames fail loudly before
+    *     anything is touched),
+    *  2. publishes a `_STAGED_MANIFEST-<queryId>` file listing every
+    *     (stagedPath, finalName) pair with ONE atomic rename — the job's
+    *     commit point: a directory listing before it resolves to the old
+    *     files; one after it resolves every listed name through its
+    *     staged copy ([[EdfScanBuilder]] reads manifests), so a reader
+    *     observes the complete old state or the complete new state,
+    *     never a half-promoted mix — the all-or-nothing behavior of the
+    *     reference's transactional per-subject load
+    *     (`warehouse/snowflake_client.py:133-152`),
+    *  3. promotes staged files to final names (each rename atomic), and
+    *  4. retires the manifest, then the staging tree.
+    *
+    * A crash or failure anywhere in step 3 leaves the manifest + staged
+    * files in place: readers keep resolving the new state, and
+    * [[EdfExportRecovery.rollForward]] completes the promotion
+    * idempotently (roll FORWARD — the manifest only exists once the job
+    * fully committed its task set).
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(targetDir)
@@ -192,12 +210,30 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     // too. Posix/HDFS rename-over replaces in one step.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(target).toUri, conf.value)
-    promotionStarted = true
+    val manifest = new Path(target, EdfBatchWrite.manifestName(queryId))
+    if (pairs.nonEmpty) {
+      // Manifest is assembled in this query's staging tree and published
+      // by one rename — readers can never observe a partial manifest.
+      val tmpManifest = new Path(target, s"$stagingDir/_MANIFEST")
+      val os = fs.create(tmpManifest, true)
+      try os.write(pairs.map { case (tmp, name) =>
+        s"${fs.makeQualified(new Path(tmp))}\t$name"
+      }.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      promotionStarted = true // from here on, abort must preserve staging
+      fc.rename(fs.makeQualified(tmpManifest), fs.makeQualified(manifest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     pairs.foreach { case (tmp, name) =>
       fc.rename(fs.makeQualified(new Path(tmp)),
         fs.makeQualified(new Path(target, name)),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
+    // Promotion complete: retire the manifest FIRST (readers resolve the
+    // promoted finals directly), then the staging tree. A crash between
+    // the two only leaks an empty-ish staging dir, never data.
+    fs.delete(manifest, false)
     fs.delete(new Path(target, stagingDir), true)
     // Drop the shared _temporary root too iff no other query is staging
     // under it (non-recursive delete only succeeds on an empty dir).
@@ -206,14 +242,34 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // Promotion already began → some files may have reached (and
-    // REPLACED) final names; the staged remainder is the only copy of
-    // the rest. Keep the staging tree for recovery — see
-    // [[promotionStarted]].
-    if (promotionStarted) return
-    // No task output ever reached a final name; drop THIS query's staging
-    // tree only — a concurrent query's staging must survive. The shared
-    // root goes too iff empty (non-recursive delete, as in commit).
+    if (promotionStarted) {
+      // The manifest is published → some files may have reached (and
+      // REPLACED) final names; the staged remainder is the only copy of
+      // the rest. Keep the staging tree AND manifest — readers keep
+      // seeing the consistent new state through the manifest redirect —
+      // and say so LOUDLY: an operator must know recovery data exists,
+      // where it is, and how to finish the job.
+      val fs = new Path(targetDir).getFileSystem(conf.value)
+      val pairs = messages.collect { case EdfWriteCommit(fs0) => fs0 }.flatten
+      val (staged, promoted) = pairs.partition { case (tmp, _) =>
+        try fs.exists(new Path(tmp)) catch { case _: Throwable => true }
+      }
+      System.err.println(
+        s"[edf-export] job commit FAILED mid-promotion into $targetDir: " +
+          s"${promoted.size} file(s) already promoted " +
+          s"[${promoted.map(_._2).mkString(", ")}]; ${staged.size} still " +
+          s"staged under $targetDir/$stagingDir " +
+          s"[${staged.map(_._2).mkString(", ")}]. Staged files are the " +
+          s"ONLY copy of those outputs; manifest " +
+          s"${EdfBatchWrite.manifestName(queryId)} keeps readers on the " +
+          "new state. Run graft.sources.EdfExportRecovery.rollForward(" +
+          s"\"$targetDir\", hadoopConf) to complete the promotion.")
+      return
+    }
+    // No task output ever reached a final name (the manifest was never
+    // published); drop THIS query's staging tree only — a concurrent
+    // query's staging must survive. The shared root goes too iff empty
+    // (non-recursive delete, as in commit).
     val fs = new Path(targetDir).getFileSystem(conf.value)
     try {
       fs.delete(new Path(targetDir, stagingDir), true)
@@ -224,7 +280,76 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
 
 private object EdfBatchWrite {
   val TempDirName = "_temporary"
+  val ManifestPrefix = "_STAGED_MANIFEST-"
   def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  def manifestName(queryId: String): String = ManifestPrefix + sanitize(queryId)
+
+  /** Parse a staged manifest: one `stagedPath TAB finalName` line per
+    * file. Shared by the reader's redirect resolution and
+    * [[EdfExportRecovery.rollForward]].
+    */
+  def readManifest(fs: FileSystem, m: Path): Seq[(String, String)] = {
+    val len = fs.getFileStatus(m).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(m)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"malformed manifest line in $m: '${line.take(80)}'")
+        (line.substring(0, i), line.substring(i + 1))
+      }
+  }
+}
+
+/** Crash recovery for the EDF export's two-phase commit: if a job died
+  * (or was sabotaged) between publishing its `_STAGED_MANIFEST-*` and
+  * finishing promotion, the manifest + staged files survive and readers
+  * already resolve the new state through them — this helper makes that
+  * state durable by replaying the manifest. Roll-FORWARD is always
+  * correct because the manifest is only ever published after every task
+  * committed its output (the job's commit point). Idempotent: entries
+  * whose staged file is gone were already promoted.
+  */
+object EdfExportRecovery {
+
+  /** Replay every staged manifest under `targetDir`: promote staged
+    * files that still exist, then retire each manifest and its query's
+    * staging tree. Returns the final names promoted by THIS call.
+    */
+  def rollForward(targetDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target)) return Nil
+    val manifests = fs.listStatus(target).toSeq.filter(_.isFile)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(EdfBatchWrite.ManifestPrefix))
+    if (manifests.isEmpty) return Nil
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(target).toUri, conf)
+    val promoted = Seq.newBuilder[String]
+    manifests.foreach { m =>
+      EdfBatchWrite.readManifest(fs, m).foreach { case (staged, name) =>
+        val sp = new Path(staged)
+        if (fs.exists(sp)) {
+          fc.rename(fs.makeQualified(sp),
+            fs.makeQualified(new Path(target, name)),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          promoted += name
+        }
+      }
+      // This manifest's promotion is complete: retire it, then the
+      // query's staging tree (its name encodes the sanitized queryId).
+      fs.delete(m, false)
+      fs.delete(new Path(target,
+        s"${EdfBatchWrite.TempDirName}/" +
+          m.getName.stripPrefix(EdfBatchWrite.ManifestPrefix)), true)
+    }
+    try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
+    catch { case _: Throwable => () }
+    promoted.result()
+  }
 }
 
 /** Serializable executor-side factory — a case class (not an anonymous
@@ -389,16 +514,48 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new Path(pathSpec)
       val fs = p.getFileSystem(conf)
-      val files: Seq[String] =
-        if (fs.isDirectory(p))
-          fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+      val parts: Seq[EdfInputPartition] =
+        if (fs.isDirectory(p)) {
+          val listed = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+          // An in-flight (or crashed mid-promotion) export publishes a
+          // `_STAGED_MANIFEST-*` redirect table as its atomic commit
+          // point. Resolving listed names through it gives this listing
+          // a CONSISTENT view: every manifested file reads its staged
+          // copy (falling back to the final name once promoted), so a
+          // reader sees the complete new state — never a half-promoted
+          // mix of old and new files. Listings without manifests (the
+          // steady state) are untouched.
+          val redirect: Map[String, String] = listed
+            .filter(_.getName.startsWith(EdfBatchWrite.ManifestPrefix))
+            .flatMap(m => EdfBatchWrite.readManifest(fs, m)
+              .map { case (staged, name) => name -> staged })
+            .toMap
+          val dataFiles = listed.map(_.toString)
             .filter(_.toLowerCase.endsWith(".edf"))
-        else fs.globStatus(p) match {
-          case null => Seq(pathSpec)
-          case gs if gs.nonEmpty => gs.toSeq.map(_.getPath.toString)
-          case _ => Seq(pathSpec)
+          val listedNames =
+            dataFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+          val fromListing = dataFiles.map { f =>
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            redirect.get(name) match {
+              case Some(staged) => EdfInputPartition(f, Seq(staged, f))
+              case None => EdfInputPartition(f)
+            }
+          }
+          // Manifested files whose final name is not in the listing yet:
+          // a brand-new file still staged — part of the committed state.
+          val pending = redirect.toSeq.collect {
+            case (name, staged) if !listedNames.contains(name) =>
+              val logical = new Path(p, name).toString
+              EdfInputPartition(logical, Seq(staged, logical))
+          }
+          fromListing ++ pending
+        } else fs.globStatus(p) match {
+          case null => Seq(EdfInputPartition(pathSpec))
+          case gs if gs.nonEmpty =>
+            gs.toSeq.map(g => EdfInputPartition(g.getPath.toString))
+          case _ => Seq(EdfInputPartition(pathSpec))
         }
-      files.filter(pathOk).map(f => EdfInputPartition(f): InputPartition)
+      parts.filter(part => pathOk(part.path)).map(p => p: InputPartition)
         .toArray
     }
 
@@ -411,7 +568,14 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
   }
 }
 
-private case class EdfInputPartition(path: String) extends InputPartition
+/** One file to read. `path` is the LOGICAL path (what the `path` column
+  * reports and what pushdown filters match); `readPaths` are the physical
+  * candidates tried in order — non-empty only when a staged manifest
+  * redirects this file (staged copy first, promoted final as fallback, so
+  * the staged→final rename racing this reader cannot lose the file).
+  */
+private case class EdfInputPartition(path: String,
+    readPaths: Seq[String] = Nil) extends InputPartition
 
 private class EdfReaderFactory(
     required: StructType,
@@ -422,29 +586,49 @@ private class EdfReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[EdfInputPartition].path
+    val part = partition.asInstanceOf[EdfInputPartition]
+    val path = part.path
     new PartitionReader[InternalRow] {
       private val needSamples = required.fieldNames.contains("samples")
-      private lazy val rows: Iterator[InternalRow] = {
-        val p = new Path(path)
+
+      /** Whole-file read with the same cap as the ingest path: a wrong
+        * multi-GB object fails with a clear error instead of an
+        * uncatchable OOM — and getLen can no longer wrap past Int into a
+        * silently truncated read.
+        */
+      private def readWhole(c: String): Array[Byte] = {
+        val p = new Path(c)
         val fs = FileSystem.get(p.toUri, conf.value)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= graft.ingest.Ingest.MaxWholeFileBytes,
+          s"$c is $len bytes — over the " +
+            s"${graft.ingest.Ingest.MaxWholeFileBytes}-byte whole-file" +
+            " read cap; a recording this size is a wrong or corrupt " +
+            "object")
         val in = fs.open(p)
-        val bytes =
-          try {
-            // Same whole-file read cap as the ingest path: a wrong
-            // multi-GB object fails with a clear error instead of an
-            // uncatchable OOM — and getLen can no longer wrap past Int
-            // into a silently truncated read.
-            val len = fs.getFileStatus(p).getLen
-            require(len <= graft.ingest.Ingest.MaxWholeFileBytes,
-              s"$path is $len bytes — over the " +
-                s"${graft.ingest.Ingest.MaxWholeFileBytes}-byte whole-file" +
-                " read cap; a recording this size is a wrong or corrupt " +
-                "object")
-            val buf = new Array[Byte](len.toInt)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(0, buf)
+          buf
+        } finally in.close()
+      }
+
+      private lazy val rows: Iterator[InternalRow] = {
+        // Manifest-redirected partitions carry physical candidates in
+        // order (staged first, promoted final as fallback): a promotion
+        // racing this reader moves the file between them atomically, so
+        // exactly one candidate has the bytes.
+        val candidates =
+          if (part.readPaths.nonEmpty) part.readPaths else Seq(path)
+        var bytes: Array[Byte] = null
+        var i = 0
+        while (bytes == null) {
+          try bytes = readWhole(candidates(i))
+          catch {
+            case _: java.io.FileNotFoundException
+                if i < candidates.length - 1 => i += 1
+          }
+        }
         // Header-only parse suffices when samples are pruned away; a
         // pushed channel predicate narrows decode to the wanted signals.
         val edf =

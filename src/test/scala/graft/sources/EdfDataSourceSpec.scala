@@ -244,6 +244,102 @@ class EdfDataSourceSpec extends SparkSpec {
       s"staged remainder deleted by abort: $staged")
   }
 
+  test("job commit is reader-atomic: sabotage at every rename index") {
+    // The reference's warehouse load is all-or-nothing per subject with
+    // rollback (tests/test_warehouse.py:293-311). The EDF export's commit
+    // point is the atomic _STAGED_MANIFEST publish: a reader listing the
+    // directory BEFORE it sees the complete old state, one listing AFTER
+    // it resolves every manifested file through its staged copy and sees
+    // the complete new state — even when the promotion rename loop then
+    // fails at ANY index — and EdfExportRecovery.rollForward finishes the
+    // job idempotently.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    // Comparable content view through the edf source: (file, channel) ->
+    // full signal (logical `path` column, so staged redirects are
+    // transparent).
+    def view(out: String): Map[(String, String), Seq[Double]] =
+      spark.read.format("edf").option("chunk_records", "4").load(out)
+        .withColumn("file", element_at(split(col("path"), "/"), -1))
+        .groupBy("file", "channel")
+        .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
+          col("samples"))))("samples")).as("sig"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getSeq[Double](r.fieldIndex("sig")))
+        .toMap
+
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    // v2 content: same recordings, samples halved (distinct bytes).
+    def v2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("samples", transform(col("samples"), x => x * 0.5))
+    // Expected complete-new view, from a clean v2 write elsewhere.
+    val cleanOut = tmpDir("edfsink_atomic_clean")
+    v2(src).write.format("edf").mode("append").save(cleanOut)
+    val newView = view(cleanOut)
+    assert(newView.keySet.map(_._1) == Set("rec0.edf", "rec1.edf"))
+
+    (0 until 2).foreach { k =>
+      val out = tmpDir(s"edfsink_atomic$k")
+      // Old state: only the OTHER file exists in v1 form, leaving rec<k>'s
+      // final name free for the sabotage squatter (a non-empty directory
+      // a rename-overwrite cannot replace). k=0 fails before anything is
+      // promoted; k=1 fails after rec0 was promoted over its old version.
+      src.where(col("path").contains(s"rec${1 - k}"))
+        .write.format("edf").mode("append").save(out)
+      val oldView = view(out)
+      assert(oldView.keySet.map(_._1) == Set(s"rec${1 - k}.edf"))
+
+      val srcSchema = src.schema
+      // Copy INSIDE the task: the scan reuses its row buffer.
+      val rows =
+        v2(src).queryExecution.toRdd.mapPartitions(_.map(_.copy())).collect()
+      val info = new LogicalWriteInfo {
+        override def queryId(): String = s"atomic-$k"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          srcSchema
+        override def options() = CaseInsensitiveStringMap.empty()
+      }
+      val batch = new EdfDataSource().getTable(srcSchema, Array.empty,
+          java.util.Map.of("path", out))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).build().toBatch
+      val writer = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+      rows.foreach(writer.write)
+      val msg = writer.commit().asInstanceOf[EdfWriteCommit]
+      assert(msg.files.map(_._2) == Seq("rec0.edf", "rec1.edf"))
+
+      // Task-committed but job commit point not reached: readers see OLD.
+      assert(view(out) == oldView, s"k=$k: staged files leaked into reads")
+
+      val squatter = java.nio.file.Paths.get(s"$out/rec$k.edf")
+      java.nio.file.Files.createDirectories(squatter)
+      java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+      intercept[Exception](batch.commit(Array(msg)))
+      batch.abort(Array(msg)) // Spark aborts after a failed job commit
+
+      // Commit point passed: readers see the COMPLETE new state — the
+      // unsabotaged file as well as the still-staged one — never a mix.
+      assert(view(out) == newView, s"k=$k: reader saw a half-promoted mix")
+
+      // Documented crash recovery: clear the obstruction, roll forward.
+      new org.apache.hadoop.fs.Path(s"$out/rec$k.edf").getFileSystem(hconf)
+        .delete(new org.apache.hadoop.fs.Path(s"$out/rec$k.edf"), true)
+      val promoted = EdfExportRecovery.rollForward(out, hconf)
+      assert(promoted.contains(s"rec$k.edf"), s"k=$k promoted=$promoted")
+      assert(view(out) == newView, s"k=$k: rollForward lost content")
+      // Ignore the local ChecksumFileSystem's dot-file artifacts.
+      val names = listOut(out).filterNot(_.startsWith("."))
+      assert(names.toSet == Set("rec0.edf", "rec1.edf"),
+        s"k=$k: residue after recovery: $names")
+      // Idempotent: a second roll-forward is a no-op.
+      assert(EdfExportRecovery.rollForward(out, hconf).isEmpty)
+    }
+  }
+
   test("concurrent queries into one target dir keep separate staging trees") {
     // Staging is keyed by queryId: query A's commit (which clears its own
     // staging and opportunistically the shared _temporary root) must not
