@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.ingest.{Ingest, SyntheticSource}
+import graft.ingest.{Ingest, RecordingRef, SyntheticSource}
 import graft.queries.SleepQueries
 import graft.sleep.SleepModels
 
@@ -23,10 +23,20 @@ import graft.sleep.SleepModels
   * until the model DAG's window/groupBy).
   *
   * Usage: runMain graft.IngestProf [subjectCountsCsv] (default "2,20")
+  *
+  * `runMain graft.IngestProf 20,200 corrupt` runs the corrupt-corpus legs
+  * instead: a file-based ingest with a fixed 10% of subjects planted
+  * hostile (truncated payload / hostile record-count header / malformed
+  * TAL, rotating), asserting at each scale that the V8 error channel
+  * captures EXACTLY the planted subjects, the healthy subjects' epoch
+  * rows are identical to a clean-corpus run, and wall-clock tracks the
+  * healthy file volume — the scale proof that per-file failure isolation
+  * costs nothing on the happy path.
   */
 object IngestProf {
   def main(args: Array[String]): Unit = {
     val counts = args.headOption.getOrElse("2,20").split(",").map(_.toInt)
+    if (args.length > 1 && args(1) == "corrupt") return corruptMain(counts)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,6 +93,135 @@ object IngestProf {
         f"subjects=$n%3d epochs=$epochs%7d | stageSums: gen=$gen%6.2f s " +
           f"parse=$parse%6.2f s extract=$extract%6.2f s | wall: " +
           f"extract+stage=$wallExtract%6.2f s dag=$wallDag%6.2f s")
+    }
+    spark.stop()
+  }
+
+  // ------------------------------------------------- corrupt-corpus legs
+
+  private def writeFile(path: String, bytes: Array[Byte]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bytes)
+  }
+
+  /** The three hostile-file classes the parser guards reject, rotating
+    * per planted subject: truncated payload (an interrupted recording),
+    * a hostile record-count header (a ~150 GB allocation plan), and a
+    * malformed TAL onset in the hypnogram.
+    */
+  private def corrupt(s: Int, psg: Array[Byte],
+      hyp: Array[Byte]): (Array[Byte], Array[Byte]) = (s / 10) % 3 match {
+    case 0 => (psg.dropRight(150), hyp)
+    case 1 =>
+      val b = psg.clone()
+      System.arraycopy("99999999".getBytes("US-ASCII"), 0, b, 236, 8)
+      (b, hyp)
+    case _ =>
+      val b = hyp.clone()
+      val headerBytes = new String(b, 184, 8, "US-ASCII").trim.toInt
+      var i = headerBytes
+      while (i < b.length && b(i) != '+') i += 1
+      require(i + 1 < b.length, s"subject $s hypnogram has no TAL to corrupt")
+      b(i + 1) = 'q'.toByte // "+q…": a malformed onset field
+      (psg, b)
+  }
+
+  /** Corrupt-corpus scaling legs (see object doc): distributed file-based
+    * ingest over n subjects with 10% planted hostile, vs a clean run over
+    * the healthy 90%. Invariants ride along as hard requires.
+    */
+  private def corruptMain(counts: Array[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    counts.foreach { n =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_corrupt_$n").toString
+      val plantedSet = (0 until n).filter(_ % 10 == 7).toSet
+      // Distributed corpus write: every subject's clean pair, plus the
+      // corrupted variant for planted subjects (healthy files are shared
+      // between the two runs, so "byte-identical input" holds trivially
+      // and the disk cost stays ~1.1× the corpus).
+      spark.range(n).repartition(math.min(n, cpus.toInt))
+        .mapPartitions { it =>
+          it.map { s0 =>
+            val s = s0.toInt
+            val (psgB, hypB) = SyntheticSource.recording(s, 42L)
+            writeFile(s"$base/clean/psg$s.edf", psgB)
+            writeFile(s"$base/clean/hyp$s.edf", hypB)
+            if (s % 10 == 7) {
+              val (p2, h2) = corrupt(s, psgB, hypB)
+              writeFile(s"$base/bad/psg$s.edf", p2)
+              writeFile(s"$base/bad/hyp$s.edf", h2)
+            }
+            s
+          }
+        }.count()
+
+      def cleanRef(s: Int) =
+        RecordingRef(s, s"$base/clean/psg$s.edf", s"$base/clean/hyp$s.edf")
+      val healthyRefs =
+        (0 until n).filterNot(plantedSet).map(cleanRef)
+      val mixedRefs = (0 until n).map { s =>
+        if (plantedSet(s))
+          RecordingRef(s, s"$base/bad/psg$s.edf", s"$base/bad/hyp$s.edf")
+        else cleanRef(s)
+      }
+
+      // Untimed full-scale warm pass (the graft.Bench discipline): the
+      // first large run in a JVM pays the JIT/allocation cliff the
+      // measurement notes document; without this the healthy leg — which
+      // happens to run first — reads slower than the corrupt leg.
+      Ingest.extract(spark, healthyRefs).count()
+
+      // One extraction pass per corpus, written once and read back for
+      // the epoch/error split (the JobRunner discipline).
+      val tHealthy = time {
+        Ingest.extract(spark, healthyRefs)
+          .write.mode("overwrite").parquet(s"$base/healthy_raw")
+      }
+      val tMixed = time {
+        Ingest.extract(spark, mixedRefs)
+          .write.mode("overwrite").parquet(s"$base/mixed_raw")
+      }
+
+      val mixed = spark.read.parquet(s"$base/mixed_raw").as[Ingest.ExtractRow]
+      val errs = Ingest.errorsOf(mixed)
+      val errSubjects = errs.select("subject_id").distinct()
+        .as[Int].collect().toSet
+      require(errSubjects == plantedSet,
+        s"error channel caught $errSubjects, planted $plantedSet")
+      require(errs.count() == plantedSet.size,
+        "expected exactly one error row per planted subject")
+      val healthyEpochs = Ingest.epochsOf(
+        spark.read.parquet(s"$base/healthy_raw").as[Ingest.ExtractRow])
+      val mixedEpochs = Ingest.epochsOf(mixed)
+      val nEpochs = healthyEpochs.count()
+      require(mixedEpochs.count() == nEpochs,
+        "healthy-subject epoch count changed under planted corruption")
+      require(mixedEpochs.exceptAll(healthyEpochs).count() == 0 &&
+        healthyEpochs.exceptAll(mixedEpochs).count() == 0,
+        "healthy-subject epoch rows differ from the clean run")
+
+      println(f"corrupt: subjects=$n%4d planted=${plantedSet.size}%3d " +
+        f"errors=${plantedSet.size}%3d epochs=$nEpochs%8d | wall: " +
+        f"healthy-only=$tHealthy%6.2f s with-corrupt=$tMixed%6.2f s")
+
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(bp, true)
     }
     spark.stop()
   }
