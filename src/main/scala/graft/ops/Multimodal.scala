@@ -147,43 +147,149 @@ object Multimodal {
       zero_crossing_rate: Double,
       dominant_freq_hz: Double)
 
-  /** Audio decode + feature extraction: payload bytes are interpreted as
-    * PCM16 little-endian (the stub decode — swap for a real codec, keep the
-    * plumbing), features are RMS, zero-crossing rate, and the dominant
-    * frequency from the engine's own Welch PSD kernel (graft.signal.Welch —
-    * the same code path that powers EEG band extraction).
+  /** Minimal RIFF/WAVE codec for PCM16 containers — the audio analog of
+    * [[Codec]]'s `javax.imageio` front door: a real WAV payload carries
+    * its format (channels, sample rate, bit depth) in the container
+    * header, so decode takes those from the file and IGNORES the metadata
+    * columns. Strict inside [[decode]]: truncated chunks and non-PCM16
+    * formats raise catchable errors, and the bulk kernels skip the row
+    * (the [[imageFeatures]] contract). [[encode]] writes the canonical
+    * 44-byte-header mono layout.
+    */
+  object WavCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    def isWav(b: Array[Byte]): Boolean =
+      b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E'
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Decode to mono [-1, 1] samples + the CONTAINER's sample rate;
+      * multi-channel audio is downmixed by per-frame averaging. Walks the
+      * chunk list, so layouts with extra chunks between `fmt ` and `data`
+      * (LIST/INFO metadata etc.) decode too — declared sizes are checked
+      * against the bytes present before anything is read.
+      */
+    def decode(b: Array[Byte]): (Array[Double], Int) = {
+      require(isWav(b), "not a RIFF/WAVE payload")
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      var o = 12
+      while (o + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(b, o, 4, Ascii)
+        val size = u32(b, o + 4)
+        require(o + 8 + size <= b.length,
+          s"truncated WAV chunk '$id' ($size bytes declared, " +
+            s"${b.length - o - 8} present)")
+        if (id == "fmt ") { require(size >= 16, "short fmt chunk"); fmtOff = o + 8 }
+        else if (id == "data") { dataOff = o + 8; dataLen = size.toInt }
+        o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      require(fmtOff >= 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+      val fmt = u16(b, fmtOff)
+      require(fmt == 1, s"unsupported WAV format $fmt (PCM only)")
+      val channels = u16(b, fmtOff + 2)
+      val rate = u32(b, fmtOff + 4).toInt
+      val bits = u16(b, fmtOff + 14)
+      require(channels > 0 && rate > 0,
+        s"bad WAV fmt: $channels ch @ $rate Hz")
+      require(bits == 16, s"unsupported WAV bit depth $bits (PCM16 only)")
+      val frames = dataLen / (2 * channels)
+      val out = new Array[Double](frames)
+      var i = 0
+      while (i < frames) {
+        var sum = 0.0
+        var c = 0
+        while (c < channels) {
+          val off = dataOff + 2 * (i * channels + c)
+          sum += ((b(off) & 0xff) | (b(off + 1).toInt << 8)).toShort / 32768.0
+          c += 1
+        }
+        out(i) = sum / channels
+        i += 1
+      }
+      (out, rate)
+    }
+
+    /** Canonical 44-byte-header mono PCM16 WAV. */
+    def encode(samples: Array[Double], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes(Ascii)).putInt(36 + dataLen)
+      buf.put("WAVE".getBytes(Ascii))
+      buf.put("fmt ".getBytes(Ascii)).putInt(16)
+      buf.putShort(1).putShort(1) // PCM, mono
+      buf.putInt(sampleRate).putInt(sampleRate * 2)
+      buf.putShort(2).putShort(16) // block align, bits per sample
+      buf.put("data".getBytes(Ascii)).putInt(dataLen)
+      samples.foreach(v =>
+        buf.putShort((math.max(-1.0, math.min(1.0, v)) * 32767).toShort))
+      buf.array()
+    }
+  }
+
+  /** Audio decode front door shared by [[audioFeatures]] and
+    * [[audioFingerprints]]: RIFF/WAVE payloads decode through
+    * [[WavCodec]] (rate and channel layout from the container, downmixed
+    * to mono); anything else is the raw-PCM16-LE interpretation at the
+    * metadata sample rate (the synthetic fixtures). None = ineligible
+    * (no rate, not one full sample) or malformed (truncated container) —
+    * the skip contract the bulk kernels share.
+    */
+  private def decodeAudioOrNone(m: MediaRow): Option[(Array[Double], Int)] =
+    if (WavCodec.isWav(m.payload))
+      try Some(WavCodec.decode(m.payload)).filter(_._1.nonEmpty)
+      catch { case scala.util.control.NonFatal(_) => None }
+    else if (m.sample_rate > 0 && m.payload.length >= 2) {
+      val n = m.payload.length / 2
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val lo = m.payload(2 * i) & 0xff
+        val hi = m.payload(2 * i + 1).toInt
+        x(i) = (lo | (hi << 8)).toShort / 32768.0
+        i += 1
+      }
+      Some((x, m.sample_rate))
+    } else None
+
+  /** Audio decode + feature extraction: RIFF/WAVE payloads decode through
+    * [[WavCodec]] (format from the container header); other payloads are
+    * raw PCM16 little-endian at the metadata rate (the synthetic
+    * fixtures). Features are RMS, zero-crossing rate, and the dominant
+    * frequency from the engine's own Welch PSD kernel (graft.signal.Welch
+    * — the same code path that powers EEG band extraction). Reported
+    * sample_rate/n_samples are the DECODED ones. Ineligible or malformed
+    * rows are skipped ([[decodeAudioOrNone]]).
     */
   def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
-    // Eligibility, not error handling: like sample_rate > 0, a payload
-    // without one full PCM16 sample is not audio — skipping it keeps a
-    // malformed row from killing the task (Welch rejects empty signals).
-    media.filter(m => m.kind == "audio" && m.sample_rate > 0 &&
-        m.payload.length >= 2)
-      .mapPartitions(_.map { m =>
-        val n = m.payload.length / 2
-        val x = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          val lo = m.payload(2 * i) & 0xff
-          val hi = m.payload(2 * i + 1).toInt
-          x(i) = (lo | (hi << 8)).toShort / 32768.0
-          i += 1
-        }
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      decodeAudioOrNone(m).iterator.map { case (x, sr) =>
+        val n = x.length
         var sumSq = 0.0
         var crossings = 0
-        i = 0
+        var i = 0
         while (i < n) {
           sumSq += x(i) * x(i)
           if (i > 0 && (x(i) >= 0) != (x(i - 1) >= 0)) crossings += 1
           i += 1
         }
-        val psd = graft.signal.Welch.psd(x, m.sample_rate.toDouble)
+        val psd = graft.signal.Welch.psd(x, sr.toDouble)
         val peak = psd.freqs(psd.psd.indices.maxBy(psd.psd))
-        AudioFeatures(m.media_id, m.sample_rate, n,
+        AudioFeatures(m.media_id, sr, n,
           math.sqrt(sumSq / math.max(n, 1)),
           crossings.toDouble / math.max(n - 1, 1), peak)
-      })
+      }
+    })
   }
 
   /** Frame sampling for video-kind rows: every `stride`-th frame becomes its
@@ -498,38 +604,31 @@ object Multimodal {
     */
   def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    // Same eligibility floor as [[audioFeatures]]: an empty PCM payload
-    // has no spectrum to fingerprint and must not fail the task.
-    media.filter(m => m.kind == "audio" && m.sample_rate > 0 &&
-        m.payload.length >= 2)
-      .mapPartitions(_.map { m =>
-        val n = m.payload.length / 2
-        val x = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          val lo = m.payload(2 * i) & 0xff
-          val hi = m.payload(2 * i + 1).toInt
-          x(i) = (lo | (hi << 8)).toShort / 32768.0
-          i += 1
+    // Same decode front door and skip contract as [[audioFeatures]]:
+    // WAV containers carry their own rate, raw PCM uses the metadata
+    // rate, malformed/empty rows have no spectrum to fingerprint.
+    media.filter(_.kind == "audio")
+      .mapPartitions(_.flatMap { m =>
+        decodeAudioOrNone(m).iterator.map { case (x, sr) =>
+          val p = graft.signal.Welch.psd(x, sr.toDouble)
+          val nb = p.psd.length
+          var total = 0.0
+          var i = 0
+          while (i < nb) { total += p.psd(i); i += 1 }
+          val mean = total / math.max(nb, 1)
+          var fp = 0L
+          var b = 0
+          while (b < 64) {
+            val lo = b * nb / 64
+            val hi = math.max((b + 1) * nb / 64, lo + 1)
+            var s = 0.0
+            var j = lo
+            while (j < hi && j < nb) { s += p.psd(j); j += 1 }
+            if (s / (hi - lo) > mean) fp |= (1L << b)
+            b += 1
+          }
+          (m.media_id, fp)
         }
-        val p = graft.signal.Welch.psd(x, m.sample_rate.toDouble)
-        val nb = p.psd.length
-        var total = 0.0
-        i = 0
-        while (i < nb) { total += p.psd(i); i += 1 }
-        val mean = total / math.max(nb, 1)
-        var fp = 0L
-        var b = 0
-        while (b < 64) {
-          val lo = b * nb / 64
-          val hi = math.max((b + 1) * nb / 64, lo + 1)
-          var s = 0.0
-          var j = lo
-          while (j < hi && j < nb) { s += p.psd(j); j += 1 }
-          if (s / (hi - lo) > mean) fp |= (1L << b)
-          b += 1
-        }
-        (m.media_id, fp)
       }).toDF("doc_id", "simhash")
   }
 

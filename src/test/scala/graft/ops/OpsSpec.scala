@@ -577,6 +577,76 @@ class AudioSpec extends graft.SparkSpec {
     val media = Multimodal.syntheticMedia(spark, 6)
     assert(Multimodal.audioFeatures(media).count() == 0)
   }
+
+  test("WAV container round-trips: format comes from the header, not metadata") {
+    val sr = 8000
+    val x = Array.tabulate(sr)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / sr))
+    val wav = Multimodal.WavCodec.encode(x, sr)
+    // Codec-level round trip within PCM16 quantization.
+    val (y, rate) = Multimodal.WavCodec.decode(wav)
+    assert(rate == sr && y.length == sr)
+    assert(x.indices.forall(i => math.abs(x(i) - y(i)) < 1e-4))
+    // Kernel-level: metadata sample_rate deliberately WRONG (0 would make
+    // a raw-PCM row ineligible) — the container's rate must win.
+    val media = Seq(Multimodal.MediaRow(1L, "audio", wav, 0, 0, 0, 0)).toDS()
+    val f = Multimodal.audioFeatures(media).collect().head
+    assert(f.sample_rate == sr && f.n_samples == sr)
+    assert(math.abs(f.rms - 0.3536) < 0.01, s"rms ${f.rms}")
+    assert(math.abs(f.dominant_freq_hz - 440) < 32,
+      s"dominant ${f.dominant_freq_hz}")
+  }
+
+  test("WAV: stereo downmix, fingerprint parity with raw PCM, malformed skip") {
+    val sr = 4000
+    val x = Array.tabulate(sr)(i => 0.4 * math.sin(2 * math.Pi * 250 * i / sr))
+
+    // Stereo container with an extra LIST chunk between fmt and data
+    // (chunk-walk coverage); right channel = -left, so the per-frame
+    // downmix must cancel to ~0.
+    def stereoWav(l: Array[Double], r: Array[Double]): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val dataLen = l.length * 4
+      val buf = java.nio.ByteBuffer.allocate(44 + 12 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes(ascii)).putInt(48 + dataLen)
+        .put("WAVE".getBytes(ascii))
+      buf.put("fmt ".getBytes(ascii)).putInt(16).putShort(1).putShort(2)
+      buf.putInt(sr).putInt(sr * 4).putShort(4).putShort(16)
+      buf.put("LIST".getBytes(ascii)).putInt(4).put("INFO".getBytes(ascii))
+      buf.put("data".getBytes(ascii)).putInt(dataLen)
+      l.indices.foreach { i =>
+        buf.putShort((l(i) * 32767).toShort)
+        buf.putShort((r(i) * 32767).toShort)
+      }
+      buf.array()
+    }
+    val (mix, rate) = Multimodal.WavCodec.decode(stereoWav(x, x.map(-_)))
+    assert(rate == sr && mix.length == sr)
+    assert(mix.forall(v => math.abs(v) < 1e-4), "downmix of l, -l must cancel")
+
+    // Fingerprint parity: the same tone as a WAV (bogus metadata rate)
+    // and as raw PCM16 (metadata rate) must hash identically — both
+    // decode to the same samples at the same rate.
+    val pcm = new Array[Byte](sr * 2)
+    x.indices.foreach { i =>
+      val s = (x(i) * 32767).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio", Multimodal.WavCodec.encode(x, sr),
+        0, 0, 0, 0),
+      Multimodal.MediaRow(1L, "audio", pcm, 0, 0, sr, 0),
+      // Truncated container (magic intact, data clipped): skipped.
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.WavCodec.encode(x, sr).take(200), 0, 0, sr, 0)).toDS()
+    val fps = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(0L, 1L), fps.toString)
+    assert(fps(0L) == fps(1L), "WAV and raw-PCM fingerprints diverge")
+    assert(Multimodal.audioFeatures(media).collect().map(_.media_id).toSet
+      == Set(0L, 1L))
+  }
 }
 
 class IvfSpec extends graft.SparkSpec {
