@@ -331,7 +331,7 @@ object ScaleCheck {
         val suffixed = docs.select(col("source"),
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("#"), rep)), " ").as("text"))
-        val out = graft.queries.TextQueries.hllUnionStats(suffixed)
+        val out = graft.queries.TextSketchQueries.hllUnionStats(suffixed)
           .agg(count(lit(1)).as("pairs"),
             coalesce(sum("exact_inter"), lit(0L)).as("inter"))
           .head

@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import TextShared.{bigrams, round, stopwords, toks}
 
 /** Text-analysis / deduplication operators over the `documents` table — the
   * training-data-pipeline surface (north star §7.5): exact dedup, n-gram
@@ -18,16 +19,6 @@ import graft.{Q, Tables}
   * exact operator instead.
   */
 object TextQueries {
-
-  /** Shadows `functions.round`: every rounded output column in this file is
-    * zero-sign-normalized (see [[graft.Norm.rz]]); the oracle SQL mirrors
-    * with `round(x, n) + 0.0`.
-    */
-  private def round(c: Column, n: Int): Column = graft.Norm.rz(c, n)
-
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-
-  private def toks(c: Column) = split(c, " ")
 
   /** Exact dedup via content hash (north star: exact dedup at 100 TB is one
     * shuffle on the hash; the canonical row per group is min(doc_id)).
@@ -862,107 +853,6 @@ object TextQueries {
     order by t.source"""),
     "mixture sampling: √mass source weights, integer-exact targets, md5-order selection")
 
-  /** Non-distinct bigram occurrences per document: "w1 w2" strings with
-    * multiplicity, for the count-based LM queries (t22/t23). One generate
-    * per doc, no shuffle.
-    */
-  private def bigrams(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 2)," +
-          " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
-        .as("bigram"))
-
-  /** Count-based bigram language model — the statistic behind
-    * perplexity-style quality filters: corpus-wide bigram counts and the
-    * conditional probability P(w2|w1) = n(w1 w2) / n(w1 ·). One explode
-    * and one bigram shuffle build the whole model; the conditional
-    * denominator rides a window over the grouped table (rows per w1 =
-    * distinct continuations, not corpus positions), so no second
-    * aggregate-and-join pass. Integer counts; the probability is one
-    * exact division rounded at the output.
-    */
-  val t22 = Q(
-    "t22_bigram_model",
-    (s, dir) => {
-      val counts = bigrams(Tables.documents(s, dir))
-        .select(split(col("bigram"), " ").getItem(0).as("w1"), col("bigram"))
-        .groupBy("w1", "bigram").agg(count(lit(1)).as("n"))
-      counts
-        .withColumn("n_w1",
-          sum("n").over(Window.partitionBy("w1")))
-        .withColumn("p_cond", round(col("n") / col("n_w1").cast("double"), 6))
-        .select(col("bigram"), col("n"), col("n_w1").cast("long").as("n_w1"),
-          col("p_cond"))
-        .orderBy("bigram")
-    },
-    Some("""with tok as (
-      select doc_id, string_split(text, ' ') as t from documents
-      where len(string_split(text, ' ')) >= 2
-    ), bg as (
-      select doc_id, t[i] || ' ' || t[i + 1] as bigram
-      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
-      where i <= len(t) - 1
-    ), counts as (
-      select string_split(bigram, ' ')[1] as w1, bigram, count(*) as n
-      from bg group by 1, 2
-    )
-    select bigram, n,
-      cast(sum(n) over (partition by w1) as bigint) as n_w1,
-      round(n / cast(sum(n) over (partition by w1) as double), 6) + 0.0 as p_cond
-    from counts
-    order by bigram"""),
-    "bigram LM: corpus counts + conditional P(w2|w1) in one shuffle + one window")
-
-  /** Per-document cross-entropy under the corpus bigram model (t22) — the
-    * perplexity-style quality score: mean −ln P(w2|w1) over the document's
-    * bigram occurrences. The model is built and joined in one job; the
-    * join key is the bigram string, so the corpus moves twice (model
-    * build, score join) and nothing is quadratic. Docs scoring near 0 are
-    * the degenerate/repetitive ones (their transitions dominate the
-    * corpus), the same signal real LM-based filters cut on.
-    */
-  val t23 = Q(
-    "t23_cross_entropy",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bg = bigrams(docs)
-      val model = bg
-        .select(split(col("bigram"), " ").getItem(0).as("w1"), col("bigram"))
-        .groupBy("w1", "bigram").agg(count(lit(1)).as("n"))
-        .withColumn("p_cond",
-          col("n") / sum("n").over(Window.partitionBy("w1")).cast("double"))
-        .select("bigram", "p_cond")
-      bg.join(model, Seq("bigram"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log(col("p_cond"))), 6).as("cross_entropy"))
-        .orderBy("doc_id")
-    },
-    Some("""with tok as (
-      select doc_id, string_split(text, ' ') as t from documents
-      where len(string_split(text, ' ')) >= 2
-    ), bg as (
-      select doc_id, t[i] || ' ' || t[i + 1] as bigram
-      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
-      where i <= len(t) - 1
-    ), counts as (
-      select string_split(bigram, ' ')[1] as w1, bigram, count(*) as n
-      from bg group by 1, 2
-    ), model as (
-      select bigram,
-        n / cast(sum(n) over (partition by w1) as double) as p_cond
-      from counts
-    )
-    select b.doc_id, count(*) as n_bigrams,
-      round(avg(-ln(m.p_cond)), 6) + 0.0 as cross_entropy
-    from bg b join model m on b.bigram = m.bigram
-    group by b.doc_id
-    order by b.doc_id"""),
-    "LM cross-entropy: mean −ln P(w2|w1) per doc under the corpus bigram model")
-
   /** Containment dedup: documents whose ENTIRE 5-gram set appears inside
     * another document — the quote/concatenation/superset case Jaccard
     * misses (a doc embedded in one 10× its size scores j ≈ 0.1 but is
@@ -1195,151 +1085,6 @@ object TextQueries {
     from m order by doc_id"""),
     "blocklist masking: lexicon hit counts, keep verdict, masked-text md5")
 
-  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
-    * each language's documents into head/middle/tail terciles of LM
-    * cross-entropy — the cut CCNet uses to keep the well-modeled third of
-    * a crawl. Reuses the t22 corpus bigram model and the t23 per-doc
-    * scoring chain, then adds ONE per-language window. Tercile membership
-    * is decided on the ROUND-6 score with a doc_id tie-break, so a
-    * cross-engine summation ulp in the unrounded mean can't flip a
-    * document across a bucket boundary.
-    */
-  val t28 = Q(
-    "t28_ccnet_buckets",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bg = bigrams(docs)
-      val model = bg
-        .select(split(col("bigram"), " ").getItem(0).as("w1"), col("bigram"))
-        .groupBy("w1", "bigram").agg(count(lit(1)).as("n"))
-        .withColumn("p_cond",
-          col("n") / sum("n").over(Window.partitionBy("w1")).cast("double"))
-        .select("bigram", "p_cond")
-      val ce = bg.join(model, Seq("bigram"))
-        .groupBy("doc_id")
-        .agg(round(avg(-log(col("p_cond"))), 6).as("cross_entropy"))
-      val wl = Window.partitionBy("lang")
-        .orderBy(col("cross_entropy"), col("doc_id"))
-      docs.select("doc_id", "lang").join(ce, Seq("doc_id"))
-        .withColumn("nt", ntile(3).over(wl))
-        .select(col("lang"), col("doc_id"), col("cross_entropy"),
-          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy("lang", "doc_id")
-    },
-    Some("""with tok as (
-      select doc_id, string_split(text, ' ') as t from documents
-      where len(string_split(text, ' ')) >= 2
-    ), bg as (
-      select doc_id, t[i] || ' ' || t[i + 1] as bigram
-      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
-      where i <= len(t) - 1
-    ), counts as (
-      select string_split(bigram, ' ')[1] as w1, bigram, count(*) as n
-      from bg group by 1, 2
-    ), model as (
-      select bigram,
-        n / cast(sum(n) over (partition by w1) as double) as p_cond
-      from counts
-    ), ce as (
-      select b.doc_id, round(avg(-ln(m.p_cond)), 6) + 0.0 as cross_entropy
-      from bg b join model m on b.bigram = m.bigram
-      group by b.doc_id
-    ), ranked as (
-      select d.lang, c.doc_id, c.cross_entropy,
-        ntile(3) over (partition by d.lang
-          order by c.cross_entropy, c.doc_id) as nt
-      from ce c join documents d on d.doc_id = c.doc_id
-    )
-    select lang, doc_id, cross_entropy,
-      case nt when 1 then 'head' when 2 then 'middle' else 'tail' end as bucket
-    from ranked order by lang, doc_id"""),
-    "CCNet buckets: per-language head/middle/tail terciles of LM cross-entropy")
-
-  /** Logistic quality classifier — the GPT-3-style trained-filter step
-    * (Brown et al. 2020 §A; fasttext-classifier analogs in most pipeline
-    * papers), with fixed literal weights standing in for the trained
-    * model: p = sigmoid(w·x + b) over (stopword ratio, mean token length,
-    * capped length). The keep verdict is the SIGN of the linear score —
-    * all rational arithmetic evaluated in the same literal order on both
-    * engines, hence bit-identical — never the sigmoid, whose libm exp()
-    * can differ by an ulp cross-engine (the reported probability is
-    * rounded, where an ulp can't surface). Zero-shuffle projection + the
-    * output sort.
-    */
-  val t29 = Q(
-    "t29_quality_classifier",
-    (s, dir) => {
-      val t = toks(col("text"))
-      val nTok = size(t).cast("double")
-      val nStop = size(filter(t, x => x.isInCollection(stopwords)))
-        .cast("double")
-      val meanTokLen =
-        (length(col("text")) - (size(t) - 1)).cast("double") / nTok
-      val score = lit(-1.5) + (nStop / nTok) * lit(4.0) +
-        meanTokLen * lit(0.2) + least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          round(score, 6).as("score"),
-          round(lit(1.0) / (lit(1.0) + exp(-score)), 6).as("p_keep"),
-          (score >= 0.0).as("keep"))
-        .orderBy("doc_id")
-    },
-    Some(s"""with f as (
-      select doc_id,
-        cast(len(string_split(text, ' ')) as double) as n_tok,
-        cast(len(list_filter(string_split(text, ' '),
-          x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))
-          as double) as n_stop,
-        cast(length(text) - (len(string_split(text, ' ')) - 1) as double)
-          / cast(len(string_split(text, ' ')) as double) as mean_tok_len
-      from documents
-    ), scored as (
-      select doc_id,
-        -1.5 + (n_stop / n_tok) * 4.0 + mean_tok_len * 0.2
-          + least(n_tok / 100.0, cast(1.0 as double)) * 0.5 as score
-      from f
-    )
-    select doc_id,
-      round(score, 6) + 0.0 as score,
-      round(1.0 / (1.0 + exp(-score)), 6) + 0.0 as p_keep,
-      score >= 0.0 as keep
-    from scored order by doc_id"""),
-    "logistic quality classifier: sigmoid score + exact-sign keep verdict")
-
-  /** BPE vocabulary induction, first step (Sennrich et al. 2016): corpus
-    * frequencies of adjacent character pairs within words — the statistic
-    * whose argmax becomes the first merge rule. A full BPE train is this
-    * step iterated with re-tokenization; the per-iteration shape (explode
-    * to symbol pairs, one count shuffle, global top-k) is what has to
-    * scale, and the top-k rides a TakeOrdered, never a full sort. Total
-    * order (count desc, pair asc) makes the cut deterministic.
-    */
-  val t30 = Q(
-    "t30_bpe_merges",
-    (s, dir) => {
-      val words = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
-      words
-        .select(explode(expr(
-          "transform(sequence(1, length(w) - 1)," +
-            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(20)
-    },
-    Some("""with w as (
-      select unnest(string_split(text, ' ')) as w from documents
-    ), p as (
-      select substr(w, i, 1) || substr(w, i + 1, 1) as pair
-      from (select w, unnest(range(1, length(w))) as i from w) s
-    )
-    select pair, count(*) as n from p group by pair
-    order by n desc, pair limit 20"""),
-    "BPE induction: top-20 adjacent character-pair frequencies (first merge step)")
-
   /** Duplicated-substring coverage (the ExactSubstr dedup statistic of Lee
     * et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): for every document, the fraction of its tokens covered by a
@@ -1391,74 +1136,6 @@ object TextQueries {
     from documents d left join cov c using (doc_id)
     order by d.doc_id"""),
     "ExactSubstr dedup: per-doc coverage fraction of cross-doc 10-token spans")
-
-  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"): per-document
-    * log-importance sum(ln p_target(w) − ln p_general(w)) under add-one
-    * unigram models, target = lang 'en', general = whole corpus, then a
-    * deterministic top-100 selection on the ROUNDED weight (rank ties
-    * broken by doc_id so both engines cut identically). One token explode
-    * builds the shared vocabulary model; the scoring join moves tokens
-    * once on the word key; the totals ride a 3-number broadcast. The
-    * global pick_rank is [[graft.ops.Ranks.globalRowNumber]] — a range-
-    * partitioned parallel sort + zipWithIndex, NOT a single-partition
-    * window, so ranking the whole corpus stays distributed at 100 TB.
-    */
-  val t32 = Q(
-    "t32_dsir_weights",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val tokens = docs.select(col("doc_id"), col("lang"),
-        explode(toks(col("text"))).as("w"))
-      val model = tokens.groupBy("w").agg(
-        count(lit(1)).as("n_all"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
-      val tot = model.agg(
-        sum("n_all").as("big_n_all"), sum("n_tgt").as("big_n_tgt"),
-        count(lit(1)).as("vocab"))
-      val perTok =
-        log((col("n_tgt") + lit(1.0)) / (col("big_n_tgt") + col("vocab"))) -
-          log((col("n_all") + lit(1.0)) / (col("big_n_all") + col("vocab")))
-      val scored = tokens.join(model, Seq("w"))
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(sum(perTok), 6).as("log_weight"))
-      graft.ops.Ranks.globalRowNumber(
-          docs.select("doc_id", "lang").join(scored, Seq("doc_id")),
-          Seq(col("log_weight").desc, col("doc_id")), "pick_rank")
-        .withColumn("selected", col("pick_rank") <= 100)
-        .select("doc_id", "lang", "n_tokens", "log_weight", "pick_rank",
-          "selected")
-        .orderBy("doc_id")
-    },
-    Some("""with tokens as (
-      select doc_id, lang, unnest(string_split(text, ' ')) as w
-      from documents
-    ), model as (
-      select w, count(*) as n_all,
-        sum(case when lang = 'en' then 1 else 0 end) as n_tgt
-      from tokens group by w
-    ), tot as (
-      select sum(n_all) as big_n_all, sum(n_tgt) as big_n_tgt,
-        count(*) as vocab
-      from model
-    ), scored as (
-      select t.doc_id, count(*) as n_tokens,
-        round(sum(
-          ln((m.n_tgt + 1.0) / (tt.big_n_tgt + tt.vocab)) -
-          ln((m.n_all + 1.0) / (tt.big_n_all + tt.vocab))), 6) + 0.0
-          as log_weight
-      from tokens t join model m on t.w = m.w cross join tot tt
-      group by t.doc_id
-    )
-    select d.doc_id, d.lang, s.n_tokens, s.log_weight,
-      row_number() over (order by s.log_weight desc, d.doc_id) as pick_rank,
-      row_number() over (order by s.log_weight desc, d.doc_id) <= 100
-        as selected
-    from documents d join scored s using (doc_id)
-    order by d.doc_id"""),
-    "DSIR importance weights: add-one unigram log-ratio + deterministic top-100 cut")
 
   /** Winnowing-style fingerprint near-dup (Schleimer et al. 2003, the MOSS
     * scheme): each document keeps only the 5-grams whose md5 is the strict
@@ -1663,256 +1340,6 @@ object TextQueries {
     order by tagged_lang, predicted_lang"""),
     "classifier audit: langid confusion matrix + per-class recall shares")
 
-  /** Token-level Shannon entropy per document — the continuous
-    * generalization of t26's distinct-ratio/top-mass repetition rules: a
-    * low-entropy doc is dominated by few token types (boilerplate, spam
-    * keyword stuffing), a max-entropy doc never repeats one. Zero-shuffle:
-    * the whole computation is codegen'd array HOFs inside one projection
-    * (counts via distinct×filter — O(n·d) per doc on ~60-token docs; a
-    * corpus-scaled variant would explode+count, paying one shuffle).
-    * Determinism: the per-type counts are SORTED before the entropy fold,
-    * so both engines add identical terms in identical order; equal counts
-    * contribute equal addends, so peer order inside the sort can't change
-    * the sum. `entropy_ratio` normalizes by ln(n) (the max achievable when
-    * every token is distinct); the keep gate thresholds the round-6 value
-    * so membership can't flip on a last-ulp double.
-    */
-  val t36 = Q(
-    "t36_token_entropy",
-    (s, dir) => {
-      val t = toks(col("text"))
-      val n = size(t).cast("double")
-      val cnts = array_sort(
-        transform(array_distinct(t), x => size(filter(t, y => y === x))))
-      val ent = -aggregate(cnts, lit(0.0),
-        (acc, c) => acc + (c.cast("double") / n) * log(c.cast("double") / n))
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          size(t).as("n_tokens"),
-          round(ent, 6).as("token_entropy"),
-          when(n > 1.0, round(ent / log(n), 6)).otherwise(lit(0.0))
-            .as("entropy_ratio"))
-        .withColumn("keep",
-          (col("token_entropy") >= 2.0) && (col("entropy_ratio") >= 0.5))
-        .orderBy("doc_id")
-    },
-    Some("""with t as (
-      select doc_id, string_split(text, ' ') as toks from documents
-    ), c as (
-      select doc_id, cast(len(toks) as double) as n,
-        list_sort(list_transform(list_distinct(toks),
-          x -> len(list_filter(toks, y -> y = x)))) as cnts
-      from t
-    ), e as (
-      select doc_id, n,
-        -list_sum(list_transform(cnts,
-          c -> (c / n) * ln(c / n))) as ent
-      from c
-    )
-    select doc_id, cast(n as int) as n_tokens,
-      round(ent, 6) + 0.0 as token_entropy,
-      case when n > 1 then round(ent / ln(n), 6) + 0.0
-           else 0.0 end as entropy_ratio,
-      (round(ent, 6) + 0.0 >= 2.0)
-        and (case when n > 1 then round(ent / ln(n), 6) + 0.0
-             else 0.0 end >= 0.5) as keep
-    from e
-    order by doc_id"""),
-    "token-entropy quality gate: zero-shuffle Shannon entropy per doc")
-
-  /** BPE tokenizer APPLY — the second half of the t30 induction step: take
-    * the learned merge table and re-tokenize the corpus with it, the
-    * everyday operation of every LLM data pipeline (tokenize-and-count
-    * before packing/pricing a training run).
-    *
-    * The merge ranks (t30's top-20 pair statistics, ordered count desc /
-    * pair asc) are staged once; both engines then apply them in rank order
-    * (learn/apply kernels in [[graft.ops.Bpe]], shared with ScaleCheck's
-    * bpe leg).
-    * The segmentation kernel is PURE column expressions — no UDF, no
-    * mapPartitions: a document is lifted to a delimited symbol string
-    * (every char wrapped as ␁c␂), and one merge pass IS `replace(s,
-    * '␁a␂␁b␂', '␁ab␂')` — `replace` scans left-to-right over
-    * non-overlapping occurrences in both Spark (`UTF8String.replace`) and
-    * DuckDB, which is exactly BPE's within-pass greedy semantics, and the
-    * ␁/␂ token delimiters make "a ends a token AND b is the whole next
-    * token" a plain substring match (no partial-token false merges).
-    * The 20-rule cascade is a `aggregate()` fold over the broadcast merge
-    * array — per-row work is rules × doc length, embarrassingly parallel,
-    * no shuffle until the count aggregations.
-    *
-    * Output: per-doc token count / type count and the doc's dominant token
-    * with its corpus vocabulary id. Vocabulary ids come from a sorted
-    * vocab ARRAY (freq desc, token asc) built by `sort_array(collect_list)`
-    * over the tiny post-merge vocabulary (≤ alphabet + 20 merges) —
-    * deliberately NOT a corpus-global row_number window. Word boundaries
-    * need no special casing: spaces become ␁ ␂ symbols no rule ever
-    * matches. Oracle: a recursive CTE replays the same 20 replaces in rank
-    * order from the same staged merge table.
-    */
-  /** Interpolated Kneser-Ney bigram perplexity per document — the
-    * production form of LM-based quality filtering (public literature:
-    * Kneser & Ney 1995; the CCNet pipeline filters on exactly this style
-    * of LM perplexity). t23 scores documents with the MLE conditional
-    * model; KN replaces raw MLE with absolute discounting (D = 0.75)
-    * interpolated with the CONTINUATION unigram
-    * `P_cont(w2) = |distinct left contexts of w2| / |bigram types|` — the
-    * smoothing that makes an LM score usable on text the raw counts
-    * under-represent. Scale shape: the model is three hash aggregations
-    * over bigram TYPES (c(w1 w2), per-w1 totals + follower-type counts,
-    * per-w2 context-type counts) + one scalar type count broadcast; the
-    * per-doc pass is one bigram-keyed join + per-doc aggregate — no
-    * windows, no quadratic step. Both engines compute the probability
-    * with the identical expression tree (integer counts in, one double
-    * expression out), so only the per-doc mean needs the round-before-
-    * output discipline.
-    */
-  val t38 = Q(
-    "t38_kneser_ney",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bg = bigrams(docs).persist()
-      val types = bg
-        .select(split(col("bigram"), " ").getItem(0).as("w1"),
-          split(col("bigram"), " ").getItem(1).as("w2"), col("bigram"))
-        .groupBy("w1", "w2", "bigram").agg(count(lit(1)).as("c12"))
-      val left = types.groupBy("w1")
-        .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
-      val right = types.groupBy("w2").agg(count(lit(1)).as("n1b"))
-      val totalTypes = broadcast(
-        types.agg(count(lit(1)).cast("double").as("tt")))
-      val model = types
-        .join(left, "w1").join(right, "w2").crossJoin(totalTypes)
-        .select(col("bigram"),
-          ((greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) +
-            lit(0.75) * col("n1f") * (col("n1b") / col("tt"))) / col("c1"))
-            .as("p"))
-      bg.join(model, "bigram")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          graft.Norm.rz(exp(avg(-log(col("p")))), 4).as("kn_perplexity"))
-        .orderBy("doc_id")
-    },
-    Some("""with tok as (
-      select doc_id, string_split(text, ' ') as t from documents
-      where len(string_split(text, ' ')) >= 2
-    ), bg as (
-      select doc_id, t[i] || ' ' || t[i + 1] as bigram
-      from (select doc_id, t, generate_subscripts(t, 1) as i from tok) s
-      where i <= len(t) - 1
-    ), types as (
-      select string_split(bigram, ' ')[1] as w1,
-        string_split(bigram, ' ')[2] as w2, bigram, count(*) as c12
-      from bg group by 1, 2, 3
-    ), lft as (
-      select w1, sum(c12) as c1, count(*) as n1f from types group by w1
-    ), rgt as (
-      select w2, count(*) as n1b from types group by w2
-    ), total as (
-      select count(*)::double as tt from types
-    ), model as (
-      select t.bigram,
-        (greatest(t.c12::double - 0.75, 0.0) +
-          0.75 * l.n1f * (r.n1b / total.tt)) / l.c1 as p
-      from types t
-      join lft l using (w1)
-      join rgt r using (w2)
-      cross join total
-    )
-    select b.doc_id, count(*) as n_bigrams,
-      round(exp(avg(-ln(m.p))), 4) + 0.0 as kn_perplexity
-    from bg b join model m using (bigram)
-    group by b.doc_id
-    order by b.doc_id"""),
-    "text: interpolated Kneser-Ney bigram perplexity per doc (LM quality filter)")
-
-  val t37 = Q(
-    "t37_bpe_apply",
-    (s, dir) => {
-      // t30's merge statistic, staged as the shared merge table; the
-      // learn/apply kernels live in ops.Bpe (shared with ScaleCheck).
-      val staged = graft.Stage.through(
-        graft.ops.Bpe.mergeStats(Tables.documents(s, dir), "text", 20),
-        dir, "t37_merges")
-      // repartitionTo: the test parquet is one unsplittable row group, so
-      // the fold needs an explicit fan-out to use the machine (see Bpe).
-      val docTokens = graft.ops.Bpe.applyTokens(
-        Tables.documents(s, dir), "text", staged,
-        repartitionTo = s.sparkContext.defaultParallelism)
-      val perDocTok = docTokens.groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("cnt"))
-      val perDoc = perDocTok.groupBy("doc_id")
-        .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"))
-      val top = perDocTok
-        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
-          .orderBy(col("cnt").desc, col("token"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("token").as("top_token"),
-          col("cnt").as("top_n"))
-      // Corpus vocabulary as a sorted array (freq desc, token asc); the
-      // token's 1-based position is its id. Bounded by construction:
-      // |vocab| ≤ distinct chars + 20 merge products.
-      val vocab = docTokens.groupBy("token").agg(count(lit(1)).as("vn"))
-        .agg(sort_array(collect_list(
-          struct((-col("vn")).as("negn"), col("token").as("t")))).as("v"))
-      perDoc.join(top, "doc_id")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), col("n_tokens"), col("n_types"),
-          col("top_token"), col("top_n"),
-          expr("array_position(transform(v, x -> x.t), top_token)")
-            .as("top_token_id"))
-        .orderBy("doc_id")
-    },
-    Some(s"""with recursive m as (
-      select pair, row_number() over (order by n desc, pair) as rank
-      from ${graft.Stage.sqlPath("t37_merges")}
-    ), seg as (
-      select doc_id,
-        regexp_replace(text, '(.)', chr(1) || '\\1' || chr(2), 'g') as s,
-        0 as k
-      from documents
-      union all
-      select seg.doc_id,
-        replace(seg.s,
-          chr(1) || substr(m.pair, 1, 1) || chr(2)
-            || chr(1) || substr(m.pair, 2, 1) || chr(2),
-          chr(1) || m.pair || chr(2)),
-        seg.k + 1
-      from seg join m on m.rank = seg.k + 1
-    ), tok as (
-      select doc_id, t
-      from (select doc_id,
-              unnest(string_split(
-                substr(s, 2, greatest(length(s) - 2, 0)),
-                chr(2) || chr(1))) as t
-            from seg where k = (select count(*) from m)) z
-      where t <> ' ' and t <> ''
-    ), dt as (
-      select doc_id, t, count(*) as cnt from tok group by 1, 2
-    ), vocab as (
-      select t, row_number() over (order by count(*) desc, t) as tid
-      from tok group by t
-    ), top as (
-      select doc_id, t as top_token, cnt as top_n
-      from (select doc_id, t, cnt,
-              row_number() over (partition by doc_id
-                                 order by cnt desc, t) as rn
-            from dt) z
-      where rn = 1
-    ), agg as (
-      select doc_id, cast(sum(cnt) as bigint) as n_tokens,
-        count(*) as n_types
-      from dt group by 1
-    )
-    select a.doc_id, a.n_tokens, a.n_types, t.top_token, t.top_n,
-      v.tid as top_token_id
-    from agg a
-    join top t on a.doc_id = t.doc_id
-    join vocab v on v.t = t.top_token
-    order by a.doc_id"""),
-    "BPE apply: staged merge ranks re-tokenize the corpus as a replace-fold")
-
   /** Spelling-variant mining over the corpus vocabulary (OCR/typo cleanup:
     * surface forms within edit distance 2 of each other, with their corpus
     * frequencies — the candidate table a normalization pass consumes). The
@@ -1957,757 +1384,16 @@ object TextQueries {
     order by tok_a, tok_b"""),
     "vocabulary spelling-variant mining: SymSpell deletion-neighborhood join vs brute-force oracle")
 
-  /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
-    * bounded-memory frequency estimator a 100 TB token stream needs: d×w
-    * counters TOTAL (here 4×64) regardless of vocabulary size, each cell a
-    * sum — so the sketch builds in one pass with map-side partial
-    * aggregation to ≤d·w partials per partition and merges across
-    * executors/days by cell-wise addition. estimate(t) = min over rows of
-    * cell(k, h_k(t)) ≥ true count, always an overestimate. The query
-    * reports the true top-10 tokens with exact count, CM estimate and the
-    * overestimate (collision mass). Cells are derived from the exact vocab
-    * counts (mathematically identical to hashing every occurrence, fewer
-    * rows); the hash is a cross-engine md5-prefix integer so the DuckDB
-    * oracle rebuilds the ENTIRE sketch independently — no staging.
-    */
-  val t40 = Q(
-    "t40_countmin_heavy_hitters",
-    (s, dir) => {
-      val depth = 4
-      val width = 64
-      val md5int = (c: Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val vocab = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy("tok").agg(count(lit(1)).as("n"))
-      val buck = vocab
-        .select(col("tok"), col("n"),
-          explode(array((0 until depth).map(lit): _*)).as("k"))
-        .withColumn("bucket",
-          pmod(md5int(concat_ws(":", col("k"), col("tok"))), lit(width)))
-      val cells = buck.groupBy("k", "bucket").agg(sum("n").as("cell"))
-      val est = buck.join(cells, Seq("k", "bucket"))
-        .groupBy("tok").agg(min("cell").as("cm_est"))
-      val ranked = vocab.withColumn("rn",
-        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
-        .filter(col("rn") <= 10)
-      ranked.join(est, "tok")
-        .select(col("tok"), col("n").as("exact_n"), col("cm_est"),
-          (col("cm_est") - col("n")).as("overestimate"), col("rn"))
-        .orderBy("rn")
-    },
-    Some("""with tok as (
-      select unnest(string_split(text, ' ')) as tok from documents
-    ), vocab as (
-      select tok, count(*) as n from tok where tok <> '' group by tok
-    ), buck as (
-      select v.tok, v.n, k.k,
-        (('0x' || substr(md5(k.k || ':' || v.tok), 1, 15))::bigint % 64)
-          as bucket
-      from vocab v, (select unnest([0, 1, 2, 3]) as k) k
-    ), cells as (
-      select k, bucket, sum(n) as cell from buck group by k, bucket
-    ), est as (
-      select b.tok, min(c.cell) as cm_est
-      from buck b join cells c on c.k = b.k and c.bucket = b.bucket
-      group by b.tok
-    ), ranked as (
-      select tok, n, row_number() over (order by n desc, tok) as rn
-      from vocab
-    )
-    select r.tok, r.n as exact_n, e.cm_est::bigint as cm_est,
-      (e.cm_est - r.n)::bigint as overestimate, r.rn
-    from ranked r join est e on e.tok = r.tok
-    where r.rn <= 10
-    order by r.rn"""),
-    "corpus sketching: Count-Min heavy hitters (cross-engine md5 hash, overestimate audit)")
-
-  /** HyperLogLog approximate distinct (Flajolet et al. 2007), the sketch a
-    * 100 TB pipeline uses wherever `count(distinct)` would shuffle the full
-    * key set: per source, m=64 registers over a cross-engine md5-prefix
-    * hash, reported against the exact distinct with relative error.
-    *
-    * Everything up to the final division is INTEGER-exact so the DuckDB
-    * oracle rebuilds the whole sketch bit-for-bit: bucket = low 6 hash
-    * bits; rho = 1-indexed position of the leftmost 1 in the remaining
-    * 54-bit window, computed as 55 − bit_length(w) (binary-string length,
-    * no float log2 — exact at power-of-two boundaries); the harmonic-mean
-    * denominator Σ 2^(−M_j) is kept scaled by 2^55 as a BIGINT (each term
-    * 2^(55−M_j) ≤ 2^55, 64 terms ≤ 2^61 — no FP addition-order hazard),
-    * with the 64−n_occupied empty registers contributing 2^55 each. The
-    * single double division at the end has identical operand order in both
-    * engines. α₆₄ = 0.709 (the paper's constant for m = 64).
-    *
-    * Scale shape: one distinct on (source, token), then one (source,
-    * bucket)-keyed max and one per-source rollup — registers are 64 rows
-    * per source regardless of corpus size, which is the entire point.
-    */
-  val t41 = Q(
-    "t41_hll_distinct",
-    (s, dir) => {
-      val md5int = (c: Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val vocab = Tables.documents(s, dir)
-        .select(col("source"), explode(toks(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .distinct()
-      val rhos = vocab
-        .select(col("source"), md5int(col("tok")).as("h"))
-        .select(col("source"),
-          col("h").bitwiseAND(lit(63L)).as("bucket"),
-          shiftright(col("h"), 6).as("w"))
-        .select(col("source"), col("bucket"),
-          when(col("w") === 0, lit(55))
-            .otherwise(lit(55) - length(conv(col("w"), 10, 2)))
-            .as("rho"))
-      val perSource = rhos.groupBy("source", "bucket")
-        .agg(max("rho").as("reg"))
-        .groupBy("source")
-        .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).as("s_occ"),
-          count(lit(1)).as("n_occ"))
-      val exact = vocab.groupBy("source")
-        .agg(count(lit(1)).as("exact_distinct"))
-      val sTotal = (col("s_occ") +
-        (lit(64L) - col("n_occ")) * lit(36028797018963968L)).cast("double")
-      val est = lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55)) / sTotal
-      exact.join(perSource, "source")
-        .select(col("source"), col("exact_distinct"),
-          (lit(64L) - col("n_occ")).as("zero_registers"),
-          round(est, 4).as("hll_est"),
-          round((est - col("exact_distinct")) / col("exact_distinct"), 4)
-            .as("rel_err"))
-        .orderBy("source")
-    },
-    Some("""with tok0 as (
-      select source, unnest(string_split(text, ' ')) as tok from documents
-    ), vocab as (
-      select distinct source, tok from tok0 where tok <> ''
-    ), hashed as (
-      select source, ('0x' || substr(md5(tok), 1, 15))::bigint as h
-      from vocab
-    ), rhos as (
-      select source, (h & 63) as bucket,
-        case when (h >> 6) = 0 then 55
-             else 55 - length(bin(h >> 6)) end as rho
-      from hashed
-    ), regs as (
-      select source, bucket, max(rho) as reg
-      from rhos group by source, bucket
-    ), per_source as (
-      select source,
-        sum((1::bigint << (55 - reg)))::bigint as s_occ,
-        count(*) as n_occ
-      from regs group by source
-    ), exact as (
-      select source, count(*) as exact_distinct from vocab group by source
-    )
-    select e.source, e.exact_distinct,
-      (64 - p.n_occ) as zero_registers,
-      round(0.709 * 4096.0 * pow(2.0, 55) /
-        ((p.s_occ + (64 - p.n_occ) * 36028797018963968)::double), 4) + 0.0
-        as hll_est,
-      round((0.709 * 4096.0 * pow(2.0, 55) /
-          ((p.s_occ + (64 - p.n_occ) * 36028797018963968)::double)
-          - e.exact_distinct) / e.exact_distinct, 4) + 0.0 as rel_err
-    from exact e join per_source p using (source)
-    order by source"""),
-    "corpus sketching: HyperLogLog distinct-token estimate vs exact, integer-exact registers")
-
-  /** HLL register MERGE — the property that makes sketches the 100 TB tool:
-    * per-source registers (t41's construction) combine into any union by a
-    * bucket-wise max, so |A ∪ B| costs 64 rows per side instead of a
-    * re-scan, and |A ∩ B| falls out by inclusion–exclusion
-    * (est_a + est_b − est_union). Every source pair is scored both ways.
-    * The vocabulary is scanned ONCE (persisted) and everything derives from
-    * it: the sketch path touches only the (source, bucket, reg) table — 64
-    * rows/source regardless of corpus size — the exact intersection is the
-    * one vocab self-join the ground truth genuinely needs, and the exact
-    * union falls out by inclusion–exclusion from per-source exact counts
-    * (|A|+|B|−|A∩B|) instead of a second pair-fanned vocab scan. The DuckDB
-    * oracle deliberately keeps the direct union-distinct construction, so
-    * the cross-engine compare independently checks the identity. Pair
-    * fan-out is a single broadcast of the source list against the tiny
-    * register table (least/greatest orders the pair), never an OR-condition
-    * nested loop; all post-aggregate assembly joins are broadcast (row
-    * counts bounded by #sources²). Integer-exact register arithmetic as t41.
-    */
-  /** t42's kernel on an arbitrary `(source, text)` frame — shared by the
-    * registry query and ScaleCheck's `hll_union` decade leg. Persists its
-    * vocab and register scans (the single-scan property the replan is
-    * built on); a caller that loops over growing inputs should clear the
-    * cache between calls.
-    */
-  def hllUnionStats(docs: DataFrame): DataFrame = {
-      val md5int = (c: Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val vocab = docs
-        .select(col("source"), explode(toks(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .distinct()
-        .persist()
-      val regs = vocab
-        .select(col("source"), md5int(col("tok")).as("h"))
-        .select(col("source"),
-          col("h").bitwiseAND(lit(63L)).as("bucket"),
-          shiftright(col("h"), 6).as("w"))
-        .select(col("source"), col("bucket"),
-          when(col("w") === 0, lit(55))
-            .otherwise(lit(55) - length(conv(col("w"), 10, 2)))
-            .as("rho"))
-        .groupBy("source", "bucket").agg(max("rho").as("reg"))
-        .persist()
-      val term = expr("shiftleft(cast(1 as bigint), 55 - reg)")
-      def estOf(sOcc: Column, nOcc: Column): Column =
-        lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55)) /
-          (sOcc + (lit(64L) - nOcc) * lit(36028797018963968L)).cast("double")
-      // Per-source sketch registers AND exact distinct counts off the same
-      // persisted scans — one tiny frame, broadcast into the assembly.
-      val srcStats = regs.groupBy("source")
-        .agg(sum(term).as("s_occ"), count(lit(1)).as("n_occ"))
-        .join(vocab.groupBy("source").agg(count(lit(1)).as("n_exact")),
-          "source")
-      // Pair fan-out: each register row pairs with every OTHER source via
-      // one broadcast join; (least, greatest) canonicalizes the pair key,
-      // so rows from both members land under the same (sa, sb).
-      val others = regs.select("source").distinct()
-        .withColumnRenamed("source", "other")
-      val unionEst = regs
-        .join(broadcast(others), col("source") =!= col("other"))
-        .select(least(col("source"), col("other")).as("sa"),
-          greatest(col("source"), col("other")).as("sb"),
-          col("bucket"), col("reg"))
-        .groupBy("sa", "sb", "bucket").agg(max("reg").as("reg"))
-        .groupBy("sa", "sb")
-        .agg(sum(term).as("s_u"), count(lit(1)).as("n_u"))
-      val exactInter = vocab.as("x")
-        .join(vocab.as("y"),
-          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
-        .agg(count(lit(1)).as("n_inter"))
-      val pa = srcStats.select(col("source").as("sa"),
-        col("s_occ").as("s_a"), col("n_occ").as("n_a"),
-        col("n_exact").as("x_a"))
-      val pb = srcStats.select(col("source").as("sb"),
-        col("s_occ").as("s_b"), col("n_occ").as("n_b"),
-        col("n_exact").as("x_b"))
-      unionEst
-        .join(broadcast(exactInter), Seq("sa", "sb"), "left")
-        .join(broadcast(pa), "sa").join(broadcast(pb), "sb")
-        .select(col("sa"), col("sb"),
-          (col("x_a") + col("x_b") - coalesce(col("n_inter"), lit(0L)))
-            .as("exact_union"),
-          coalesce(col("n_inter"), lit(0L)).as("exact_inter"),
-          round(estOf(col("s_u"), col("n_u")), 4).as("hll_union"),
-          round(estOf(col("s_a"), col("n_a")) + estOf(col("s_b"), col("n_b"))
-            - estOf(col("s_u"), col("n_u")), 4).as("hll_inter"))
-        .orderBy("sa", "sb")
-  }
-
-  val t42 = Q(
-    "t42_hll_union",
-    (s, dir) => hllUnionStats(Tables.documents(s, dir)),
-    Some("""with tok0 as (
-      select source, unnest(string_split(text, ' ')) as tok from documents
-    ), vocab as (
-      select distinct source, tok from tok0 where tok <> ''
-    ), rhos as (
-      select source, (h & 63) as bucket,
-        case when (h >> 6) = 0 then 55
-             else 55 - length(bin(h >> 6)) end as rho
-      from (select source, ('0x' || substr(md5(tok), 1, 15))::bigint as h
-            from vocab)
-    ), regs as (
-      select source, bucket, max(rho) as reg
-      from rhos group by source, bucket
-    ), per_src as (
-      select source, sum((1::bigint << (55 - reg)))::bigint as s_occ,
-        count(*) as n_occ
-      from regs group by source
-    ), pairs as (
-      select a.source as sa, b.source as sb
-      from (select distinct source from vocab) a
-      join (select distinct source from vocab) b on a.source < b.source
-    ), pair_regs as (
-      select p.sa, p.sb, r.bucket, r.reg
-      from regs r join pairs p on r.source = p.sa
-      union all
-      select p.sa, p.sb, r.bucket, r.reg
-      from regs r join pairs p on r.source = p.sb
-    ), union_est as (
-      select sa, sb, sum((1::bigint << (55 - reg)))::bigint as s_u,
-        count(*) as n_u
-      from (select sa, sb, bucket, max(reg) as reg
-            from pair_regs group by sa, sb, bucket)
-      group by sa, sb
-    ), exact_union as (
-      select sa, sb, count(*) as exact_union from (
-        select distinct sa, sb, tok from (
-          select p.sa, p.sb, v.tok
-          from vocab v join pairs p on v.source = p.sa
-          union all
-          select p.sa, p.sb, v.tok
-          from vocab v join pairs p on v.source = p.sb))
-      group by sa, sb
-    ), exact_inter as (
-      select x.source as sa, y.source as sb, count(*) as n_inter
-      from vocab x join vocab y
-        on x.tok = y.tok and x.source < y.source
-      group by x.source, y.source
-    )
-    select u.sa, u.sb, u.exact_union,
-      coalesce(i.n_inter, 0) as exact_inter,
-      round(0.709 * 4096.0 * pow(2.0, 55) /
-        ((e.s_u + (64 - e.n_u) * 36028797018963968)::double), 4) + 0.0
-        as hll_union,
-      round(0.709 * 4096.0 * pow(2.0, 55) /
-          ((pa.s_occ + (64 - pa.n_occ) * 36028797018963968)::double)
-        + 0.709 * 4096.0 * pow(2.0, 55) /
-          ((pb.s_occ + (64 - pb.n_occ) * 36028797018963968)::double)
-        - 0.709 * 4096.0 * pow(2.0, 55) /
-          ((e.s_u + (64 - e.n_u) * 36028797018963968)::double), 4) + 0.0
-        as hll_inter
-    from exact_union u
-    left join exact_inter i on i.sa = u.sa and i.sb = u.sb
-    join per_src pa on pa.source = u.sa
-    join per_src pb on pb.source = u.sb
-    join union_est e on e.sa = u.sa and e.sb = u.sb
-    order by u.sa, u.sb"""),
-    "corpus sketching: HLL register merge — pairwise union + inclusion-exclusion intersection")
-
-  /** Quantile estimation from a DETERMINISTIC hash sample — the 100 TB
-    * length-distribution audit. Spark's exact `percentile` buffers every
-    * value per group; at corpus scale the standard move is a fixed-rate
-    * sample whose membership is a pure function of the key (md5(doc_id) %
-    * 100 < 10), so the sample is reproducible across runs/engines, needs no
-    * RNG state, and bounds the percentile buffer at 10% of the group. Both
-    * the exact and the sampled p50/p90/p99 ship per source, with the
-    * relative error the estimate carries — the number that tells a pipeline
-    * owner whether the cheap path is good enough (here ≤ a few % at 10%
-    * sampling on 250-doc groups).
-    */
-  val t43 = Q(
-    "t43_quantile_sample",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"),
-          col("n_chars").cast("double").as("v"),
-          (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-            16, 10).cast("long"), lit(100L)) < 10).as("in_sample"))
-      docs.groupBy("source")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("in_sample").cast("long")).as("sample_n"),
-          round(expr("percentile(v, 0.5)"), 4).as("exact_p50"),
-          round(expr("percentile(v, 0.9)"), 4).as("exact_p90"),
-          round(expr("percentile(v, 0.99)"), 4).as("exact_p99"),
-          round(expr("percentile(if(in_sample, v, null), 0.5)"), 4)
-            .as("sample_p50"),
-          round(expr("percentile(if(in_sample, v, null), 0.9)"), 4)
-            .as("sample_p90"),
-          round(expr("percentile(if(in_sample, v, null), 0.99)"), 4)
-            .as("sample_p99"))
-        .orderBy("source")
-    },
-    Some("""with d as (
-      select source, n_chars::double as v,
-        ((('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100) < 10)
-          as in_sample
-      from documents
-    )
-    select source,
-      count(*) as n,
-      sum(case when in_sample then 1 else 0 end)::bigint as sample_n,
-      round(quantile_cont(v, 0.5), 4) + 0.0 as exact_p50,
-      round(quantile_cont(v, 0.9), 4) + 0.0 as exact_p90,
-      round(quantile_cont(v, 0.99), 4) + 0.0 as exact_p99,
-      round(quantile_cont(case when in_sample then v end, 0.5), 4) + 0.0
-        as sample_p50,
-      round(quantile_cont(case when in_sample then v end, 0.9), 4) + 0.0
-        as sample_p90,
-      round(quantile_cont(case when in_sample then v end, 0.99), 4) + 0.0
-        as sample_p99
-    from d group by source order by source"""),
-    "quantiles from a deterministic hash sample vs exact, per source")
-
-  /** PII detection + masking — the scrubbing pass every LLM corpus runs
-    * before training (e.g. the C4/The-Pile preprocessing described in
-    * Raffel et al. 2020; span categories follow common DLP practice:
-    * emails, NANP-shaped phone numbers, SSN-shaped ids). The synthetic
-    * corpus is lowercase-alnum only, so PII spans are first injected
-    * deterministically from `doc_id` (both engines apply the identical
-    * augmentation — the cross-engine check exercises the regex machinery,
-    * not the generator). Detection uses `regexp_count`, masking chained
-    * `regexp_replace` (email→phone→ssn; the three patterns are mutually
-    * non-overlapping by construction, so order only matters for
-    * determinism). Pure codegen'd column expressions — zero-shuffle
-    * single-pass projection over the corpus; only the output sort moves
-    * data, and at 100 TB the sort is dropped and the masked text is
-    * written back partition-local.
-    */
-  val t44 = Q(
-    "t44_pii_scrub",
-    (s, dir) => {
-      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-      val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-      val id = col("doc_id")
-      def pad(m: Int, w: Int) = lpad((id % m).cast("string"), w, "0")
-      val aug = concat(
-        col("text"),
-        when(id % 3 === 0,
-          concat(lit(" contact user"), id.cast("string"),
-            lit("@mail.example.com"))).otherwise(""),
-        when(id % 4 === 0,
-          concat(lit(" call 555-"), pad(1000, 3), lit("-"), pad(10000, 4)))
-          .otherwise(""),
-        when(id % 5 === 0, concat(lit(" id 123-45-"), pad(10000, 4)))
-          .otherwise(""))
-      val masked = regexp_replace(
-        regexp_replace(
-          regexp_replace(aug, emailRe, "[EMAIL]"),
-          phoneRe, "[PHONE]"),
-        ssnRe, "[SSN]")
-      val nPii = col("n_email") + col("n_phone") + col("n_ssn")
-      Tables.documents(s, dir)
-        .select(
-          id,
-          regexp_count(aug, lit(emailRe)).cast("long").as("n_email"),
-          regexp_count(aug, lit(phoneRe)).cast("long").as("n_phone"),
-          regexp_count(aug, lit(ssnRe)).cast("long").as("n_ssn"),
-          md5(masked).as("masked_md5"))
-        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
-          nPii.as("n_pii"), (nPii > 0).as("has_pii"), col("masked_md5"))
-        .orderBy("doc_id")
-    },
-    Some("""with aug as (
-      select doc_id,
-        text
-        || case when doc_id % 3 = 0
-           then ' contact user' || doc_id || '@mail.example.com' else '' end
-        || case when doc_id % 4 = 0
-           then ' call 555-' || lpad((doc_id % 1000)::varchar, 3, '0')
-                || '-' || lpad((doc_id % 10000)::varchar, 4, '0') else '' end
-        || case when doc_id % 5 = 0
-           then ' id 123-45-' || lpad((doc_id % 10000)::varchar, 4, '0')
-           else '' end as text
-      from documents
-    ), hits as (
-      select doc_id,
-        cast(len(regexp_extract_all(text,
-          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) as bigint) as n_email,
-        cast(len(regexp_extract_all(text,
-          '\b\d{3}-\d{3}-\d{4}\b')) as bigint) as n_phone,
-        cast(len(regexp_extract_all(text,
-          '\b\d{3}-\d{2}-\d{4}\b')) as bigint) as n_ssn,
-        md5(regexp_replace(regexp_replace(regexp_replace(text,
-          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
-          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g')) as masked_md5
-      from aug
-    )
-    select doc_id, n_email, n_phone, n_ssn,
-      n_email + n_phone + n_ssn as n_pii,
-      n_email + n_phone + n_ssn > 0 as has_pii,
-      masked_md5
-    from hits order by doc_id"""),
-    "PII scrub: regex detect + mask (email/phone/ssn), per-doc span counts")
-
-  /** Line-level boilerplate removal — the CCNet / RefinedWeb pass (Wenzek
-    * et al. 2020 §4.1; Penedo et al. 2023 §3) that drops lines repeated
-    * across many documents of the same source (navigation chrome,
-    * copyright footers) before doc-level dedup ever runs. The synthetic
-    * corpus has no newlines, so each doc is first decomposed into lines
-    * deterministically (identically in both engines): a per-source header,
-    * 10-token content chunks, a per-source footer — the header/footer play
-    * the role of real-web boilerplate and appear in all 25 docs of a
-    * source. A line is dropped when its document-frequency within its
-    * source reaches 5. Shape: one explode, one (source, line) groupBy for
-    * the frequency table, one shuffle join back, one per-doc re-aggregate
-    * — the exact two-shuffle profile a 100 TB CCNet run has. At that scale
-    * the join key becomes xxhash64(line) to cut shuffle width (collision
-    * rate 2^-64 per pair); kept exact here for cross-engine parity. The
-    * kept-line text round-trips through an order-preserving md5 so a
-    * dropped-or-reordered line can't hide behind matching counts.
-    */
-  val t45 = Q(
-    "t45_line_dedup",
-    (s, dir) => {
-      val tk = toks(col("text"))
-      val header = concat(lit("about "), col("source"),
-        lit(" terms of use apply"))
-      val footer = concat(lit("copyright "), col("source"),
-        lit(" all rights reserved"))
-      // Fused native chunker (one eval/doc) — replaces the
-      // transform(sequence)/slice/array_join HOF nest, whose interpreted
-      // lambda path JIT-deoptimizes on its first large run (ScaleCheck,
-      // PERF.md round-7); byte-identical output, ChunkSpec-verified.
-      val content = graft.expressions.ChunkJoin(tk, 10)
-      val lines = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          posexplode(concat(array(header), content, array(footer))))
-        .withColumnRenamed("col", "line")
-      val freq = lines.groupBy("source", "line")
-        .agg(countDistinct("doc_id").as("df"))
-      val kept = lines.join(freq.where(col("df") < 5), Seq("source", "line"))
-      val tot = lines.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_lines"))
-      val ka = kept.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(struct(col("pos"), col("line")))),
-              e => e.getField("line")),
-            "\n")).as("kept_md5"))
-      tot.join(ka, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_lines"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
-            .as("n_dropped"),
-          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
-        .orderBy("doc_id")
-    },
-    Some("""with tok as (
-      select doc_id, source, string_split(text, ' ') as t from documents
-    ), lines0 as (
-      select doc_id, source, 0 as pos,
-        'about ' || source || ' terms of use apply' as line from tok
-      union all
-      select doc_id, source, i + 1 as pos,
-        array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') as line
-      from (select doc_id, source, t,
-              unnest(range(cast(ceil(len(t) / 10.0) as bigint))) as i
-            from tok) s
-      union all
-      select doc_id, source, 1000000 as pos,
-        'copyright ' || source || ' all rights reserved' as line from tok
-    ), freq as (
-      select source, line, count(distinct doc_id) as df
-      from lines0 group by 1, 2
-    ), kept as (
-      select l.doc_id, l.pos, l.line
-      from lines0 l join freq f on l.source = f.source and l.line = f.line
-      where f.df < 5
-    ), tot as (
-      select doc_id, cast(count(*) as bigint) as n_lines
-      from lines0 group by 1
-    ), ka as (
-      select doc_id, cast(count(*) as bigint) as n_kept,
-        md5(string_agg(line, chr(10) order by pos)) as kept_md5
-      from kept group by 1
-    )
-    select t.doc_id, t.n_lines,
-      coalesce(k.n_kept, 0) as n_kept,
-      t.n_lines - coalesce(k.n_kept, 0) as n_dropped,
-      coalesce(k.kept_md5, md5('')) as kept_md5
-    from tot t left join ka k on t.doc_id = k.doc_id
-    order by t.doc_id"""),
-    "CCNet-style line dedup: drop high-doc-frequency lines within source")
-
-  /** BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's idf
-    * smoothing `ln((N-df+0.5)/(df+0.5)+1)`, k1=1.2, b=0.75) for a fixed
-    * query panel — the full-text-search primitive a data pipeline uses for
-    * eval-set retrieval, decontamination lookups, and hard-negative
-    * mining (t15 scores terms per doc; this ranks DOCS per query). Scale
-    * shape is the inverted-index access path: the panel-term filter runs
-    * BEFORE the tf groupBy, so only postings for panel terms ever shuffle
-    * (at 100 TB that's |panel terms| postings lists, not the corpus); doc
-    * lengths are a zero-shuffle projection, the corpus stats a 1-row
-    * broadcast, and the panel join a broadcast. Scores round at 6 after
-    * the per-query sum; ranks tie-break on doc_id for cross-engine
-    * determinism.
-    */
-  val t46 = Q(
-    "t46_bm25",
-    (s, dir) => {
-      val panel = Seq(
-        (1, "customer"), (1, "table"), (1, "join"),
-        (2, "stream"), (2, "window"), (2, "data"),
-        (3, "fast"), (3, "hash"), (3, "value"))
-      val terms = panel.map(_._2).distinct
-      val (k1, b) = (1.2, 0.75)
-      val docs = Tables.documents(s, dir)
-      val tf = docs
-        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-        .filter(col("token").isInCollection(terms))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val withDf = tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("token")))
-      val dl = docs.select(col("doc_id"),
-        size(toks(col("text"))).cast("long").as("dl"))
-      val stats = dl.agg(avg("dl").as("avgdl"), count(lit(1)).as("n_docs"))
-      val spark = s
-      import spark.implicits._
-      val contrib = withDf
-        .join(broadcast(panel.toDF("query_id", "term")),
-          col("token") === col("term"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("c",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-            col("tf") * (k1 + 1) /
-            (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("bm25").desc, col("doc_id"))
-      contrib.groupBy("query_id", "doc_id")
-        .agg(round(sum(col("c")), 6).as("bm25"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .orderBy("query_id", "rank")
-    },
-    Some("""with panel(query_id, term) as (
-      values (1,'customer'),(1,'table'),(1,'join'),
-             (2,'stream'),(2,'window'),(2,'data'),
-             (3,'fast'),(3,'hash'),(3,'value')
-    ), toks as (
-      select doc_id, unnest(string_split(text, ' ')) as token from documents
-    ), dl as (
-      select doc_id, cast(len(string_split(text, ' ')) as bigint) as dl
-      from documents
-    ), stats as (
-      select avg(dl) as avgdl, count(*) as n_docs from dl
-    ), tf as (
-      select doc_id, token, cast(count(*) as bigint) as tf from toks
-      where token in (select term from panel) group by 1, 2
-    ), df as (
-      select token, cast(count(*) as bigint) as df from tf group by 1
-    ), contrib as (
-      select p.query_id, tf.doc_id,
-        ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-          tf.tf * 2.2 /
-          (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) as c
-      from tf
-      join df using (token)
-      join panel p on p.term = tf.token
-      join dl on dl.doc_id = tf.doc_id
-      cross join stats s
-    ), scored as (
-      select query_id, doc_id, round(sum(c), 6) + 0.0 as bm25
-      from contrib group by 1, 2
-    )
-    select query_id, doc_id, bm25, rank from (
-      select query_id, doc_id, bm25,
-        cast(row_number() over (partition by query_id
-          order by bm25 desc, doc_id) as int) as rank
-      from scored) t
-    where rank <= 5
-    order by query_id, rank"""),
-    "BM25 ranked retrieval: panel-term postings only, top-5 docs per query")
-
-  /** URL canonicalization + per-domain document caps — RefinedWeb §3.1's
-    * pre-dedup step (Penedo et al. 2023): normalize URLs (lowercase host,
-    * strip `www.` and query-tracking params — the utm_*, ref, fbclid family)
-    * so syntactic variants of one page collapse, then cap each domain's
-    * document count so no single site dominates the training mixture. The
-    * corpus has no URL column, so URLs are injected deterministically from
-    * `doc_id` (both engines build identical strings — mixed-case hosts,
-    * www. prefixes, tracking params, a sqrt-skewed domain distribution so
-    * some domains exceed the cap and some don't); the cross-engine check
-    * exercises the CANONICALIZATION, which Spark does with native
-    * `parse_url` + regexp/HOF expressions and DuckDB independently with
-    * its own regexp/list functions. The cap is a rank-filter (row_number
-    * per domain by doc_id — deterministic), NEVER a collect: one window
-    * shuffle on the domain key, one per-domain rollup reusing that
-    * partitioning, corpus share from a whole-output window over ≤40 rollup
-    * rows. At 100 TB this is exactly one wide shuffle of (domain, doc)
-    * pairs — the same profile the RefinedWeb pipeline reports.
-    */
-  val t47 = Q(
-    "t47_domain_caps",
-    (s, dir) => {
-      val id = col("doc_id")
-      val domIdx = floor(sqrt((id % 1600).cast("double"))).cast("int")
-      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
-        (domIdx % 3) + 1)
-      val hostRaw = concat(lit("site"), domIdx.cast("string"),
-        lit(".example."), tld)
-      val url = concat(
-        when(id % 2 === 0, lit("https")).otherwise(lit("http")), lit("://"),
-        when(id % 5 === 0, lit("www.")).otherwise(lit("")),
-        when(id % 7 === 0, upper(hostRaw)).otherwise(hostRaw),
-        lit("/p/"), (id % 13).cast("string"),
-        when(id % 3 === 0,
-          concat(lit("?utm_source=feed&id="), (id % 11).cast("string"),
-            lit("&utm_campaign=c&ref=x")))
-          .when(id % 3 === 1, concat(lit("?id="), (id % 11).cast("string")))
-          .otherwise(lit("")))
-      val withUrl = Tables.documents(s, dir).select(id, url.as("url"))
-      val domain = regexp_replace(
-        lower(expr("parse_url(url, 'HOST')")), "^www\\.", "")
-      val keptQ = array_join(
-        filter(split(coalesce(expr("parse_url(url, 'QUERY')"), lit("")), "&"),
-          p => p =!= "" && !p.rlike("^(utm_[a-z]+|ref|fbclid)=")), "&")
-      val canon = concat(domain, expr("parse_url(url, 'PATH')"),
-        when(length(keptQ) > 0, concat(lit("?"), keptQ)).otherwise(lit("")))
-      val ranked = withUrl
-        .select(id, domain.as("domain"), canon.as("canonical_url"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("domain").orderBy("doc_id")))
-      ranked.groupBy("domain")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("rk") <= 50, 1L).otherwise(0L)).as("n_kept"),
-          min(when(col("rk") <= 50, col("canonical_url"))).as("first_url"))
-        .select(col("domain"), col("n_docs"), col("n_kept"),
-          (col("n_docs") > col("n_kept")).as("capped"),
-          graft.Norm.rz(
-            col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6)
-            .as("corpus_share"),
-          col("first_url"))
-        .orderBy("domain")
-    },
-    Some("""with base as (
-      select doc_id, cast(floor(sqrt(doc_id % 1600)) as int) as k
-      from documents
-    ), urls as (
-      select doc_id,
-        (case when doc_id % 2 = 0 then 'https' else 'http' end) || '://' ||
-        (case when doc_id % 5 = 0 then 'www.' else '' end) ||
-        (case when doc_id % 7 = 0 then upper(h) else h end) ||
-        '/p/' || (doc_id % 13)::varchar ||
-        (case when doc_id % 3 = 0
-           then '?utm_source=feed&id=' || (doc_id % 11)::varchar
-                || '&utm_campaign=c&ref=x'
-          when doc_id % 3 = 1 then '?id=' || (doc_id % 11)::varchar
-          else '' end) as url
-      from (
-        select doc_id,
-          'site' || k::varchar || '.example.' ||
-            (case k % 3 when 0 then 'com' when 1 then 'org' else 'net' end)
-            as h
-        from base)
-    ), canon as (
-      select doc_id,
-        regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
-          '^www\.', '') as domain,
-        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) as path,
-        array_to_string(list_filter(string_split(
-            case when contains(url, '?')
-              then regexp_extract(url, '\?(.*)$', 1) else '' end, '&'),
-          x -> x <> '' and not regexp_matches(x,
-            '^(utm_[a-z]+|ref|fbclid)=')), '&') as keptq
-      from urls
-    ), ranked as (
-      select doc_id, domain,
-        domain || path ||
-          case when keptq <> '' then '?' || keptq else '' end
-          as canonical_url,
-        row_number() over (partition by domain order by doc_id) as rk
-      from canon
-    )
-    select domain,
-      cast(count(*) as bigint) as n_docs,
-      cast(sum(case when rk <= 50 then 1 else 0 end) as bigint) as n_kept,
-      count(*) > sum(case when rk <= 50 then 1 else 0 end) as capped,
-      round(count(*) / (sum(count(*)) over ()), 6) + 0.0 as corpus_share,
-      min(case when rk <= 50 then canonical_url end) as first_url
-    from ranked
-    group by domain
-    order by domain"""),
-    "URL canonicalization + per-domain caps: parse_url normalize, tracking-param strip, rank-filter cap, share stats")
-
+  /** Registry rows in their original t1..t47 order, across the four
+    * family files. */
   def all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
-      t44, t45, t46, t47)
+    Seq(
+      t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
+      t16, t17, t18, t19, t20, t21, TextLmQueries.t22,
+      TextLmQueries.t23, t24, t25, t26, t27, TextLmQueries.t28,
+      TextLmQueries.t29, TextLmQueries.t30, t31, TextLmQueries.t32, t33,
+      t34, t35, TextLmQueries.t36, TextLmQueries.t37, TextLmQueries.t38,
+      t39, TextSketchQueries.t40, TextSketchQueries.t41,
+      TextSketchQueries.t42, TextSketchQueries.t43, TextUrlQueries.t44,
+      TextUrlQueries.t45, TextUrlQueries.t46, TextUrlQueries.t47)
 }

@@ -3,9 +3,17 @@
 execute each oracle SQL in DuckDB over the same parquet tables and compare.
 
 Usage: python3 tools/parity.py [sfdir] [outdir] [--skip-verify]
+                               [--subset=name1,name2,...]
+
+--subset restricts BOTH the Verify dump (via SPARK_GRAFT_ONLY) and the
+DuckDB compare to the named queries — the fast loop for re-verifying one
+family after a refactor (full 133 still gates at the end of a round).
+Unknown names abort (the graft.Bench fail-fast discipline: a typo must
+not silently verify nothing).
 """
 import json
 import math
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -17,12 +25,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    if "--skip-verify" not in sys.argv:
+    subset = None
+    argv = list(sys.argv[1:])
+    for a in list(argv):
+        if a.startswith("--subset="):
+            subset = [s for s in a.split("=", 1)[1].split(",") if s]
+            argv.remove(a)
+    pos = [a for a in argv if not a.startswith("--")]
+    sfdir = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+    outdir = pos[1] if len(pos) > 1 else "/tmp/verify_out"
+    if "--skip-verify" not in argv:
+        env = dict(os.environ)
+        if subset:
+            env["SPARK_GRAFT_ONLY"] = ",".join(subset)
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
-            cwd="/root/repo", capture_output=True, text=True)
+            cwd="/root/repo", capture_output=True, text=True, env=env)
         if r.returncode != 0:
             print(r.stdout[-4000:])
             print(r.stderr[-4000:])
@@ -37,8 +55,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    if subset:
+        unknown = sorted(set(subset) - set(oracle))
+        if unknown:
+            print(f"[parity] unknown subset queries {unknown} — aborting",
+                  file=sys.stderr)
+            sys.exit(2)
     results = {}
     for name, sql in sorted(oracle.items()):
+        if subset and name not in subset:
+            continue
         spark_dir = Path(outdir) / name
         if not spark_dir.exists():
             results[name] = "SPARK-MISSING"
@@ -52,8 +78,11 @@ def main():
             continue
         results[name] = compare(got, want)
 
-    no_oracle = [p.name for p in Path(outdir).iterdir()
-                 if p.is_dir() and p.name not in oracle]
+    # With a subset, out-of-subset dirs in a reused outdir are expected —
+    # the stale-dir warning only makes sense for a full run.
+    no_oracle = [] if subset else [
+        p.name for p in Path(outdir).iterdir()
+        if p.is_dir() and p.name not in oracle]
     fails = 0
     for name, res in sorted(results.items()):
         ok = res == "OK"
