@@ -221,9 +221,13 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
       }.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
-      promotionStarted = true // from here on, abort must preserve staging
       fc.rename(fs.makeQualified(tmpManifest), fs.makeQualified(manifest),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // Only AFTER the publish rename returned: a failed publish means
+      // readers are still on the complete OLD state and nothing needs
+      // recovery — the pre-commit-point abort (clean staging) is correct
+      // for that window, and claiming otherwise would mislead operators.
+      promotionStarted = true
     }
     pairs.foreach { case (tmp, name) =>
       fc.rename(fs.makeQualified(new Path(tmp)),
@@ -330,13 +334,34 @@ object EdfExportRecovery {
       fs.makeQualified(target).toUri, conf)
     val promoted = Seq.newBuilder[String]
     manifests.foreach { m =>
-      EdfBatchWrite.readManifest(fs, m).foreach { case (staged, name) =>
+      // A manifest retired by a concurrently completing commit means its
+      // promotion finished — nothing to replay.
+      val entries =
+        try EdfBatchWrite.readManifest(fs, m)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      entries.foreach { case (staged, name) =>
         val sp = new Path(staged)
-        if (fs.exists(sp)) {
-          fc.rename(fs.makeQualified(sp),
-            fs.makeQualified(new Path(target, name)),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          promoted += name
+        val finalPath = new Path(target, name)
+        val stagedStat =
+          try Some(fs.getFileStatus(sp))
+          catch { case _: java.io.FileNotFoundException => None }
+        stagedStat.foreach { ss =>
+          // Freshness gate (mirror of the reader's): if a NEWER export
+          // committed this name after the crash, the staged copy is
+          // stale — promoting it would overwrite newer data with old.
+          val finalNewer =
+            try fs.getFileStatus(finalPath).getModificationTime >
+              ss.getModificationTime
+            catch { case _: java.io.FileNotFoundException => false }
+          if (finalNewer)
+            System.err.println(s"[edf-export] rollForward: dropping " +
+              s"stale staged '$name' from ${m.getName} — a newer export " +
+              "already committed that file")
+          else {
+            fc.rename(fs.makeQualified(sp), fs.makeQualified(finalPath),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            promoted += name
+          }
         }
       }
       // This manifest's promotion is complete: retire it, then the
@@ -524,28 +549,56 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // copy (falling back to the final name once promoted), so a
           // reader sees the complete new state — never a half-promoted
           // mix of old and new files. Listings without manifests (the
-          // steady state) are untouched.
+          // steady state) are untouched. A manifest retired between the
+          // listing and this read means promotion completed — the finals
+          // are in place, so no redirect is the right answer.
           val redirect: Map[String, String] = listed
             .filter(_.getName.startsWith(EdfBatchWrite.ManifestPrefix))
-            .flatMap(m => EdfBatchWrite.readManifest(fs, m)
-              .map { case (staged, name) => name -> staged })
+            .flatMap { m =>
+              try EdfBatchWrite.readManifest(fs, m)
+                .map { case (staged, name) => name -> staged }
+              catch { case _: java.io.FileNotFoundException => Nil }
+            }
             .toMap
+          // Freshness gate on every redirect: follow the staged copy only
+          // while it exists and is at least as new as the final file. A
+          // manifest LEFT BEHIND by a crashed export whose target was
+          // since re-exported (a newer final committed over it) must not
+          // hijack reads onto its stale staged bytes forever.
+          def stagedIfFresh(name: String,
+              finalPath: Path): Option[String] =
+            redirect.get(name).filter { staged =>
+              try {
+                val st = fs.getFileStatus(new Path(staged))
+                  .getModificationTime
+                val ft =
+                  try Some(fs.getFileStatus(finalPath).getModificationTime)
+                  catch { case _: java.io.FileNotFoundException => None }
+                ft.forall(st >= _)
+              } catch {
+                // Staged copy gone → already promoted; read the final.
+                case _: java.io.FileNotFoundException => false
+              }
+            }
           val dataFiles = listed.map(_.toString)
             .filter(_.toLowerCase.endsWith(".edf"))
           val listedNames =
             dataFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
           val fromListing = dataFiles.map { f =>
             val name = f.substring(f.lastIndexOf('/') + 1)
-            redirect.get(name) match {
+            stagedIfFresh(name, new Path(f)) match {
               case Some(staged) => EdfInputPartition(f, Seq(staged, f))
               case None => EdfInputPartition(f)
             }
           }
           // Manifested files whose final name is not in the listing yet:
           // a brand-new file still staged — part of the committed state.
+          // Qualified logical path, so the `path` column spells the same
+          // before and after promotion (listed files carry qualified
+          // FileStatus paths).
           val pending = redirect.toSeq.collect {
             case (name, staged) if !listedNames.contains(name) =>
-              val logical = new Path(p, name).toString
+              val logical = fs.makeQualified(new Path(p, name)).toString
               EdfInputPartition(logical, Seq(staged, logical))
           }
           fromListing ++ pending

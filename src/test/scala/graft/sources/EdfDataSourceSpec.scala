@@ -109,6 +109,21 @@ class EdfDataSourceSpec extends SparkSpec {
     }
   }
 
+  /** Comparable content view through the edf source: (file, channel) ->
+    * full signal. Uses the logical `path` column, so staged-manifest
+    * redirects are transparent to the comparison.
+    */
+  private def signalView(out: String): Map[(String, String), Seq[Double]] =
+    spark.read.format("edf").option("chunk_records", "4").load(out)
+      .withColumn("file", element_at(split(col("path"), "/"), -1))
+      .groupBy("file", "channel")
+      .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
+        col("samples"))))("samples")).as("sig"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getSeq[Double](r.fieldIndex("sig")))
+      .toMap
+
   private def msgs(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
 
@@ -257,19 +272,7 @@ class EdfDataSourceSpec extends SparkSpec {
     import org.apache.spark.sql.connector.write.LogicalWriteInfo
     val hconf = spark.sparkContext.hadoopConfiguration
 
-    // Comparable content view through the edf source: (file, channel) ->
-    // full signal (logical `path` column, so staged redirects are
-    // transparent).
-    def view(out: String): Map[(String, String), Seq[Double]] =
-      spark.read.format("edf").option("chunk_records", "4").load(out)
-        .withColumn("file", element_at(split(col("path"), "/"), -1))
-        .groupBy("file", "channel")
-        .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
-          col("samples"))))("samples")).as("sig"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          r.getSeq[Double](r.fieldIndex("sig")))
-        .toMap
+    def view(out: String) = signalView(out)
 
     val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
       .orderBy("path", "channel", "chunk_idx")
@@ -338,6 +341,65 @@ class EdfDataSourceSpec extends SparkSpec {
       // Idempotent: a second roll-forward is a no-op.
       assert(EdfExportRecovery.rollForward(out, hconf).isEmpty)
     }
+  }
+
+  test("a leftover crashed-export manifest cannot hijack a newer commit") {
+    // The operator's WRONG move after a crashed export: re-run the export
+    // instead of rollForward. The newer job's committed files must win —
+    // the stale manifest must not redirect reads onto its staged bytes,
+    // and a late rollForward must drop (not promote) the stale copies.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfsink_stale")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    def scaled(f: Double) =
+      src.withColumn("samples", transform(col("samples"), x => x * f))
+
+    // Export A stages v2, promotion is sabotaged, abort keeps manifest +
+    // staging (the crashed state).
+    val rowsA =
+      scaled(0.5).queryExecution.toRdd.mapPartitions(_.map(_.copy())).collect()
+    val srcSchema = src.schema
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "stale-a"
+      override def schema(): org.apache.spark.sql.types.StructType = srcSchema
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val batchA = new EdfDataSource().getTable(srcSchema, Array.empty,
+        java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build().toBatch
+    val wA = batchA.createBatchWriterFactory(null).createWriter(0, 1L)
+    rowsA.foreach(wA.write)
+    val msgA = wA.commit()
+    val squatter = java.nio.file.Paths.get(s"$out/rec0.edf")
+    java.nio.file.Files.createDirectories(squatter)
+    java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+    intercept[Exception](batchA.commit(Array(msgA)))
+    batchA.abort(Array(msgA))
+    new org.apache.hadoop.fs.Path(s"$out/rec0.edf").getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(s"$out/rec0.edf"), true)
+
+    // The re-run: export B commits v3 cleanly (distinct mtime tick).
+    Thread.sleep(50)
+    scaled(0.25).write.format("edf").mode("append").save(out)
+    val cleanOut = tmpDir("edfsink_stale_clean")
+    scaled(0.25).write.format("edf").mode("append").save(cleanOut)
+    val want = signalView(cleanOut)
+    assert(signalView(out) == want,
+      "stale manifest redirected reads away from the newer commit")
+
+    // Late recovery must drop the stale staged copy, keep B's data, and
+    // clean up A's leftovers.
+    EdfExportRecovery.rollForward(out, hconf)
+    assert(signalView(out) == want,
+      "rollForward overwrote newer committed data with stale staged bytes")
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf"),
+      s"crashed-export residue after rollForward: $names")
   }
 
   test("concurrent queries into one target dir keep separate staging trees") {
