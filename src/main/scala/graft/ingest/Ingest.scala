@@ -62,15 +62,17 @@ object Ingest {
     * IDENTICAL to what extractRecording derives from a full parse — the
     * non-picked channels (EOG/EMG/Resp/Temp/marker, 5 of 7 on a real
     * Sleep-EDF PSG) skip the per-sample scale/offset loop entirely.
+    * `lenient` forwards [[Edf.parseSignals]]'s salvage mode.
     */
-  def parsePsgPicked(bytes: Array[Byte]): Edf.EdfFile = {
+  def parsePsgPicked(bytes: Array[Byte],
+      lenient: Boolean = false): Edf.EdfFile = {
     val hdr = Edf.parseHeader(bytes)
     val renamed: Map[String, String] =
       hdr.channelNames.map(n => n -> ChannelRename.getOrElse(n, n)).toMap
     val eeg = hdr.channelNames.filter(n =>
       renamed(n).contains("EEG") && !NonEegChannels.contains(renamed(n)))
     val picked = if (eeg.nonEmpty) eeg else hdr.channelNames
-    Edf.parseSignals(bytes, picked.toSet)
+    Edf.parseSignals(bytes, picked.toSet, lenient)
   }
 
   /** Pure kernel: one parsed recording pair → epoch rows. */
@@ -154,8 +156,17 @@ object Ingest {
       spark.sparkContext.longAccumulator("total_events"))
   }
 
+  /** `lenient = true` opts the whole pipeline into the reference
+    * reader's salvage behavior (MNE truncates interrupted recordings to
+    * the records present; the epoching tmax guard then clips events to
+    * the salvaged signal): such subjects load their complete epochs
+    * instead of landing in the error channel. The strict default keeps
+    * the V8 channel's corrupt-object accounting exact — see
+    * [[graft.edf.Edf.parse]] for the documented divergence.
+    */
   def extract(spark: SparkSession, refs: Seq[RecordingRef],
-      metrics: Option[ExtractMetrics] = None): Dataset[ExtractRow] = {
+      metrics: Option[ExtractMetrics] = None,
+      lenient: Boolean = false): Dataset[ExtractRow] = {
     import spark.implicits._
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -168,8 +179,8 @@ object Ingest {
       .mapPartitions { iter =>
         iter.flatMap { ref =>
           try {
-            val psg = parsePsgPicked(readBytes(conf, ref.psgPath))
-            val hypno = Edf.parse(readBytes(conf, ref.hypnoPath))
+            val psg = parsePsgPicked(readBytes(conf, ref.psgPath), lenient)
+            val hypno = Edf.parse(readBytes(conf, ref.hypnoPath), lenient)
             val res = extractRecording(ref.subjectId, psg, hypno)
             droppedAcc.add(res.dropped)
             totalAcc.add(res.totalEvents)

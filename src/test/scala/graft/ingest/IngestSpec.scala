@@ -79,6 +79,43 @@ class IngestSpec extends SparkSpec {
     extracted.unpersist()
   }
 
+  test("lenient extract salvages interrupted recordings the default rejects") {
+    import spark.implicits._
+    val dir = tmpDir("ingest-lenient")
+    val refs = SyntheticSource.writeRecordings(dir, 1)
+    // Subject 5: subject 0's PSG with half of the final record clipped —
+    // an interrupted-but-usable recording (the class the reference's MNE
+    // reader truncates-with-warning and ingests).
+    val psgB = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(refs.head.psgPath))
+    val truncPsg = s"$dir/trunc_psg.edf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(truncPsg),
+      psgB.dropRight(150))
+    val all = refs :+ RecordingRef(5, truncPsg, refs.head.hypnoPath)
+
+    // Strict default: the truncated subject is a per-file error (exact
+    // V8 accounting).
+    val strict = Ingest.extract(spark, all).persist()
+    assert(Ingest.errorsOf(strict).select("subject_id")
+      .as[Int].collect().toSeq == Seq(5))
+    strict.unpersist()
+
+    // Lenient: complete records salvage, the epoching tmax guard clips
+    // events to the salvaged signal, and every surviving epoch is
+    // value-identical to the intact copy of the same recording.
+    val lenient = Ingest.extract(spark, all, lenient = true).persist()
+    assert(Ingest.errorsOf(lenient).count() == 0)
+    val rows = Ingest.epochsOf(lenient).as[SleepEpoch].collect()
+    lenient.unpersist()
+    val intact = rows.filter(_.subject_id == refs.head.subjectId)
+      .map(r => r.epoch_idx -> r.copy(subject_id = 5)).toMap
+    val salvaged = rows.filter(_.subject_id == 5)
+    assert(salvaged.nonEmpty && salvaged.length >= intact.size - 1,
+      s"salvaged ${salvaged.length} of ${intact.size} epochs")
+    salvaged.foreach(r =>
+      assert(intact(r.epoch_idx) == r, s"epoch ${r.epoch_idx} differs"))
+  }
+
   test("whole-file read cap fails catchably before allocating") {
     // A wrong/huge object must land in the per-file error channel, never
     // allocate task heap for itself (or overflow the Int array length at

@@ -475,6 +475,25 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(lenient == 900L, s"salvaged $lenient samples, want 900")
   }
 
+  test("redirected partitions fall back from a vanished staged path to the final") {
+    // A promotion rename can land between a reader's listing (which
+    // resolved the staged candidate) and its open: the partition carries
+    // both physical candidates, so the read must recover from the final
+    // copy instead of failing on the vanished staged one.
+    val real = s"$dir/rec0.edf"
+    val part = EdfInputPartition(real, Seq(s"$dir/gone-staged.edf", real))
+    val reader = new EdfReaderFactory(EdfDataSource.Schema,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration), 4).createReader(part)
+    var n = 0
+    while (reader.next()) {
+      assert(reader.get().getUTF8String(0).toString == real,
+        "path column must report the logical path, not the candidate read")
+      n += 1
+    }
+    assert(n == 2 * 3, s"expected 2 channels x 3 chunks, got $n rows")
+  }
+
   test("chunk time offsets advance by chunk length") {
     val df = spark.read.format("edf").option("chunk_records", "4").load(dir)
     val t0s = df.filter(col("channel") === "EOG horizontal")
