@@ -53,7 +53,12 @@ object Edf {
         * nonzero only under a lenient parse that salvaged the complete
         * records present (MNE-style truncation; 0 for strict parses,
         * which reject such files instead). */
-      salvagedRecords: Int = 0) {
+      salvagedRecords: Int = 0,
+      /** Malformed TALs dropped by a lenient parse (0 under strict,
+        * which rejects the file instead) — with [[salvagedRecords]],
+        * the observability a salvaging pipeline needs so silently
+        * shortened inputs stay countable. */
+      skippedTals: Int = 0) {
 
     /** Sampling frequency of a named signal. */
     def sfreq(label: String): Double = {
@@ -225,6 +230,8 @@ object Edf {
       r += 1
     }
 
+    val (anns, nSkippedTals) =
+      parseAnnotationsCounted(annotationText.toString, lenient)
     EdfFile(
       version = ascii(bytes, 0, 8).trim,
       patientId = ascii(bytes, 8, 80).trim,
@@ -241,8 +248,9 @@ object Edf {
           case (h, i) if !h.isAnnotation && signalData(i) != null =>
             h.label.trim -> signalData(i)
         }.toMap,
-      annotations = parseAnnotations(annotationText.toString, lenient),
-      salvagedRecords = salvaged)
+      annotations = anns,
+      salvagedRecords = salvaged,
+      skippedTals = nSkippedTals)
   }
 
   private val TalFieldSep = '\u0014' // separates onset+duration from labels
@@ -266,7 +274,14 @@ object Edf {
     * ([[parse]]'s salvage contract).
     */
   def parseAnnotations(text: String,
-      lenient: Boolean = false): Vector[Annotation] = {
+      lenient: Boolean = false): Vector[Annotation] =
+    parseAnnotationsCounted(text, lenient)._1
+
+  /** [[parseAnnotations]] plus the count of malformed TALs a lenient
+    * parse skipped (an unterminated trailing fragment counts as one).
+    */
+  private[edf] def parseAnnotationsCounted(text: String,
+      lenient: Boolean): (Vector[Annotation], Int) = {
     // Every TAL must be \x00-terminated; bytes after the last terminator
     // are zero padding by spec. A non-empty trailing fragment means the
     // annotation stream was truncated mid-TAL.
@@ -277,6 +292,7 @@ object Edf {
     // Only \x00-terminated TALs are trusted: in lenient mode the
     // truncated trailing fragment is dropped rather than half-parsed.
     val body = if (lastEnd < 0) "" else text.substring(0, lastEnd)
+    var skipped = if (lenient && tail.trim.nonEmpty) 1 else 0
     val out = Vector.newBuilder[Annotation]
     body.split(TalEnd).foreach { tal =>
       val t = tal.trim
@@ -295,7 +311,7 @@ object Edf {
                 talNum(durStr, "duration", t)))
               catch {
                 case e: IllegalArgumentException =>
-                  if (lenient) None else throw e
+                  if (lenient) { skipped += 1; None } else throw e
               }
             parsed.foreach { case (onset, dur) =>
               labels.foreach(lbl => out += Annotation(onset, dur, lbl))
@@ -304,7 +320,7 @@ object Edf {
         }
       }
     }
-    out.result()
+    (out.result(), skipped)
   }
 
   // ------------------------------------------------------------------ writer

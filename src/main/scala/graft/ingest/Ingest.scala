@@ -144,7 +144,14 @@ object Ingest {
     */
   final case class ExtractMetrics(
       dropped: org.apache.spark.util.LongAccumulator,
-      totalEvents: org.apache.spark.util.LongAccumulator) {
+      totalEvents: org.apache.spark.util.LongAccumulator,
+      /** Records truncated away + malformed TALs skipped by lenient
+        * salvage — zero under the strict default. A lenient run needs
+        * this observability: silently shortened recordings never reach
+        * the error channel, so the accumulators are where they count.
+        */
+      salvagedRecords: org.apache.spark.util.LongAccumulator,
+      skippedTals: org.apache.spark.util.LongAccumulator) {
     def dropRate: Double =
       if (totalEvents.value == 0) 0.0
       else dropped.value.toDouble / totalEvents.value
@@ -153,7 +160,9 @@ object Ingest {
   object ExtractMetrics {
     def apply(spark: SparkSession): ExtractMetrics = ExtractMetrics(
       spark.sparkContext.longAccumulator("dropped_epochs"),
-      spark.sparkContext.longAccumulator("total_events"))
+      spark.sparkContext.longAccumulator("total_events"),
+      spark.sparkContext.longAccumulator("salvaged_records"),
+      spark.sparkContext.longAccumulator("skipped_tals"))
   }
 
   /** `lenient = true` opts the whole pipeline into the reference
@@ -173,6 +182,8 @@ object Ingest {
     val m = metrics.getOrElse(ExtractMetrics(spark))
     val droppedAcc = m.dropped
     val totalAcc = m.totalEvents
+    val salvagedAcc = m.salvagedRecords
+    val talsAcc = m.skippedTals
 
     spark.createDataset(refs)
       .repartition(refs.size)
@@ -184,6 +195,9 @@ object Ingest {
             val res = extractRecording(ref.subjectId, psg, hypno)
             droppedAcc.add(res.dropped)
             totalAcc.add(res.totalEvents)
+            salvagedAcc.add(psg.salvagedRecords.toLong +
+              hypno.salvagedRecords)
+            talsAcc.add(psg.skippedTals.toLong + hypno.skippedTals)
             res.rows.map(r => ExtractRow(Some(r), None))
           } catch {
             case e: Exception =>

@@ -68,6 +68,12 @@ object JobRunner {
         println(f"[ingest] dropped ${metrics.dropped.value}/" +
           f"${metrics.totalEvents.value} invalid epochs " +
           f"(${metrics.dropRate * 100}%.1f%%)")
+      if (metrics.salvagedRecords.value > 0 || metrics.skippedTals.value > 0)
+        // Lenient-salvage observability: shortened inputs never reach
+        // the error channel, so the run log is where they count.
+        println(s"[ingest] lenient salvage: " +
+          s"${metrics.salvagedRecords.value} truncated record(s) dropped, " +
+          s"${metrics.skippedTals.value} malformed TAL(s) skipped")
 
       val marts = transform(spark, wh.readEpochs(), cfg.gapEpochs, cfg.warehouseDir)
       JobReport(refs.size, epochsLoaded, nFailed, marts)

@@ -167,6 +167,24 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     EdfWriterFactory(targetDir, stagingDir, schema, conf, physMin, physMax,
       recordDurationSec)
 
+  /** Name of this job's published manifest, for the abort-path message. */
+  @volatile private var publishedManifest: String = null
+
+  /** Writes `content` to a temp path in this query's staging tree and
+    * publishes it at `dest` with ONE atomic rename — readers can never
+    * observe a partial fence file.
+    */
+  private def publishFence(fs: FileSystem,
+      fc: org.apache.hadoop.fs.FileContext, target: Path, dest: Path,
+      content: String): Unit = {
+    val tmp = new Path(target, s"$stagingDir/${dest.getName}.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Two-phase commit with an ATOMIC commit point: tasks stream into
     * attempt-unique dirs under `_temporary/` (so a retried or speculative
     * attempt can never clobber a committed file — its abort deletes only
@@ -175,17 +193,27 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     *
     *  1. validates (duplicate final basenames fail loudly before
     *     anything is touched),
-    *  2. publishes a `_STAGED_MANIFEST-<queryId>` file listing every
+    *  2. takes the next commit SEQUENCE for this directory
+    *     (max over existing fence files + 1 — a clock-free total order:
+    *     a re-run after a crash always outranks the crashed export) and
+    *     publishes a `_STAGED_MANIFEST-<seq>-<queryId>` listing every
     *     (stagedPath, finalName) pair with ONE atomic rename — the job's
     *     commit point: a directory listing before it resolves to the old
     *     files; one after it resolves every listed name through its
-    *     staged copy ([[EdfScanBuilder]] reads manifests), so a reader
+    *     staged copy ([[EdfScanBuilder]] reads fences), so a reader
     *     observes the complete old state or the complete new state,
     *     never a half-promoted mix — the all-or-nothing behavior of the
     *     reference's transactional per-subject load
     *     (`warehouse/snowflake_client.py:133-152`),
-    *  3. promotes staged files to final names (each rename atomic), and
-    *  4. retires the manifest, then the staging tree.
+    *  3. promotes staged files to final names (each rename atomic),
+    *  4. publishes the `_COMMITTED-<seq>-<queryId>` marker (same
+    *     entries), then retires its own manifest and staging tree — the
+    *     marker FENCES any lower-sequence crashed manifest still lying
+    *     around: per name, the highest-(seq, qid) fence wins, so a stale
+    *     manifest can neither hijack reads nor make recovery overwrite
+    *     newer data, and
+    *  5. retires ALL committed markers iff no staged manifest remains
+    *     (the steady state carries zero fence files).
     *
     * A crash or failure anywhere in step 3 leaves the manifest + staged
     * files in place: readers keep resolving the new state, and
@@ -210,35 +238,45 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     // too. Posix/HDFS rename-over replaces in one step.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(target).toUri, conf.value)
-    val manifest = new Path(target, EdfBatchWrite.manifestName(queryId))
     if (pairs.nonEmpty) {
-      // Manifest is assembled in this query's staging tree and published
-      // by one rename — readers can never observe a partial manifest.
-      val tmpManifest = new Path(target, s"$stagingDir/_MANIFEST")
-      val os = fs.create(tmpManifest, true)
-      try os.write(pairs.map { case (tmp, name) =>
+      val mySeq =
+        (EdfBatchWrite.listFences(fs, target).map(_.seq) :+ 0).max + 1
+      val manifest = new Path(target,
+        EdfBatchWrite.fenceName(EdfBatchWrite.ManifestPrefix, mySeq, queryId))
+      val content = pairs.map { case (tmp, name) =>
         s"${fs.makeQualified(new Path(tmp))}\t$name"
       }.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
-      fc.rename(fs.makeQualified(tmpManifest), fs.makeQualified(manifest),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      publishFence(fs, fc, target, manifest, content)
       // Only AFTER the publish rename returned: a failed publish means
       // readers are still on the complete OLD state and nothing needs
       // recovery — the pre-commit-point abort (clean staging) is correct
       // for that window, and claiming otherwise would mislead operators.
+      publishedManifest = manifest.getName
       promotionStarted = true
+      pairs.foreach { case (tmp, name) =>
+        fc.rename(fs.makeQualified(new Path(tmp)),
+          fs.makeQualified(new Path(target, name)),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      // Promotion complete: publish the committed marker BEFORE retiring
+      // the manifest, so this commit keeps fencing lower-sequence crashed
+      // manifests without a gap; then the manifest, then the staging
+      // tree. A crash between the steps only leaks fence files /
+      // an empty-ish staging dir that rollForward reclaims, never data.
+      publishFence(fs, fc, target, new Path(target,
+        EdfBatchWrite.fenceName(EdfBatchWrite.CommittedPrefix, mySeq,
+          queryId)), content)
+      fs.delete(manifest, false)
     }
-    pairs.foreach { case (tmp, name) =>
-      fc.rename(fs.makeQualified(new Path(tmp)),
-        fs.makeQualified(new Path(target, name)),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
-    // Promotion complete: retire the manifest FIRST (readers resolve the
-    // promoted finals directly), then the staging tree. A crash between
-    // the two only leaks an empty-ish staging dir, never data.
-    fs.delete(manifest, false)
     fs.delete(new Path(target, stagingDir), true)
+    // Steady-state cleanup: markers only matter while a lower-sequence
+    // crashed manifest could contest their names — when no staged
+    // manifest remains, retire every marker (including this commit's).
+    val fences = EdfBatchWrite.listFences(fs, target)
+    if (!fences.exists(!_.committed))
+      fences.filter(_.committed)
+        .foreach(f => try fs.delete(f.path, false)
+          catch { case _: Throwable => () })
     // Drop the shared _temporary root too iff no other query is staging
     // under it (non-recursive delete only succeeds on an empty dir).
     try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
@@ -264,9 +302,9 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
           s"[${promoted.map(_._2).mkString(", ")}]; ${staged.size} still " +
           s"staged under $targetDir/$stagingDir " +
           s"[${staged.map(_._2).mkString(", ")}]. Staged files are the " +
-          s"ONLY copy of those outputs; manifest " +
-          s"${EdfBatchWrite.manifestName(queryId)} keeps readers on the " +
-          "new state. Run graft.sources.EdfExportRecovery.rollForward(" +
+          s"ONLY copy of those outputs; manifest $publishedManifest " +
+          "keeps readers on the new state. Run " +
+          "graft.sources.EdfExportRecovery.rollForward(" +
           s"\"$targetDir\", hadoopConf) to complete the promotion.")
       return
     }
@@ -285,11 +323,57 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
 private object EdfBatchWrite {
   val TempDirName = "_temporary"
   val ManifestPrefix = "_STAGED_MANIFEST-"
+  val CommittedPrefix = "_COMMITTED-"
   def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
-  def manifestName(queryId: String): String = ManifestPrefix + sanitize(queryId)
 
-  /** Parse a staged manifest: one `stagedPath TAB finalName` line per
-    * file. Shared by the reader's redirect resolution and
+  /** One commit-protocol fence file: a staged manifest (in-flight or
+    * crashed export) or a committed marker (a finished export that must
+    * stay visible while LOWER-sequence crashed manifests linger, so
+    * staleness is decidable without clocks). Both carry the same
+    * `stagedPath TAB finalName` lines. `(seq, qid)` totally orders
+    * commits: the sequence number is taken as max(existing)+1 at commit
+    * time, so a re-run after a crash always fences the crashed export;
+    * the queryId string breaks the (pathological) tie of two exports
+    * that scanned concurrently — concurrent exporters of the SAME file
+    * name remain last-wins-undefined, exactly as plain rename-overwrite
+    * was, but the resolution is at least deterministic.
+    */
+  final case class Fence(seq: Int, qid: String, path: Path,
+      committed: Boolean) {
+    def key: (Int, String) = (seq, qid)
+  }
+
+  def fenceName(prefix: String, seq: Int, queryId: String): String =
+    f"$prefix$seq%09d-${sanitize(queryId)}"
+
+  private def parseFence(p: Path): Option[Fence] = {
+    val n = p.getName
+    val (prefix, committed) =
+      if (n.startsWith(ManifestPrefix)) (ManifestPrefix, false)
+      else if (n.startsWith(CommittedPrefix)) (CommittedPrefix, true)
+      else return None
+    val rest = n.stripPrefix(prefix)
+    val dash = rest.indexOf('-')
+    if (dash <= 0) None
+    else rest.substring(0, dash).toIntOption
+      .map(seq => Fence(seq, rest.substring(dash + 1), p, committed))
+  }
+
+  /** All fence files in `target`, ordered by commit order (seq, qid). */
+  def listFences(fs: FileSystem, target: Path): Seq[Fence] =
+    if (!fs.exists(target)) Nil
+    else fs.listStatus(target).toSeq.filter(_.isFile)
+      .flatMap(s => parseFence(s.getPath))
+      .sortBy(_.key)
+
+  /** Fences parsed from an already-obtained listing (the reader's path —
+    * no second listStatus round trip).
+    */
+  def fencesOf(paths: Seq[Path]): Seq[Fence] =
+    paths.flatMap(parseFence).sortBy(_.key)
+
+  /** Parse a fence file's entries: one `stagedPath TAB finalName` line
+    * per file. Shared by the reader's redirect resolution and
     * [[EdfExportRecovery.rollForward]].
     */
   def readManifest(fs: FileSystem, m: Path): Seq[(String, String)] = {
@@ -304,6 +388,25 @@ private object EdfBatchWrite {
         (line.substring(0, i), line.substring(i + 1))
       }
   }
+
+  /** The latest mention of every final name across the given fences —
+    * the per-name resolution rule shared by readers and recovery: the
+    * highest-(seq, qid) fence mentioning a name owns it. Returns
+    * name -> (owning fence, its staged path for that name). Fences whose
+    * file vanished between listing and read were retired by a completing
+    * commit — their promotion finished, so skipping them is correct.
+    */
+  def latestMentions(fs: FileSystem,
+      fences: Seq[Fence]): Map[String, (Fence, String)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Fence, String)]
+    fences.sortBy(_.key).foreach { f =>
+      val entries =
+        try readManifest(fs, f.path)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      entries.foreach { case (staged, name) => out(name) = (f, staged) }
+    }
+    out.toMap
+  }
 }
 
 /** Crash recovery for the EDF export's two-phase commit: if a job died
@@ -317,48 +420,41 @@ private object EdfBatchWrite {
   */
 object EdfExportRecovery {
 
-  /** Replay every staged manifest under `targetDir`: promote staged
-    * files that still exist, then retire each manifest and its query's
-    * staging tree. Returns the final names promoted by THIS call.
+  /** Replay every staged manifest under `targetDir` in commit order:
+    * promote an entry's staged file iff that manifest is the LATEST
+    * fence mentioning the name (the reader's resolution rule — a
+    * higher-sequence manifest or committed marker owns the name, so a
+    * stale crashed export can never overwrite newer data; its dropped
+    * entries are logged). Then retire each manifest, its query's staging
+    * tree, and — once no manifest remains — every committed marker.
+    * Returns the final names promoted by THIS call; idempotent.
     */
   def rollForward(targetDir: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val target = new Path(targetDir)
     val fs = target.getFileSystem(conf)
-    if (!fs.exists(target)) return Nil
-    val manifests = fs.listStatus(target).toSeq.filter(_.isFile)
-      .map(_.getPath)
-      .filter(_.getName.startsWith(EdfBatchWrite.ManifestPrefix))
-    if (manifests.isEmpty) return Nil
+    val fences = EdfBatchWrite.listFences(fs, target)
+    if (fences.isEmpty) return Nil
+    val latest = EdfBatchWrite.latestMentions(fs, fences)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(target).toUri, conf)
     val promoted = Seq.newBuilder[String]
-    manifests.foreach { m =>
+    fences.filter(!_.committed).foreach { m =>
       // A manifest retired by a concurrently completing commit means its
       // promotion finished — nothing to replay.
       val entries =
-        try EdfBatchWrite.readManifest(fs, m)
+        try EdfBatchWrite.readManifest(fs, m.path)
         catch { case _: java.io.FileNotFoundException => Nil }
       entries.foreach { case (staged, name) =>
-        val sp = new Path(staged)
-        val finalPath = new Path(target, name)
-        val stagedStat =
-          try Some(fs.getFileStatus(sp))
-          catch { case _: java.io.FileNotFoundException => None }
-        stagedStat.foreach { ss =>
-          // Freshness gate (mirror of the reader's): if a NEWER export
-          // committed this name after the crash, the staged copy is
-          // stale — promoting it would overwrite newer data with old.
-          val finalNewer =
-            try fs.getFileStatus(finalPath).getModificationTime >
-              ss.getModificationTime
-            catch { case _: java.io.FileNotFoundException => false }
-          if (finalNewer)
-            System.err.println(s"[edf-export] rollForward: dropping " +
-              s"stale staged '$name' from ${m.getName} — a newer export " +
-              "already committed that file")
-          else {
-            fc.rename(fs.makeQualified(sp), fs.makeQualified(finalPath),
+        if (latest(name)._1.key != m.key)
+          System.err.println(s"[edf-export] rollForward: dropping stale " +
+            s"staged '$name' from ${m.path.getName} — a newer export " +
+            s"(${latest(name)._1.path.getName}) owns that file")
+        else {
+          val sp = new Path(staged)
+          if (fs.exists(sp)) {
+            fc.rename(fs.makeQualified(sp),
+              fs.makeQualified(new Path(target, name)),
               org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             promoted += name
           }
@@ -366,11 +462,15 @@ object EdfExportRecovery {
       }
       // This manifest's promotion is complete: retire it, then the
       // query's staging tree (its name encodes the sanitized queryId).
-      fs.delete(m, false)
+      fs.delete(m.path, false)
       fs.delete(new Path(target,
-        s"${EdfBatchWrite.TempDirName}/" +
-          m.getName.stripPrefix(EdfBatchWrite.ManifestPrefix)), true)
+        s"${EdfBatchWrite.TempDirName}/${m.qid}"), true)
     }
+    // Every manifest is resolved — the committed markers have nothing
+    // left to fence.
+    fences.filter(_.committed)
+      .foreach(f => try fs.delete(f.path, false)
+        catch { case _: Throwable => () })
     try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
     catch { case _: Throwable => () }
     promoted.result()
@@ -543,64 +643,55 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
         if (fs.isDirectory(p)) {
           val listed = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
           // An in-flight (or crashed mid-promotion) export publishes a
-          // `_STAGED_MANIFEST-*` redirect table as its atomic commit
-          // point. Resolving listed names through it gives this listing
-          // a CONSISTENT view: every manifested file reads its staged
-          // copy (falling back to the final name once promoted), so a
-          // reader sees the complete new state — never a half-promoted
-          // mix of old and new files. Listings without manifests (the
-          // steady state) are untouched. A manifest retired between the
-          // listing and this read means promotion completed — the finals
-          // are in place, so no redirect is the right answer.
-          val redirect: Map[String, String] = listed
-            .filter(_.getName.startsWith(EdfBatchWrite.ManifestPrefix))
-            .flatMap { m =>
-              try EdfBatchWrite.readManifest(fs, m)
-                .map { case (staged, name) => name -> staged }
-              catch { case _: java.io.FileNotFoundException => Nil }
-            }
-            .toMap
-          // Freshness gate on every redirect: follow the staged copy only
-          // while it exists and is at least as new as the final file. A
-          // manifest LEFT BEHIND by a crashed export whose target was
-          // since re-exported (a newer final committed over it) must not
-          // hijack reads onto its stale staged bytes forever.
-          def stagedIfFresh(name: String,
-              finalPath: Path): Option[String] =
-            redirect.get(name).filter { staged =>
-              try {
-                val st = fs.getFileStatus(new Path(staged))
-                  .getModificationTime
-                val ft =
-                  try Some(fs.getFileStatus(finalPath).getModificationTime)
-                  catch { case _: java.io.FileNotFoundException => None }
-                ft.forall(st >= _)
-              } catch {
-                // Staged copy gone → already promoted; read the final.
-                case _: java.io.FileNotFoundException => false
-              }
-            }
+          // `_STAGED_MANIFEST-<seq>-<qid>` redirect table as its atomic
+          // commit point; a finished export leaves a `_COMMITTED-…`
+          // marker while older crashed manifests linger. Resolving every
+          // name through the HIGHEST-(seq, qid) fence mentioning it
+          // gives this listing a CONSISTENT view: an in-flight export's
+          // files read their staged copies (falling back to the final
+          // once promoted) so a reader sees the complete new state —
+          // never a half-promoted mix — while a crashed export's
+          // manifest is fenced per name by any newer commit (no clocks:
+          // sequence numbers are taken at commit time, so a re-run
+          // always outranks the crash it replaces). Listings without
+          // fence files (the steady state) are untouched.
+          val latest = EdfBatchWrite.latestMentions(fs,
+            EdfBatchWrite.fencesOf(listed))
           val dataFiles = listed.map(_.toString)
             .filter(_.toLowerCase.endsWith(".edf"))
           val listedNames =
             dataFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
           val fromListing = dataFiles.map { f =>
             val name = f.substring(f.lastIndexOf('/') + 1)
-            stagedIfFresh(name, new Path(f)) match {
-              case Some(staged) => EdfInputPartition(f, Seq(staged, f))
-              case None => EdfInputPartition(f)
+            latest.get(name) match {
+              case Some((fence, staged))
+                  if !fence.committed && fs.exists(new Path(staged)) =>
+                EdfInputPartition(f, Seq(staged, f))
+              // Committed marker, retired/promoted manifest entry, or an
+              // unmentioned steady-state file: the final bytes are the
+              // truth.
+              case _ => EdfInputPartition(f)
             }
           }
-          // Manifested files whose final name is not in the listing yet:
-          // a brand-new file still staged — part of the committed state.
-          // Qualified logical path, so the `path` column spells the same
-          // before and after promotion (listed files carry qualified
-          // FileStatus paths).
-          val pending = redirect.toSeq.collect {
-            case (name, staged) if !listedNames.contains(name) =>
+          // Mentioned names with no final file in the listing. For an
+          // in-flight manifest that's a brand-new file still staged —
+          // part of the committed state (qualified logical path, so the
+          // `path` column spells the same before and after promotion).
+          // If NEITHER copy exists (an export whose staging was
+          // destroyed after its publish — e.g. an ambiguous rename
+          // failure followed by abort), the file is a ghost: skipping it
+          // keeps the listing consistent instead of failing every read
+          // with FileNotFoundException.
+          val pending = latest.toSeq.collect {
+            case (name, (fence, staged)) if !listedNames.contains(name) &&
+                !fence.committed =>
               val logical = fs.makeQualified(new Path(p, name)).toString
-              EdfInputPartition(logical, Seq(staged, logical))
-          }
+              if (fs.exists(new Path(staged)))
+                Some(EdfInputPartition(logical, Seq(staged, logical)))
+              else if (fs.exists(new Path(logical)))
+                Some(EdfInputPartition(logical)) // promoted after listing
+              else None
+          }.flatten
           fromListing ++ pending
         } else fs.globStatus(p) match {
           case null => Seq(EdfInputPartition(pathSpec))

@@ -102,11 +102,18 @@ class IngestSpec extends SparkSpec {
 
     // Lenient: complete records salvage, the epoching tmax guard clips
     // events to the salvaged signal, and every surviving epoch is
-    // value-identical to the intact copy of the same recording.
-    val lenient = Ingest.extract(spark, all, lenient = true).persist()
+    // value-identical to the intact copy of the same recording. The
+    // salvage is OBSERVABLE: shortened inputs never reach the error
+    // channel, so the accumulators must count them.
+    val metrics = Ingest.ExtractMetrics(spark)
+    val lenient =
+      Ingest.extract(spark, all, Some(metrics), lenient = true).persist()
     assert(Ingest.errorsOf(lenient).count() == 0)
     val rows = Ingest.epochsOf(lenient).as[SleepEpoch].collect()
     lenient.unpersist()
+    assert(metrics.salvagedRecords.value == 1L,
+      s"salvage accumulator read ${metrics.salvagedRecords.value}")
+    assert(metrics.skippedTals.value == 0L)
     val intact = rows.filter(_.subject_id == refs.head.subjectId)
       .map(r => r.epoch_idx -> r.copy(subject_id = 5)).toMap
     val salvaged = rows.filter(_.subject_id == 5)

@@ -383,8 +383,9 @@ class EdfDataSourceSpec extends SparkSpec {
     new org.apache.hadoop.fs.Path(s"$out/rec0.edf").getFileSystem(hconf)
       .delete(new org.apache.hadoop.fs.Path(s"$out/rec0.edf"), true)
 
-    // The re-run: export B commits v3 cleanly (distinct mtime tick).
-    Thread.sleep(50)
+    // The re-run: export B commits v3 cleanly. Its commit SEQUENCE
+    // outranks A's crashed manifest (no clocks involved), fencing every
+    // name A staged.
     scaled(0.25).write.format("edf").mode("append").save(out)
     val cleanOut = tmpDir("edfsink_stale_clean")
     scaled(0.25).write.format("edf").mode("append").save(cleanOut)
@@ -473,6 +474,121 @@ class EdfDataSourceSpec extends SparkSpec {
     val lenient = spark.read.format("edf").option("lenient", "true").load(d)
       .agg(sum(size(col("samples")))).head().getLong(0)
     assert(lenient == 900L, s"salvaged $lenient samples, want 900")
+  }
+
+  test("two crashed exports: the higher-sequence one owns reads and recovery") {
+    // Both exports of the same name crash mid-promotion. Sequence order
+    // (not listing order, not clocks) must decide: readers serve the
+    // SECOND export's staged bytes, and rollForward promotes exactly
+    // those while dropping the first's, then cleans everything.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfsink_twocrash")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    def scaled(f: Double) =
+      src.withColumn("samples", transform(col("samples"), x => x * f))
+    val srcSchema = src.schema
+    def crash(qid: String, factor: Double): Unit = {
+      val rows = scaled(factor).queryExecution.toRdd
+        .mapPartitions(_.map(_.copy())).collect()
+      val info = new LogicalWriteInfo {
+        override def queryId(): String = qid
+        override def schema(): org.apache.spark.sql.types.StructType =
+          srcSchema
+        override def options() = CaseInsensitiveStringMap.empty()
+      }
+      val batch = new EdfDataSource().getTable(srcSchema, Array.empty,
+          java.util.Map.of("path", out))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).build().toBatch
+      val w = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+      rows.foreach(w.write)
+      val msg = w.commit()
+      val squatter = java.nio.file.Paths.get(s"$out/rec0.edf")
+      java.nio.file.Files.createDirectories(squatter)
+      java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+      intercept[Exception](batch.commit(Array(msg)))
+      batch.abort(Array(msg))
+      new org.apache.hadoop.fs.Path(s"$out/rec0.edf").getFileSystem(hconf)
+        .delete(new org.apache.hadoop.fs.Path(s"$out/rec0.edf"), true)
+    }
+    // Note: "zz-first" sorts AFTER "aa-second" as a string — sequence
+    // numbers, not queryIds, must order the two exports.
+    crash("zz-first", 0.5)
+    crash("aa-second", 0.25)
+    val cleanOut = tmpDir("edfsink_twocrash_clean")
+    scaled(0.25).write.format("edf").mode("append").save(cleanOut)
+    val want = signalView(cleanOut)
+    assert(signalView(out) == want,
+      "reader did not follow the higher-sequence crashed export")
+    val promoted = EdfExportRecovery.rollForward(out, hconf)
+    assert(promoted == Seq("rec0.edf"), promoted.toString)
+    assert(signalView(out) == want,
+      "rollForward promoted the wrong export's bytes")
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf"), s"residue: $names")
+  }
+
+  test("a ghost manifest (staging destroyed) degrades reads, never fails them") {
+    // The ambiguous-failure window: a manifest is published but the
+    // staging tree is later destroyed without promotion (e.g. an
+    // ambiguous rename failure followed by an abort that cleaned
+    // staging). Readers must degrade to a consistent view — existing
+    // finals read their (old) bytes, brand-new names vanish — instead
+    // of failing every scan with FileNotFoundException; rollForward
+    // then retires the ghost.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfsink_ghost")
+    // Old state: rec0 only; the export stages rec0 (update) + rec1 (new).
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    src.where(col("path").contains("rec0"))
+      .write.format("edf").mode("append").save(out)
+    val oldView = signalView(out)
+    val rows = src.withColumn("samples",
+        transform(col("samples"), x => x * 0.5))
+      .queryExecution.toRdd.mapPartitions(_.map(_.copy())).collect()
+    val srcSchema = src.schema
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "ghost"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        srcSchema
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val batch = new EdfDataSource().getTable(srcSchema, Array.empty,
+        java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build().toBatch
+    val w = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+    rows.foreach(w.write)
+    val msg = w.commit()
+    val squatter = java.nio.file.Paths.get(s"$out/rec0.edf")
+    // rec0 promotion fails first (rec0 sorts before rec1), so NOTHING
+    // promoted; then simulate the staging tree vanishing post-publish.
+    val keepBytes = java.nio.file.Files.readAllBytes(squatter)
+    java.nio.file.Files.delete(squatter)
+    java.nio.file.Files.createDirectories(squatter)
+    java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+    intercept[Exception](batch.commit(Array(msg)))
+    batch.abort(Array(msg))
+    new org.apache.hadoop.fs.Path(s"$out/rec0.edf").getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(s"$out/rec0.edf"), true)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/rec0.edf"),
+      keepBytes)
+    new org.apache.hadoop.fs.Path(s"$out/_temporary").getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(s"$out/_temporary"), true)
+    // Manifest present, staging gone: the old final must still read and
+    // the never-promoted rec1 must simply be absent.
+    assert(signalView(out) == oldView,
+      "ghost manifest broke or corrupted directory reads")
+    assert(EdfExportRecovery.rollForward(out, hconf).isEmpty)
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf"), s"ghost residue: $names")
   }
 
   test("redirected partitions fall back from a vanished staged path to the final") {
