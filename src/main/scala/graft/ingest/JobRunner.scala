@@ -23,7 +23,11 @@ object JobRunner {
       startingSubject: Int = 0,
       endingSubject: Int = 3,
       warehouseDir: String,
-      gapEpochs: Int = SleepModels.DefaultGapEpochs)
+      gapEpochs: Int = SleepModels.DefaultGapEpochs,
+      /** Opt the job into the reference reader's salvage behavior for
+        * interrupted recordings ([[Ingest.extract]]'s lenient mode);
+        * the strict default keeps error-channel accounting exact. */
+      lenient: Boolean = false)
 
   final case class JobReport(
       subjectsAttempted: Int,
@@ -46,7 +50,8 @@ object JobRunner {
     // Extract once; persist the combined result so the epoch/error split
     // doesn't recompute the signal kernels.
     val metrics = Ingest.ExtractMetrics(spark)
-    val extracted = Ingest.extract(spark, refs, Some(metrics)).persist()
+    val extracted =
+      Ingest.extract(spark, refs, Some(metrics), cfg.lenient).persist()
     try {
       val (validEpochs, contractErrors) =
         Validation.validateBySubject(Ingest.epochsOf(extracted))

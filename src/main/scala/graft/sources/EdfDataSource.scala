@@ -354,7 +354,12 @@ private object EdfBatchWrite {
       else return None
     val rest = n.stripPrefix(prefix)
     val dash = rest.indexOf('-')
-    if (dash <= 0) None
+    // The sequence segment [[fenceName]] writes is AT LEAST nine digits
+    // (%09d): anything shorter is not this protocol's fence — treating
+    // it as a stray file keeps a lucky all-digit queryId prefix from
+    // ever masquerading as a huge sequence number and hijacking the
+    // total order.
+    if (dash < 9) None
     else rest.substring(0, dash).toIntOption
       .map(seq => Fence(seq, rest.substring(dash + 1), p, committed))
   }
@@ -389,23 +394,28 @@ private object EdfBatchWrite {
       }
   }
 
-  /** The latest mention of every final name across the given fences —
-    * the per-name resolution rule shared by readers and recovery: the
-    * highest-(seq, qid) fence mentioning a name owns it. Returns
-    * name -> (owning fence, its staged path for that name). Fences whose
-    * file vanished between listing and read were retired by a completing
-    * commit — their promotion finished, so skipping them is correct.
+  /** Every fence's entries, read ONCE, grouped per final name in fence
+    * order (ascending (seq, qid)) — the shared input to the per-name
+    * resolution rule readers and recovery apply: walk a name's mentions
+    * newest-first and follow the first fence that can DELIVER it.
+    * Fences whose file vanished between listing and read were retired
+    * by a completing commit — their promotion finished, so skipping
+    * them is correct.
     */
-  def latestMentions(fs: FileSystem,
-      fences: Seq[Fence]): Map[String, (Fence, String)] = {
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Fence, String)]
+  def mentionsByName(fs: FileSystem,
+      fences: Seq[Fence]): Map[String, Seq[(Fence, String)]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Fence, String)]]
     fences.sortBy(_.key).foreach { f =>
       val entries =
         try readManifest(fs, f.path)
         catch { case _: java.io.FileNotFoundException => Nil }
-      entries.foreach { case (staged, name) => out(name) = (f, staged) }
+      entries.foreach { case (staged, name) =>
+        out.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty) += ((f, staged))
+      }
     }
-    out.toMap
+    out.view.mapValues(_.toSeq).toMap
   }
 }
 
@@ -420,13 +430,17 @@ private object EdfBatchWrite {
   */
 object EdfExportRecovery {
 
-  /** Replay every staged manifest under `targetDir` in commit order:
-    * promote an entry's staged file iff that manifest is the LATEST
-    * fence mentioning the name (the reader's resolution rule — a
-    * higher-sequence manifest or committed marker owns the name, so a
-    * stale crashed export can never overwrite newer data; its dropped
-    * entries are logged). Then retire each manifest, its query's staging
-    * tree, and — once no manifest remains — every committed marker.
+  /** Resolve every name mentioned by the staged manifests under
+    * `targetDir` with the reader's own rule — walk its mentions
+    * newest-first and follow the first fence that can DELIVER it: a
+    * committed marker or an existing final file keeps the final (a
+    * stale crashed export can never overwrite newer data), a manifest
+    * whose staged copy survives gets it promoted, and a ghost mention
+    * (no staged, no final) falls through to the next-older fence — so
+    * recovery never discards the only surviving copy of an output.
+    * Surviving-but-outranked staged copies are logged as dropped. Then
+    * every manifest, its query's staging tree, and the committed
+    * markers are retired — the steady state carries zero fence files.
     * Returns the final names promoted by THIS call; idempotent.
     */
   def rollForward(targetDir: String,
@@ -435,42 +449,44 @@ object EdfExportRecovery {
     val fs = target.getFileSystem(conf)
     val fences = EdfBatchWrite.listFences(fs, target)
     if (fences.isEmpty) return Nil
-    val latest = EdfBatchWrite.latestMentions(fs, fences)
+    val mentions = EdfBatchWrite.mentionsByName(fs, fences)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(target).toUri, conf)
     val promoted = Seq.newBuilder[String]
-    fences.filter(!_.committed).foreach { m =>
-      // A manifest retired by a concurrently completing commit means its
-      // promotion finished — nothing to replay.
-      val entries =
-        try EdfBatchWrite.readManifest(fs, m.path)
-        catch { case _: java.io.FileNotFoundException => Nil }
-      entries.foreach { case (staged, name) =>
-        if (latest(name)._1.key != m.key)
-          System.err.println(s"[edf-export] rollForward: dropping stale " +
-            s"staged '$name' from ${m.path.getName} — a newer export " +
-            s"(${latest(name)._1.path.getName}) owns that file")
-        else {
-          val sp = new Path(staged)
-          if (fs.exists(sp)) {
-            fc.rename(fs.makeQualified(sp),
-              fs.makeQualified(new Path(target, name)),
+    mentions.foreach { case (name, ms) =>
+      val finalPath = new Path(target, name)
+      val finalExists = fs.exists(finalPath)
+      var delivered = false
+      ms.reverseIterator.foreach { case (fence, staged) =>
+        val stagedExists = fs.exists(new Path(staged))
+        if (!delivered) {
+          if (fence.committed) delivered = true // committed final wins
+          else if (stagedExists) {
+            fc.rename(fs.makeQualified(new Path(staged)),
+              fs.makeQualified(finalPath),
               org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             promoted += name
-          }
-        }
+            delivered = true
+          } else if (finalExists)
+            // Staged gone while a final exists: this fence evidently
+            // promoted it already — the final is the newest bytes.
+            delivered = true
+          // else: a ghost mention — fall through to the next-older fence.
+        } else if (stagedExists)
+          System.err.println(s"[edf-export] rollForward: dropping stale " +
+            s"staged '$name' from ${fence.path.getName} — a newer " +
+            "export owns that file")
       }
-      // This manifest's promotion is complete: retire it, then the
-      // query's staging tree (its name encodes the sanitized queryId).
-      fs.delete(m.path, false)
-      fs.delete(new Path(target,
-        s"${EdfBatchWrite.TempDirName}/${m.qid}"), true)
     }
-    // Every manifest is resolved — the committed markers have nothing
-    // left to fence.
-    fences.filter(_.committed)
-      .foreach(f => try fs.delete(f.path, false)
-        catch { case _: Throwable => () })
+    // Every manifest is resolved: retire them, their queries' staging
+    // trees (the fence name encodes the sanitized queryId), and the
+    // committed markers, which now have nothing left to fence.
+    fences.foreach { f =>
+      try fs.delete(f.path, false) catch { case _: Throwable => () }
+      if (!f.committed)
+        fs.delete(new Path(target,
+          s"${EdfBatchWrite.TempDirName}/${f.qid}"), true)
+    }
     try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
     catch { case _: Throwable => () }
     promoted.result()
@@ -655,7 +671,7 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // sequence numbers are taken at commit time, so a re-run
           // always outranks the crash it replaces). Listings without
           // fence files (the steady state) are untouched.
-          val latest = EdfBatchWrite.latestMentions(fs,
+          val mentions = EdfBatchWrite.mentionsByName(fs,
             EdfBatchWrite.fencesOf(listed))
           val dataFiles = listed.map(_.toString)
             .filter(_.toLowerCase.endsWith(".edf"))
@@ -663,7 +679,7 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
             dataFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
           val fromListing = dataFiles.map { f =>
             val name = f.substring(f.lastIndexOf('/') + 1)
-            latest.get(name) match {
+            mentions.get(name).map(_.last) match {
               case Some((fence, staged))
                   if !fence.committed && fs.exists(new Path(staged)) =>
                 EdfInputPartition(f, Seq(staged, f))
@@ -677,20 +693,33 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // in-flight manifest that's a brand-new file still staged —
           // part of the committed state (qualified logical path, so the
           // `path` column spells the same before and after promotion).
-          // If NEITHER copy exists (an export whose staging was
-          // destroyed after its publish — e.g. an ambiguous rename
-          // failure followed by abort), the file is a ghost: skipping it
-          // keeps the listing consistent instead of failing every read
-          // with FileNotFoundException.
-          val pending = latest.toSeq.collect {
-            case (name, (fence, staged)) if !listedNames.contains(name) &&
-                !fence.committed =>
-              val logical = fs.makeQualified(new Path(p, name)).toString
+          // Walk mentions newest-first: a committed marker ends the
+          // search (its final is the truth — absent from the listing
+          // means promoted-after-listing or externally removed); a ghost
+          // mention (manifest whose staged copy vanished without a
+          // final — e.g. staging destroyed after an ambiguous publish)
+          // falls through to the next-older fence, so the newest
+          // SURVIVING copy is served and nothing fails with
+          // FileNotFoundException.
+          def resolvePending(name: String,
+              ms: Seq[(EdfBatchWrite.Fence, String)]):
+              Option[EdfInputPartition] = {
+            val logical = fs.makeQualified(new Path(p, name)).toString
+            val it = ms.reverseIterator
+            while (it.hasNext) {
+              val (fence, staged) = it.next()
+              if (fence.committed)
+                return if (fs.exists(new Path(logical)))
+                  Some(EdfInputPartition(logical)) else None
               if (fs.exists(new Path(staged)))
-                Some(EdfInputPartition(logical, Seq(staged, logical)))
-              else if (fs.exists(new Path(logical)))
-                Some(EdfInputPartition(logical)) // promoted after listing
-              else None
+                return Some(EdfInputPartition(logical, Seq(staged, logical)))
+            }
+            if (fs.exists(new Path(logical))) Some(EdfInputPartition(logical))
+            else None // a true ghost: no copy of this name survives
+          }
+          val pending = mentions.toSeq.collect {
+            case (name, ms) if !listedNames.contains(name) =>
+              resolvePending(name, ms)
           }.flatten
           fromListing ++ pending
         } else fs.globStatus(p) match {

@@ -152,6 +152,30 @@ class JobRunnerSpec extends SparkSpec {
     Validation.requireAll(Validation.summaryChecks(summary))
   }
 
+  test("lenient job config loads interrupted recordings instead of failing them") {
+    val dir = tmpDir("job-lenient")
+    val refs = SyntheticSource.writeRecordings(s"$dir/raw", 2)
+    // Interrupt subject 1's recording: clip half of the final record.
+    val psg1 = java.nio.file.Paths.get(refs(1).psgPath)
+    java.nio.file.Files.write(psg1,
+      java.nio.file.Files.readAllBytes(psg1).dropRight(150))
+
+    // Strict default: the interrupted subject is a per-file error.
+    val strict = JobRunner.run(spark,
+      JobRunner.JobConfig(0, 2, s"$dir/warehouse_strict"), refs)
+    assert(strict.subjectsFailed == 1)
+
+    // Lenient: both subjects load; salvage is logged via the metrics
+    // (exercised in IngestSpec) rather than the error channel.
+    val lenient = JobRunner.run(spark,
+      JobRunner.JobConfig(0, 2, s"$dir/warehouse_lenient", lenient = true),
+      refs)
+    assert(lenient.subjectsFailed == 0)
+    assert(lenient.martRows("sleep_summary") == 2)
+    assert(lenient.epochsLoaded > strict.epochsLoaded,
+      "the salvaged subject's epochs must load")
+  }
+
   test("config validation rejects bad subject ranges") {
     intercept[IllegalArgumentException] {
       JobRunner.validateConfig(JobRunner.JobConfig(5, 3, "/tmp/x"))

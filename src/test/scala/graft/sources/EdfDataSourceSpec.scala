@@ -591,6 +591,65 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(names.toSet == Set("rec0.edf"), s"ghost residue: $names")
   }
 
+  test("a ghost owner falls through to the older surviving staged copy") {
+    // Export A (seq 1) crashes with its staged copy INTACT; export B
+    // (seq 2) crashes AND loses its staging (the ghost). No final file
+    // exists. B nominally outranks A, but it cannot deliver — readers
+    // and recovery must fall through to A's surviving bytes instead of
+    // losing the only remaining copy of the output.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfsink_ghostowner")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    def scaled(f: Double) =
+      src.withColumn("samples", transform(col("samples"), x => x * f))
+    val srcSchema = src.schema
+    def crash(qid: String, factor: Double): Unit = {
+      val rows = scaled(factor).queryExecution.toRdd
+        .mapPartitions(_.map(_.copy())).collect()
+      val info = new LogicalWriteInfo {
+        override def queryId(): String = qid
+        override def schema(): org.apache.spark.sql.types.StructType =
+          srcSchema
+        override def options() = CaseInsensitiveStringMap.empty()
+      }
+      val batch = new EdfDataSource().getTable(srcSchema, Array.empty,
+          java.util.Map.of("path", out))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).build().toBatch
+      val w = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+      rows.foreach(w.write)
+      val msg = w.commit()
+      val squatter = java.nio.file.Paths.get(s"$out/rec0.edf")
+      java.nio.file.Files.createDirectories(squatter)
+      java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+      intercept[Exception](batch.commit(Array(msg)))
+      batch.abort(Array(msg))
+      new org.apache.hadoop.fs.Path(s"$out/rec0.edf").getFileSystem(hconf)
+        .delete(new org.apache.hadoop.fs.Path(s"$out/rec0.edf"), true)
+    }
+    crash("alive", 0.5)
+    crash("ghosted", 0.25)
+    // Destroy ONLY the ghost's staging subtree.
+    new org.apache.hadoop.fs.Path(s"$out/_temporary/ghosted")
+      .getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(s"$out/_temporary/ghosted"), true)
+    val cleanOut = tmpDir("edfsink_ghostowner_clean")
+    scaled(0.5).write.format("edf").mode("append").save(cleanOut)
+    val want = signalView(cleanOut)
+    assert(signalView(out) == want,
+      "reader lost the surviving older staged copy behind a ghost owner")
+    val promoted = EdfExportRecovery.rollForward(out, hconf)
+    assert(promoted == Seq("rec0.edf"), promoted.toString)
+    assert(signalView(out) == want,
+      "rollForward discarded the only surviving copy")
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf"), s"residue: $names")
+  }
+
   test("redirected partitions fall back from a vanished staged path to the final") {
     // A promotion rename can land between a reader's listing (which
     // resolved the staged candidate) and its open: the partition carries
