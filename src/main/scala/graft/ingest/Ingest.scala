@@ -146,9 +146,9 @@ object Ingest {
       dropped: org.apache.spark.util.LongAccumulator,
       totalEvents: org.apache.spark.util.LongAccumulator,
       /** Records truncated away + malformed TALs skipped by lenient
-        * salvage — zero under the strict default. A lenient run needs
-        * this observability: silently shortened recordings never reach
-        * the error channel, so the accumulators are where they count.
+        * salvage — zero under the strict default. Run-level totals; the
+        * per-subject breakdown rides the error channel as
+        * [[Ingest.SalvageWarningType]] rows.
         */
       salvagedRecords: org.apache.spark.util.LongAccumulator,
       skippedTals: org.apache.spark.util.LongAccumulator) {
@@ -165,6 +165,14 @@ object Ingest {
       spark.sparkContext.longAccumulator("skipped_tals"))
   }
 
+  /** Error-channel `error_type` for per-subject lenient-salvage warnings:
+    * the subject LOADED (its epochs are in the output), but its inputs were
+    * silently shortened. Filter on this type to separate warnings from real
+    * failures — [[JobRunner]] does, so salvaged subjects never count as
+    * failed or trip the all-failed abort.
+    */
+  val SalvageWarningType = "SALVAGE_WARNING"
+
   /** `lenient = true` opts the whole pipeline into the reference
     * reader's salvage behavior (MNE truncates interrupted recordings to
     * the records present; the epoching tmax guard then clips events to
@@ -172,6 +180,15 @@ object Ingest {
     * instead of landing in the error channel. The strict default keeps
     * the V8 channel's corrupt-object accounting exact — see
     * [[graft.edf.Edf.parse]] for the documented divergence.
+    *
+    * Salvage is queryable, not just counted: a subject whose inputs were
+    * shortened emits one [[SalvageWarningType]] row through the SAME error
+    * channel as parse failures (reference observability bar:
+    * INGESTION_ERRORS, `duckdb_client.py:47-56`), carrying the per-subject
+    * truncated-record and skipped-TAL counts — so a 100 TB lenient run can
+    * answer "which inputs were silently shortened" with a query. Strict
+    * runs cannot produce salvage counts (the parser throws instead), so
+    * their error-channel accounting is unchanged by construction.
     */
   def extract(spark: SparkSession, refs: Seq[RecordingRef],
       metrics: Option[ExtractMetrics] = None,
@@ -195,10 +212,20 @@ object Ingest {
             val res = extractRecording(ref.subjectId, psg, hypno)
             droppedAcc.add(res.dropped)
             totalAcc.add(res.totalEvents)
-            salvagedAcc.add(psg.salvagedRecords.toLong +
-              hypno.salvagedRecords)
-            talsAcc.add(psg.skippedTals.toLong + hypno.skippedTals)
-            res.rows.map(r => ExtractRow(Some(r), None))
+            val salvaged = psg.salvagedRecords.toLong + hypno.salvagedRecords
+            val tals = psg.skippedTals.toLong + hypno.skippedTals
+            salvagedAcc.add(salvaged)
+            talsAcc.add(tals)
+            val epochRows = res.rows.map(r => ExtractRow(Some(r), None))
+            if (salvaged + tals > 0)
+              // Queryable salvage: the subject loaded, but record which
+              // inputs were shortened through the V8 channel.
+              epochRows :+ ExtractRow(None, Some(IngestError(ref.subjectId,
+                SalvageWarningType,
+                s"lenient salvage: $salvaged truncated record(s) dropped, " +
+                  s"$tals malformed TAL(s) skipped; epochs loaded",
+                "")))
+            else epochRows
           } catch {
             case e: Exception =>
               Seq(ExtractRow(None, Some(IngestError(ref.subjectId,

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit, when}
 
 import graft.sleep.SleepModels
 import graft.warehouse.Warehouse
@@ -58,8 +59,16 @@ object JobRunner {
       val parseErrors = Ingest.errorsOf(extracted)
 
       val allErrors = parseErrors.unionByName(contractErrors)
-      val nFailed = allErrors.select("subject_id").distinct().count()
-      if (nFailed > 0) wh.logErrors(allErrors)
+      // SALVAGE_WARNING rows are observability, not failures: the subject's
+      // epochs loaded. Log every row (warnings stay queryable in
+      // INGESTION_ERRORS) but count only real failures toward the
+      // all-failed abort and the report.
+      val counts = allErrors.agg(
+        count_distinct(when(col("error_type") =!= Ingest.SalvageWarningType,
+          col("subject_id"))).as("failed"),
+        count(lit(1)).as("rows")).head()
+      val nFailed = counts.getLong(0)
+      if (counts.getLong(1) > 0) wh.logErrors(allErrors)
 
       // All-failed ⇒ abort before transform (pipeline.py:259-260).
       if (nFailed.toInt >= refs.size)
@@ -74,8 +83,8 @@ object JobRunner {
           f"${metrics.totalEvents.value} invalid epochs " +
           f"(${metrics.dropRate * 100}%.1f%%)")
       if (metrics.salvagedRecords.value > 0 || metrics.skippedTals.value > 0)
-        // Lenient-salvage observability: shortened inputs never reach
-        // the error channel, so the run log is where they count.
+        // Run-level salvage totals; the per-subject breakdown is queryable
+        // as SALVAGE_WARNING rows in INGESTION_ERRORS.
         println(s"[ingest] lenient salvage: " +
           s"${metrics.salvagedRecords.value} truncated record(s) dropped, " +
           s"${metrics.skippedTals.value} malformed TAL(s) skipped")

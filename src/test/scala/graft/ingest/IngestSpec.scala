@@ -103,12 +103,19 @@ class IngestSpec extends SparkSpec {
     // Lenient: complete records salvage, the epoching tmax guard clips
     // events to the salvaged signal, and every surviving epoch is
     // value-identical to the intact copy of the same recording. The
-    // salvage is OBSERVABLE: shortened inputs never reach the error
-    // channel, so the accumulators must count them.
+    // salvage is QUERYABLE: the shortened subject emits exactly one
+    // SALVAGE_WARNING row through the error channel (its epochs still
+    // load), and the accumulators carry the totals.
     val metrics = Ingest.ExtractMetrics(spark)
     val lenient =
       Ingest.extract(spark, all, Some(metrics), lenient = true).persist()
-    assert(Ingest.errorsOf(lenient).count() == 0)
+    val warnings = Ingest.errorsOf(lenient).collect()
+    assert(warnings.length == 1, warnings.mkString("; "))
+    assert(warnings(0).getAs[Int]("subject_id") == 5)
+    assert(warnings(0).getAs[String]("error_type") == Ingest.SalvageWarningType)
+    assert(warnings(0).getAs[String]("error_message")
+      .contains("1 truncated record(s) dropped"),
+      warnings(0).getAs[String]("error_message"))
     val rows = Ingest.epochsOf(lenient).as[SleepEpoch].collect()
     lenient.unpersist()
     assert(metrics.salvagedRecords.value == 1L,

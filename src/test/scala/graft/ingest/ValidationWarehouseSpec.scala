@@ -165,8 +165,9 @@ class JobRunnerSpec extends SparkSpec {
       JobRunner.JobConfig(0, 2, s"$dir/warehouse_strict"), refs)
     assert(strict.subjectsFailed == 1)
 
-    // Lenient: both subjects load; salvage is logged via the metrics
-    // (exercised in IngestSpec) rather than the error channel.
+    // Lenient: both subjects load, the salvaged subject does NOT count as
+    // failed, and the salvage is queryable: exactly one SALVAGE_WARNING
+    // row for the shortened subject lands in INGESTION_ERRORS.
     val lenient = JobRunner.run(spark,
       JobRunner.JobConfig(0, 2, s"$dir/warehouse_lenient", lenient = true),
       refs)
@@ -174,6 +175,12 @@ class JobRunnerSpec extends SparkSpec {
     assert(lenient.martRows("sleep_summary") == 2)
     assert(lenient.epochsLoaded > strict.epochsLoaded,
       "the salvaged subject's epochs must load")
+    val whLenient = new Warehouse(spark, s"$dir/warehouse_lenient")
+    val salvageRows = whLenient.readErrors().collect()
+    assert(salvageRows.length == 1, salvageRows.mkString("; "))
+    assert(salvageRows(0).getAs[Int]("subject_id") == refs(1).subjectId)
+    assert(salvageRows(0).getAs[String]("error_type") ==
+      Ingest.SalvageWarningType)
   }
 
   test("config validation rejects bad subject ranges") {
