@@ -32,11 +32,22 @@ import graft.sleep.SleepModels
   * rows are identical to a clean-corpus run, and wall-clock tracks the
   * healthy file volume — the scale proof that per-file failure isolation
   * costs nothing on the happy path.
+  *
+  * `runMain graft.IngestProf 20,200 lenient` runs the salvage legs: the
+  * same 10% planted, split between truncated-but-usable recordings (the
+  * salvageable class) and unparseable garbage (hostile in any mode), the
+  * whole ingest under `lenient = true`. Asserts at each scale that the
+  * salvage counters equal the planted truncations, every salvaged
+  * subject's epochs are present (a value-subset of the clean run, at
+  * most one clipped trailing epoch) AND announced by a SALVAGE_WARNING
+  * row, hostile subjects still error, and healthy rows stay
+  * byte-identical.
   */
 object IngestProf {
   def main(args: Array[String]): Unit = {
     val counts = args.headOption.getOrElse("2,20").split(",").map(_.toInt)
     if (args.length > 1 && args(1) == "corrupt") return corruptMain(counts)
+    if (args.length > 1 && args(1) == "lenient") return lenientMain(counts)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -218,6 +229,134 @@ object IngestProf {
       println(f"corrupt: subjects=$n%4d planted=${plantedSet.size}%3d " +
         f"errors=${plantedSet.size}%3d epochs=$nEpochs%8d | wall: " +
         f"healthy-only=$tHealthy%6.2f s with-corrupt=$tMixed%6.2f s")
+
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(bp, true)
+    }
+    spark.stop()
+  }
+
+  // ------------------------------------------------- lenient-salvage legs
+
+  /** Salvage scaling legs (see object doc): lenient ingest over a corpus
+    * with 10% planted — alternating salvageable truncations (half the
+    * final record clipped) and hostile garbage — asserting the salvage
+    * contract holds at decade scale, not just in the unit specs.
+    */
+  private def lenientMain(counts: Array[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    counts.foreach { n =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_lenient_$n").toString
+      val planted = (0 until n).filter(_ % 10 == 7)
+      // Alternate the planted classes so both appear at every scale.
+      val truncSet = planted.filter(s => (s / 10) % 2 == 0).toSet
+      val hostileSet = planted.filter(s => (s / 10) % 2 == 1).toSet
+
+      spark.range(n).repartition(math.min(n, cpus.toInt))
+        .mapPartitions { it =>
+          it.map { s0 =>
+            val s = s0.toInt
+            val (psgB, hypB) = SyntheticSource.recording(s, 42L)
+            writeFile(s"$base/clean/psg$s.edf", psgB)
+            writeFile(s"$base/clean/hyp$s.edf", hypB)
+            if (s % 10 == 7) {
+              // Truncation keeps every complete record (salvageable);
+              // garbage fails the 256-byte header parse in any mode.
+              val bad: Array[Byte] =
+                if ((s / 10) % 2 == 0) psgB.dropRight(150)
+                else "not an edf at all".getBytes("US-ASCII")
+              writeFile(s"$base/bad/psg$s.edf", bad)
+            }
+            s
+          }
+        }.count()
+
+      def cleanRef(s: Int) =
+        RecordingRef(s, s"$base/clean/psg$s.edf", s"$base/clean/hyp$s.edf")
+      val cleanRefs = (0 until n).map(cleanRef)
+      val mixedRefs = (0 until n).map { s =>
+        if (s % 10 == 7)
+          RecordingRef(s, s"$base/bad/psg$s.edf", s"$base/clean/hyp$s.edf")
+        else cleanRef(s)
+      }
+
+      // Untimed full-scale warm pass (JIT/allocation cliff discipline).
+      Ingest.extract(spark, cleanRefs, lenient = true).count()
+
+      val tClean = time {
+        Ingest.extract(spark, cleanRefs, lenient = true)
+          .write.mode("overwrite").parquet(s"$base/clean_raw")
+      }
+      val metrics = Ingest.ExtractMetrics(spark)
+      val tMixed = time {
+        Ingest.extract(spark, mixedRefs, Some(metrics), lenient = true)
+          .write.mode("overwrite").parquet(s"$base/mixed_raw")
+      }
+
+      // Salvage counters == planted truncations (one clipped record each).
+      require(metrics.salvagedRecords.value == truncSet.size.toLong,
+        s"salvaged ${metrics.salvagedRecords.value} records, " +
+          s"planted ${truncSet.size} truncations")
+
+      val mixed = spark.read.parquet(s"$base/mixed_raw").as[Ingest.ExtractRow]
+      val errs = Ingest.errorsOf(mixed).persist()
+      // Hostile subjects still error — exactly them, one row each.
+      val failed = errs.filter(col("error_type") =!= Ingest.SalvageWarningType)
+        .select("subject_id").as[Int].collect().toSet
+      require(failed == hostileSet,
+        s"real failures $failed, planted hostile $hostileSet")
+      // Every salvaged subject is announced through the queryable channel.
+      val warned = errs.filter(col("error_type") === Ingest.SalvageWarningType)
+        .select("subject_id").as[Int].collect().toSet
+      require(warned == truncSet,
+        s"SALVAGE_WARNING for $warned, planted truncations $truncSet")
+      require(errs.count() == planted.size.toLong,
+        "expected exactly one error/warning row per planted subject")
+      errs.unpersist()
+
+      val cleanEpochs = Ingest.epochsOf(
+        spark.read.parquet(s"$base/clean_raw").as[Ingest.ExtractRow])
+      val mixedEpochs = Ingest.epochsOf(mixed)
+      // No invented rows: every mixed epoch appears in the clean run
+      // (healthy identical, salvaged a value-subset, hostile absent).
+      require(mixedEpochs.exceptAll(cleanEpochs).count() == 0,
+        "mixed run produced epoch rows absent from the clean run")
+      require(mixedEpochs.filter(col("subject_id")
+        .isInCollection(hostileSet)).count() == 0,
+        "hostile subjects must not load epochs")
+      // The only rows missing vs the clean run (hostile subjects aside)
+      // are the salvaged subjects' clipped tails — at most one epoch each.
+      val missing = cleanEpochs
+        .filter(!col("subject_id").isInCollection(hostileSet))
+        .exceptAll(mixedEpochs).persist()
+      val missingSubjects = missing.select("subject_id").distinct()
+        .as[Int].collect().toSet
+      require(missingSubjects.subsetOf(truncSet),
+        s"non-salvaged subjects lost rows: ${missingSubjects -- truncSet}")
+      require(missing.count() <= truncSet.size.toLong,
+        "salvage clipped more than the trailing epoch per truncated subject")
+      missing.unpersist()
+
+      println(f"lenient: subjects=$n%4d trunc=${truncSet.size}%3d " +
+        f"hostile=${hostileSet.size}%3d " +
+        f"salvaged=${metrics.salvagedRecords.value}%3d | wall: " +
+        f"clean=$tClean%6.2f s with-planted=$tMixed%6.2f s")
 
       val bp = new org.apache.hadoop.fs.Path(base)
       bp.getFileSystem(spark.sparkContext.hadoopConfiguration)

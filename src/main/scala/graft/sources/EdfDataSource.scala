@@ -4,6 +4,8 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -108,6 +110,15 @@ private class EdfTable(properties: Map[String, String])
   * O(one recording). Signal-only EDF (annotations are the reader's
   * concern); all channels of a file must share one sampling rate — the
   * writer validates and fails loudly otherwise.
+  *
+  * Concurrency contract: the commit protocol makes each job's output
+  * reader-ATOMIC (all-or-nothing visibility, crash recovery via
+  * [[EdfExportRecovery.rollForward]]), but it is NOT full isolation
+  * between concurrent writers of the SAME basename: two exports racing
+  * on one file name resolve last-wins by (commit sequence, queryId) —
+  * deterministic, but which job "wins" each contested name is
+  * scheduling-dependent, exactly as plain rename-overwrite was.
+  * Concurrent jobs writing DISJOINT file names compose safely.
   */
 private class EdfWriteBuilder(targetDir: String, queryId: String,
     schema: StructType, physMin: Double, physMax: Double,
@@ -276,11 +287,11 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     if (!fences.exists(!_.committed))
       fences.filter(_.committed)
         .foreach(f => try fs.delete(f.path, false)
-          catch { case _: Throwable => () })
+          catch { case NonFatal(_) => () })
     // Drop the shared _temporary root too iff no other query is staging
     // under it (non-recursive delete only succeeds on an empty dir).
     try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -294,7 +305,7 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
       val fs = new Path(targetDir).getFileSystem(conf.value)
       val pairs = messages.collect { case EdfWriteCommit(fs0) => fs0 }.flatten
       val (staged, promoted) = pairs.partition { case (tmp, _) =>
-        try fs.exists(new Path(tmp)) catch { case _: Throwable => true }
+        try fs.exists(new Path(tmp)) catch { case NonFatal(_) => true }
       }
       System.err.println(
         s"[edf-export] job commit FAILED mid-promotion into $targetDir: " +
@@ -316,7 +327,7 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
     try {
       fs.delete(new Path(targetDir, stagingDir), true)
       fs.delete(new Path(targetDir, EdfBatchWrite.TempDirName), false)
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
   }
 }
 
@@ -482,13 +493,13 @@ object EdfExportRecovery {
     // trees (the fence name encodes the sanitized queryId), and the
     // committed markers, which now have nothing left to fence.
     fences.foreach { f =>
-      try fs.delete(f.path, false) catch { case _: Throwable => () }
+      try fs.delete(f.path, false) catch { case NonFatal(_) => () }
       if (!f.committed)
         fs.delete(new Path(target,
           s"${EdfBatchWrite.TempDirName}/${f.qid}"), true)
     }
     try fs.delete(new Path(target, EdfBatchWrite.TempDirName), false)
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () }
     promoted.result()
   }
 }
@@ -583,7 +594,7 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
       fs.delete(attempt, true)
       fs.delete(attempt.getParent, false)
       fs.delete(new Path(targetDir, EdfBatchWrite.TempDirName), false)
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
   }
 
   override def close(): Unit = ()
@@ -655,78 +666,135 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new Path(pathSpec)
       val fs = p.getFileSystem(conf)
+
+      // Fence resolution for ONE directory's worth of files — shared by
+      // directory loads and (per parent directory) glob loads, so both
+      // paths give the same atomic-visibility guarantee. An in-flight
+      // (or crashed mid-promotion) export publishes a
+      // `_STAGED_MANIFEST-<seq>-<qid>` redirect table as its atomic
+      // commit point; a finished export leaves a `_COMMITTED-…` marker
+      // while older crashed manifests linger. Resolving every name
+      // through the HIGHEST-(seq, qid) fence mentioning it gives this
+      // listing a CONSISTENT view: an in-flight export's files read
+      // their staged copies (falling back to the final once promoted)
+      // so a reader sees the complete new state — never a half-promoted
+      // mix — while a crashed export's manifest is fenced per name by
+      // any newer commit (no clocks: sequence numbers are taken at
+      // commit time, so a re-run always outranks the crash it
+      // replaces). Listings without fence files (the steady state) pay
+      // nothing: no staging listing, no manifest reads.
+      // `nameOk` gates which MENTIONED-but-unlisted names this load
+      // serves (a glob only serves pending names matching its pattern).
+      def resolveDir(dir: Path, dataFiles: Seq[String],
+          fences: Seq[EdfBatchWrite.Fence],
+          nameOk: String => Boolean): Seq[EdfInputPartition] = {
+        if (fences.isEmpty) return dataFiles.map(EdfInputPartition(_))
+        val mentions = EdfBatchWrite.mentionsByName(fs, fences)
+        // Staged-copy existence for every mention, answered from ONE
+        // recursive staging-tree listing instead of an fs.exists round
+        // trip per redirected name — on an object store that's one LIST
+        // versus O(fences) HEADs. Snapshot semantics are the same as
+        // the probes': a promotion racing this plan moves files
+        // staged→final atomically, and the reader's ordered candidates
+        // (staged first, final fallback) absorb exactly that race.
+        val stagedSet: Set[String] = {
+          val out = Set.newBuilder[String]
+          try {
+            val it = fs.listFiles(
+              new Path(dir, EdfBatchWrite.TempDirName), true)
+            while (it.hasNext) out += it.next().getPath.toString
+          } catch { case _: java.io.FileNotFoundException => () }
+          out.result()
+        }
+        def stagedExists(staged: String): Boolean =
+          stagedSet.contains(fs.makeQualified(new Path(staged)).toString)
+
+        val listedNames =
+          dataFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val fromListing = dataFiles.map { f =>
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          mentions.get(name).map(_.last) match {
+            case Some((fence, staged))
+                if !fence.committed && stagedExists(staged) =>
+              EdfInputPartition(f, Seq(staged, f))
+            // Committed marker, retired/promoted manifest entry, or an
+            // unmentioned steady-state file: the final bytes are the
+            // truth.
+            case _ => EdfInputPartition(f)
+          }
+        }
+        // Mentioned names with no final file in the listing. For an
+        // in-flight manifest that's a brand-new file still staged —
+        // part of the committed state (qualified logical path, so the
+        // `path` column spells the same before and after promotion).
+        // Walk mentions newest-first: a committed marker ends the
+        // search (its final is the truth — absent from the listing
+        // means promoted-after-listing or externally removed); a ghost
+        // mention (manifest whose staged copy vanished without a
+        // final — e.g. staging destroyed after an ambiguous publish)
+        // falls through to the next-older fence, so the newest
+        // SURVIVING copy is served and nothing fails with
+        // FileNotFoundException.
+        def resolvePending(name: String,
+            ms: Seq[(EdfBatchWrite.Fence, String)]):
+            Option[EdfInputPartition] = {
+          val logical = fs.makeQualified(new Path(dir, name)).toString
+          val it = ms.reverseIterator
+          while (it.hasNext) {
+            val (fence, staged) = it.next()
+            if (fence.committed)
+              return if (fs.exists(new Path(logical)))
+                Some(EdfInputPartition(logical)) else None
+            if (stagedExists(staged))
+              return Some(EdfInputPartition(logical, Seq(staged, logical)))
+          }
+          if (fs.exists(new Path(logical))) Some(EdfInputPartition(logical))
+          else None // a true ghost: no copy of this name survives
+        }
+        val pending = mentions.toSeq.collect {
+          case (name, ms) if !listedNames.contains(name) && nameOk(name) =>
+            resolvePending(name, ms)
+        }.flatten
+        fromListing ++ pending
+      }
+
       val parts: Seq[EdfInputPartition] =
         if (fs.isDirectory(p)) {
           val listed = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-          // An in-flight (or crashed mid-promotion) export publishes a
-          // `_STAGED_MANIFEST-<seq>-<qid>` redirect table as its atomic
-          // commit point; a finished export leaves a `_COMMITTED-…`
-          // marker while older crashed manifests linger. Resolving every
-          // name through the HIGHEST-(seq, qid) fence mentioning it
-          // gives this listing a CONSISTENT view: an in-flight export's
-          // files read their staged copies (falling back to the final
-          // once promoted) so a reader sees the complete new state —
-          // never a half-promoted mix — while a crashed export's
-          // manifest is fenced per name by any newer commit (no clocks:
-          // sequence numbers are taken at commit time, so a re-run
-          // always outranks the crash it replaces). Listings without
-          // fence files (the steady state) are untouched.
-          val mentions = EdfBatchWrite.mentionsByName(fs,
-            EdfBatchWrite.fencesOf(listed))
-          val dataFiles = listed.map(_.toString)
-            .filter(_.toLowerCase.endsWith(".edf"))
-          val listedNames =
-            dataFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-          val fromListing = dataFiles.map { f =>
-            val name = f.substring(f.lastIndexOf('/') + 1)
-            mentions.get(name).map(_.last) match {
-              case Some((fence, staged))
-                  if !fence.committed && fs.exists(new Path(staged)) =>
-                EdfInputPartition(f, Seq(staged, f))
-              // Committed marker, retired/promoted manifest entry, or an
-              // unmentioned steady-state file: the final bytes are the
-              // truth.
-              case _ => EdfInputPartition(f)
-            }
+          resolveDir(p,
+            listed.map(_.toString).filter(_.toLowerCase.endsWith(".edf")),
+            EdfBatchWrite.fencesOf(listed), _ => true)
+        } else {
+          val gs = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+          if (gs.isEmpty) Seq(EdfInputPartition(pathSpec))
+          else {
+            // Glob loads get the SAME fence resolution as directory
+            // loads. Fence files never match a data glob (`*.edf`), so
+            // probe for them with two sibling globs on the pattern's
+            // parent — constant RPC cost however many directories the
+            // glob spans; parents without fences (the steady state)
+            // resolve to plain partitions.
+            val parent = p.getParent
+            val fences =
+              if (parent == null) Nil
+              else EdfBatchWrite.fencesOf(
+                Seq(EdfBatchWrite.ManifestPrefix,
+                  EdfBatchWrite.CommittedPrefix).flatMap { pre =>
+                  Option(fs.globStatus(new Path(parent, pre + "*")))
+                    .toSeq.flatten.filter(_.isFile).map(_.getPath)
+                })
+            val fencesByDir = fences.groupBy(_.path.getParent)
+            // Pending names a glob serves must themselves match the
+            // pattern's file component, or `load("part-1*.edf")` would
+            // surface an in-flight export's unrelated files.
+            val nameGlob = new org.apache.hadoop.fs.GlobFilter(p.getName)
+            gs.map(_.getPath).groupBy(_.getParent).toSeq
+              .sortBy(_._1.toString).flatMap { case (dir, files) =>
+                resolveDir(dir, files.map(_.toString),
+                  fencesByDir.getOrElse(dir, Nil),
+                  name => nameGlob.accept(new Path(name)))
+              }
           }
-          // Mentioned names with no final file in the listing. For an
-          // in-flight manifest that's a brand-new file still staged —
-          // part of the committed state (qualified logical path, so the
-          // `path` column spells the same before and after promotion).
-          // Walk mentions newest-first: a committed marker ends the
-          // search (its final is the truth — absent from the listing
-          // means promoted-after-listing or externally removed); a ghost
-          // mention (manifest whose staged copy vanished without a
-          // final — e.g. staging destroyed after an ambiguous publish)
-          // falls through to the next-older fence, so the newest
-          // SURVIVING copy is served and nothing fails with
-          // FileNotFoundException.
-          def resolvePending(name: String,
-              ms: Seq[(EdfBatchWrite.Fence, String)]):
-              Option[EdfInputPartition] = {
-            val logical = fs.makeQualified(new Path(p, name)).toString
-            val it = ms.reverseIterator
-            while (it.hasNext) {
-              val (fence, staged) = it.next()
-              if (fence.committed)
-                return if (fs.exists(new Path(logical)))
-                  Some(EdfInputPartition(logical)) else None
-              if (fs.exists(new Path(staged)))
-                return Some(EdfInputPartition(logical, Seq(staged, logical)))
-            }
-            if (fs.exists(new Path(logical))) Some(EdfInputPartition(logical))
-            else None // a true ghost: no copy of this name survives
-          }
-          val pending = mentions.toSeq.collect {
-            case (name, ms) if !listedNames.contains(name) =>
-              resolvePending(name, ms)
-          }.flatten
-          fromListing ++ pending
-        } else fs.globStatus(p) match {
-          case null => Seq(EdfInputPartition(pathSpec))
-          case gs if gs.nonEmpty =>
-            gs.toSeq.map(g => EdfInputPartition(g.getPath.toString))
-          case _ => Seq(EdfInputPartition(pathSpec))
         }
       parts.filter(part => pathOk(part.path)).map(p => p: InputPartition)
         .toArray
