@@ -296,8 +296,10 @@ object IngestProf {
         else cleanRef(s)
       }
 
-      // Untimed full-scale warm pass (JIT/allocation cliff discipline).
-      Ingest.extract(spark, cleanRefs, lenient = true).count()
+      // Untimed full-scale warm pass (JIT/allocation cliff discipline) —
+      // over the MIXED corpus, so the salvage and per-file-error code
+      // paths are as warm as the happy path before either timed leg runs.
+      Ingest.extract(spark, mixedRefs, lenient = true).count()
 
       val tClean = time {
         Ingest.extract(spark, cleanRefs, lenient = true)

@@ -18,6 +18,17 @@ object Verify {
     // Local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=a,b
     // dumps just those queries; unset (the driver's mode) dumps everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Fail fast on a typo'd filter: a misspelled name must abort loudly
+    // (same discipline as Bench), never silently verify nothing.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[verify] unknown SPARK_GRAFT_ONLY queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

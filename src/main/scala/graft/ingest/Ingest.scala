@@ -222,8 +222,11 @@ object Ingest {
               // inputs were shortened through the V8 channel.
               epochRows :+ ExtractRow(None, Some(IngestError(ref.subjectId,
                 SalvageWarningType,
+                // "extracted", not "loaded": this row is emitted BEFORE
+                // per-subject contract validation, which may still drop
+                // the subject's epochs (the SchemaErrors row says so).
                 s"lenient salvage: $salvaged truncated record(s) dropped, " +
-                  s"$tals malformed TAL(s) skipped; epochs loaded",
+                  s"$tals malformed TAL(s) skipped; epochs extracted",
                 "")))
             else epochRows
           } catch {

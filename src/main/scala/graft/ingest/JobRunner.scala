@@ -60,7 +60,8 @@ object JobRunner {
 
       val allErrors = parseErrors.unionByName(contractErrors)
       // SALVAGE_WARNING rows are observability, not failures: the subject's
-      // epochs loaded. Log every row (warnings stay queryable in
+      // epochs were extracted (contract validation may still drop them,
+      // which shows up as its own row). Log every row (warnings stay queryable in
       // INGESTION_ERRORS) but count only real failures toward the
       // all-failed abort and the report.
       val counts = allErrors.agg(

@@ -761,39 +761,53 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
       val parts: Seq[EdfInputPartition] =
         if (fs.isDirectory(p)) {
           val listed = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+          // Pending (mentioned-but-unlisted) names get the same extension
+          // gate as listed files, so a manifest mentioning a non-edf name
+          // cannot surface a file the steady-state listing would hide.
           resolveDir(p,
             listed.map(_.toString).filter(_.toLowerCase.endsWith(".edf")),
-            EdfBatchWrite.fencesOf(listed), _ => true)
+            EdfBatchWrite.fencesOf(listed),
+            name => name.toLowerCase.endsWith(".edf"))
         } else {
+          // Glob loads get the SAME fence resolution as directory
+          // loads. Fence files never match a data glob (`*.edf`), so
+          // probe for them with two sibling globs on the pattern's
+          // parent — constant RPC cost however many directories the
+          // glob spans; parents without fences (the steady state)
+          // resolve to plain partitions. The probe runs even when the
+          // data glob matches NOTHING: an in-flight export whose files
+          // are all brand-new (staged, nothing promoted yet) is part of
+          // the committed state and must be visible to glob readers
+          // exactly as a directory load would serve it.
           val gs = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-          if (gs.isEmpty) Seq(EdfInputPartition(pathSpec))
+          val parent = p.getParent
+          val fences =
+            if (parent == null) Nil
+            else EdfBatchWrite.fencesOf(
+              Seq(EdfBatchWrite.ManifestPrefix,
+                EdfBatchWrite.CommittedPrefix).flatMap { pre =>
+                Option(fs.globStatus(new Path(parent, pre + "*")))
+                  .toSeq.flatten.filter(_.isFile).map(_.getPath)
+              })
+          val fencesByDir = fences.groupBy(_.path.getParent)
+          val filesByDir = gs.map(_.getPath).groupBy(_.getParent)
+          // Every directory with a matching final file OR a fence gets
+          // resolved — a fence-only directory is how a reader sees an
+          // export whose matching files are ALL still staged.
+          val dirs = (filesByDir.keySet ++ fencesByDir.keySet).toSeq
+            .sortBy(_.toString)
+          if (dirs.isEmpty) Seq(EdfInputPartition(pathSpec))
           else {
-            // Glob loads get the SAME fence resolution as directory
-            // loads. Fence files never match a data glob (`*.edf`), so
-            // probe for them with two sibling globs on the pattern's
-            // parent — constant RPC cost however many directories the
-            // glob spans; parents without fences (the steady state)
-            // resolve to plain partitions.
-            val parent = p.getParent
-            val fences =
-              if (parent == null) Nil
-              else EdfBatchWrite.fencesOf(
-                Seq(EdfBatchWrite.ManifestPrefix,
-                  EdfBatchWrite.CommittedPrefix).flatMap { pre =>
-                  Option(fs.globStatus(new Path(parent, pre + "*")))
-                    .toSeq.flatten.filter(_.isFile).map(_.getPath)
-                })
-            val fencesByDir = fences.groupBy(_.path.getParent)
             // Pending names a glob serves must themselves match the
             // pattern's file component, or `load("part-1*.edf")` would
             // surface an in-flight export's unrelated files.
             val nameGlob = new org.apache.hadoop.fs.GlobFilter(p.getName)
-            gs.map(_.getPath).groupBy(_.getParent).toSeq
-              .sortBy(_._1.toString).flatMap { case (dir, files) =>
-                resolveDir(dir, files.map(_.toString),
-                  fencesByDir.getOrElse(dir, Nil),
-                  name => nameGlob.accept(new Path(name)))
-              }
+            dirs.flatMap { dir =>
+              resolveDir(dir,
+                filesByDir.getOrElse(dir, Nil).map(_.toString),
+                fencesByDir.getOrElse(dir, Nil),
+                name => nameGlob.accept(new Path(name)))
+            }
           }
         }
       parts.filter(part => pathOk(part.path)).map(p => p: InputPartition)

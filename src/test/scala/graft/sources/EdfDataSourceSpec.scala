@@ -669,6 +669,252 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(n == 2 * 3, s"expected 2 channels x 3 chunks, got $n rows")
   }
 
+  /** Stages `df` into `out` under `qid` and drives the job past its
+    * commit point (manifest published), then sabotages promotion at
+    * `squatName`'s rename — a non-empty directory squatting on the final
+    * name — so the export crashes mid-promotion; the squatter is removed
+    * afterwards. Files whose rename ran before `squatName`'s were
+    * promoted; the rest stay staged behind the manifest. This is the
+    * canonical crashed-export state the fence machinery resolves.
+    */
+  private def stageAndCrash(out: String, qid: String,
+      df: org.apache.spark.sql.DataFrame, squatName: String): Unit = {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcSchema = df.schema
+    // Copy INSIDE the task: the scan reuses its row buffer.
+    val rows = df.queryExecution.toRdd.mapPartitions(_.map(_.copy())).collect()
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = qid
+      override def schema(): org.apache.spark.sql.types.StructType = srcSchema
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val batch = new EdfDataSource().getTable(srcSchema, Array.empty,
+        java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build().toBatch
+    val w = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+    rows.foreach(w.write)
+    val msg = w.commit()
+    val squatter = java.nio.file.Paths.get(s"$out/$squatName")
+    java.nio.file.Files.createDirectories(squatter)
+    java.nio.file.Files.write(squatter.resolve("keep"), Array[Byte](1))
+    intercept[Exception](batch.commit(Array(msg)))
+    batch.abort(Array(msg))
+    new org.apache.hadoop.fs.Path(s"$out/$squatName").getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(s"$out/$squatName"), true)
+  }
+
+  test("glob load resolves an in-flight export exactly as a directory load") {
+    // Old state: rec1 v1 only. An export of rec0+rec1 (v2) crashes at
+    // rec0's promotion (first rename), so NOTHING is promoted: rec0 is a
+    // brand-new pending name, rec1 a staged redirect over its v1 final.
+    // A glob reader must see the complete new state — same guarantee the
+    // directory-load specs pin — and pending names must be filtered by
+    // the glob's own file component.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfglob_inflight")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    def v2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("samples", transform(col("samples"), x => x * 0.5))
+    src.where(col("path").contains("rec1"))
+      .write.format("edf").mode("append").save(out)
+    assert(signalView(s"$out/*.edf").keySet.map(_._1) == Set("rec1.edf"),
+      "glob view of the old state")
+    val cleanOut = tmpDir("edfglob_inflight_clean")
+    v2(src).write.format("edf").mode("append").save(cleanOut)
+    val newView = signalView(cleanOut)
+
+    stageAndCrash(out, "glob-inflight", v2(src), "rec0.edf")
+
+    // Complete new state through the glob: staged redirect (rec1) AND
+    // brand-new pending name (rec0) — never a half-promoted mix.
+    assert(signalView(s"$out/*.edf") == newView,
+      "glob reader did not see the in-flight export's complete state")
+    assert(signalView(out) == signalView(s"$out/*.edf"),
+      "glob and directory loads disagree on the same fenced directory")
+    // Pending names must match the pattern's file component: rec0 is
+    // pending-only (no final exists), rec1 has a final that the pattern
+    // rejects — only rec0's staged bytes may surface.
+    assert(signalView(s"$out/rec0*.edf") ==
+      newView.filter(_._1._1 == "rec0.edf"),
+      "pattern-filtered glob lost the pending name it matches")
+    assert(signalView(s"$out/rec1*.edf") ==
+      newView.filter(_._1._1 == "rec1.edf"),
+      "pattern-filtered glob mixed in names it must not serve")
+
+    // Recovery converges both load spellings on the same final state.
+    val promoted = EdfExportRecovery.rollForward(out, hconf)
+    assert(promoted.toSet == Set("rec0.edf", "rec1.edf"), promoted.toString)
+    assert(signalView(s"$out/*.edf") == newView)
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf", "rec1.edf"),
+      s"fence residue after recovery: $names")
+  }
+
+  test("glob load serves an export whose matching files are ALL still staged") {
+    // The round-11 hole: an in-flight export into an EMPTY directory has
+    // zero final files matching the glob, so the data glob alone finds
+    // nothing — the fence probe must still surface the committed
+    // (manifest-published) state, exactly as a directory load does.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfglob_pendingonly")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    val cleanOut = tmpDir("edfglob_pendingonly_clean")
+    src.write.format("edf").mode("append").save(cleanOut)
+    val want = signalView(cleanOut)
+
+    stageAndCrash(out, "glob-pending-only", src, "rec0.edf")
+    assert(listOut(out).count(_.toLowerCase.endsWith(".edf")) == 0,
+      "precondition: nothing promoted, the glob alone matches zero files")
+
+    assert(signalView(s"$out/*.edf") == want,
+      "glob reader is blind to a committed export that is still fully staged")
+    assert(signalView(out) == want,
+      "directory reader lost the fully-staged export")
+
+    val promoted = EdfExportRecovery.rollForward(out, hconf)
+    assert(promoted.toSet == Set("rec0.edf", "rec1.edf"), promoted.toString)
+    assert(signalView(s"$out/*.edf") == want, "rollForward changed glob reads")
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf", "rec1.edf"), s"residue: $names")
+  }
+
+  test("fence pileup: many crashed exports resolve at every step, then clean up") {
+    // ~25 sequential crashed exports into ONE directory (an operator
+    // re-running a failing job all night), then one successful commit and
+    // a rollForward. At every step readers — directory AND glob — must
+    // serve exactly the newest export's bytes; the pileup must not
+    // multiply partitions; the final state must carry zero fence files.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = tmpDir("edfglob_pileup")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    def scaled(f: Double) =
+      src.withColumn("samples", transform(col("samples"), x => x * f))
+    // Two alternating content versions, precomputed from clean writes —
+    // consecutive steps differ, so a stale-fence win is visible.
+    val wantByFactor = Seq(0.5, 0.25).map { f =>
+      val c = tmpDir(s"edfglob_pileup_clean_$f")
+      scaled(f).write.format("edf").mode("append").save(c)
+      f -> signalView(c)
+    }.toMap
+    val steps = 25
+    (1 to steps).foreach { i =>
+      val f = if (i % 2 == 1) 0.5 else 0.25
+      stageAndCrash(out, f"pileup-$i%02d", scaled(f), "rec0.edf")
+      assert(signalView(out) == wantByFactor(f),
+        s"step $i: directory read did not resolve to the newest export")
+      assert(signalView(s"$out/*.edf") == wantByFactor(f),
+        s"step $i: glob read did not resolve to the newest export")
+    }
+    assert(listOut(out).count(_.startsWith("_STAGED_MANIFEST-")) == steps)
+    // 25 manifests all mention rec0.edf: resolution must still plan ONE
+    // partition for it, not one per fence.
+    assert(spark.read.format("edf").load(s"$out/*.edf")
+      .rdd.getNumPartitions == 1,
+      "fence pileup multiplied input partitions")
+
+    // One successful export outranks the whole pileup...
+    val cleanOut = tmpDir("edfglob_pileup_final")
+    src.write.format("edf").mode("append").save(cleanOut)
+    val want = signalView(cleanOut)
+    src.write.format("edf").mode("append").save(out)
+    assert(signalView(out) == want, "pileup outlived a successful commit")
+    assert(signalView(s"$out/*.edf") == want)
+    // ...and recovery retires every fence and stale staged copy.
+    assert(EdfExportRecovery.rollForward(out, hconf).isEmpty,
+      "rollForward re-promoted stale crashed exports over committed data")
+    assert(signalView(out) == want, "rollForward changed committed content")
+    val names = listOut(out).filterNot(_.startsWith("."))
+    assert(names.toSet == Set("rec0.edf"),
+      s"fence files or staging survived recovery: $names")
+  }
+
+  test("multi-directory glob: steady-state and fully-staged dirs resolve per parent") {
+    // One glob spanning two directories: `a/` is steady state (committed
+    // finals, zero fences — must pay no fence machinery and serve its
+    // files plainly); `b/` holds an in-flight export whose matching files
+    // are ALL still staged (a fence-only parent the data glob alone
+    // cannot see). The parent component of the pattern is itself a glob,
+    // so the sibling fence probe must expand it.
+    val base = tmpDir("edfglob_multi")
+    val aDir = s"$base/a"; val bDir = s"$base/b"
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    def v2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("samples", transform(col("samples"), x => x * 0.5))
+    src.where(col("path").contains("rec0"))
+      .write.format("edf").mode("append").save(aDir)
+    val cleanB = tmpDir("edfglob_multi_cleanb")
+    v2(src).write.format("edf").mode("append").save(cleanB)
+    stageAndCrash(bDir, "glob-multi", v2(src), "rec0.edf")
+    assert(listOut(bDir).count(_.toLowerCase.endsWith(".edf")) == 0,
+      "precondition: b/ is a fence-only directory for the data glob")
+
+    // View keyed by the last TWO path components (basenames collide
+    // across the two directories).
+    val got = spark.read.format("edf").option("chunk_records", "4")
+      .load(s"$base/*/*.edf")
+      .withColumn("file", concat_ws("/",
+        element_at(split(col("path"), "/"), -2),
+        element_at(split(col("path"), "/"), -1)))
+      .groupBy("file", "channel")
+      .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
+        col("samples"))))("samples")).as("sig"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getSeq[Double](r.fieldIndex("sig")))
+      .toMap
+    val want =
+      signalView(aDir).map { case ((f, c), s) => (s"a/$f", c) -> s } ++
+        signalView(cleanB).map { case ((f, c), s) => (s"b/$f", c) -> s }
+    assert(got == want,
+      "multi-directory glob did not resolve each parent independently")
+  }
+
+  test("a manifest-mentioned non-edf name stays hidden from directory loads") {
+    // The steady-state listing only serves *.edf; a pending
+    // (mentioned-but-unlisted) name must pass the same gate, or an
+    // in-flight export would surface files the committed state hides.
+    // Our own writer normalizes basenames to *.edf, so a non-edf mention
+    // can only come from a hand-made/foreign manifest — plant one.
+    val out = tmpDir("edfglob_nonedf")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .where(col("path").contains("rec0"))
+      .orderBy("path", "channel", "chunk_idx")
+    src.write.format("edf").mode("append").save(out)
+    val want = signalView(out) // rec0 only, committed
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/rec0.edf"))
+    val staging = java.nio.file.Paths.get(s"$out/_temporary/handmade")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("weird.bin"), bytes)
+    java.nio.file.Files.write(staging.resolve("rec1.edf"), bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$out/${EdfBatchWrite.fenceName(EdfBatchWrite.ManifestPrefix, 1, "handmade")}"),
+      (s"${staging.resolve("weird.bin")}\tweird.bin\n" +
+        s"${staging.resolve("rec1.edf")}\trec1.edf\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The pending *.edf name is served from staging; the non-edf name is
+    // hidden from directory AND *.edf-glob loads, exactly as the
+    // steady-state listing would hide its final file.
+    val wantWithRec1 = want ++ want.map { case ((_, ch), sig) =>
+      ("rec1.edf", ch) -> sig
+    }
+    assert(signalView(out) == wantWithRec1,
+      "directory load served (or lost) a pending name inconsistently")
+    assert(signalView(s"$out/*.edf") == wantWithRec1,
+      "glob load disagrees with the directory load under a foreign manifest")
+    assert(!spark.read.format("edf").load(out).select("path").distinct()
+      .collect().map(_.getString(0)).exists(_.endsWith("weird.bin")),
+      "pending non-edf name leaked into a directory load")
+  }
+
   test("chunk time offsets advance by chunk length") {
     val df = spark.read.format("edf").option("chunk_records", "4").load(dir)
     val t0s = df.filter(col("channel") === "EOG horizontal")

@@ -34,6 +34,19 @@ def main():
     pos = [a for a in argv if not a.startswith("--")]
     sfdir = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
     outdir = pos[1] if len(pos) > 1 else "/tmp/verify_out"
+    if subset:
+        # Fail fast BEFORE the multi-minute sbt Verify run: tools/registry.txt
+        # is the checked-in query-name registry, pinned to SparkEntry.queries
+        # by RegistrySpec (so it cannot drift silently); graft.Verify itself
+        # also aborts on unknown SPARK_GRAFT_ONLY names as a second belt.
+        reg_file = Path(__file__).parent / "registry.txt"
+        if reg_file.exists():
+            registry = set(reg_file.read_text().split())
+            unknown = sorted(set(subset) - registry)
+            if unknown:
+                print(f"[parity] unknown subset queries {unknown} — aborting"
+                      " (see tools/registry.txt)", file=sys.stderr)
+                sys.exit(2)
     if "--skip-verify" not in argv:
         env = dict(os.environ)
         if subset:
