@@ -40,6 +40,17 @@ object Bench {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 limits the set; unset
     // (the driver's mode) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Fail fast on a typo'd filter (same discipline as the named subsets
+    // below and graft.Verify): a misspelled name must abort loudly, never
+    // silently bench an empty set.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     // Named subset for cross-engine pairings (`runMain graft.Bench fullcomp`
     // or SPARK_GRAFT_SUBSET=fullcomp): the full-computation cut — t*/q*/
     // dash_*/e1–e4 — excludes the ~30 staged-intermediate oracles (which

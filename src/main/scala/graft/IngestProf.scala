@@ -296,10 +296,13 @@ object IngestProf {
         else cleanRef(s)
       }
 
-      // Untimed full-scale warm pass (JIT/allocation cliff discipline) —
-      // over the MIXED corpus, so the salvage and per-file-error code
-      // paths are as warm as the happy path before either timed leg runs.
+      // Untimed full-scale warm passes (JIT/allocation cliff discipline)
+      // over BOTH corpora: the mixed pass warms the salvage and
+      // per-file-error code paths, the clean pass warms the 10% of clean
+      // files the mixed corpus replaces — so neither timed leg pays
+      // first-read or first-execution costs the other already absorbed.
       Ingest.extract(spark, mixedRefs, lenient = true).count()
+      Ingest.extract(spark, cleanRefs, lenient = true).count()
 
       val tClean = time {
         Ingest.extract(spark, cleanRefs, lenient = true)

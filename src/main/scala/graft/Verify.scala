@@ -6,6 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=a,b
+    // dumps just those queries; unset (the driver's mode) dumps everything.
+    // Fail fast on a typo'd name BEFORE paying SparkSession startup: a
+    // misspelled filter must abort loudly, never silently verify nothing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[verify] unknown SPARK_GRAFT_ONLY queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,20 +28,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=a,b
-    // dumps just those queries; unset (the driver's mode) dumps everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Fail fast on a typo'd filter: a misspelled name must abort loudly
-    // (same discipline as Bench), never silently verify nothing.
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        System.err.println(s"[verify] unknown SPARK_GRAFT_ONLY queries: " +
-          s"${unknown.toSeq.sorted.mkString(", ")}")
-        spark.stop()
-        sys.exit(2)
-      }
-    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

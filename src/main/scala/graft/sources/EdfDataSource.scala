@@ -758,16 +758,26 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
         fromListing ++ pending
       }
 
+      // The usual engine convention (Spark's FileIndex, Hadoop committers):
+      // underscore/dot-prefixed names are bookkeeping, never data — it is
+      // what keeps this source's own fence files and staging tree out of
+      // data scans.
+      def hidden(name: String): Boolean =
+        name.startsWith("_") || name.startsWith(".")
       val parts: Seq[EdfInputPartition] =
         if (fs.isDirectory(p)) {
           val listed = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-          // Pending (mentioned-but-unlisted) names get the same extension
-          // gate as listed files, so a manifest mentioning a non-edf name
-          // cannot surface a file the steady-state listing would hide.
+          // Pending (mentioned-but-unlisted) names get the same gate as
+          // listed files, so a manifest mentioning a non-edf or hidden
+          // name cannot surface a file the steady-state listing would
+          // hide.
+          def dataName(name: String): Boolean =
+            !hidden(name) && name.toLowerCase.endsWith(".edf")
           resolveDir(p,
-            listed.map(_.toString).filter(_.toLowerCase.endsWith(".edf")),
+            listed.map(_.toString).filter(f =>
+              dataName(f.substring(f.lastIndexOf('/') + 1))),
             EdfBatchWrite.fencesOf(listed),
-            name => name.toLowerCase.endsWith(".edf"))
+            dataName)
         } else {
           // Glob loads get the SAME fence resolution as directory
           // loads. Fence files never match a data glob (`*.edf`), so
@@ -779,7 +789,12 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // are all brand-new (staged, nothing promoted yet) is part of
           // the committed state and must be visible to glob readers
           // exactly as a directory load would serve it.
+          // Raw globStatus applies NO hidden-file filter: a broad pattern
+          // (`dir/*`) matches subdirectories and this source's own fence
+          // files — keep only plain, non-hidden files as data, mirroring
+          // the directory branch's listing gate.
           val gs = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+            .filter(s => s.isFile && !hidden(s.getPath.getName))
           val parent = p.getParent
           val fences =
             if (parent == null) Nil
@@ -796,19 +811,27 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // export whose matching files are ALL still staged.
           val dirs = (filesByDir.keySet ++ fencesByDir.keySet).toSeq
             .sortBy(_.toString)
-          if (dirs.isEmpty) Seq(EdfInputPartition(pathSpec))
-          else {
-            // Pending names a glob serves must themselves match the
-            // pattern's file component, or `load("part-1*.edf")` would
-            // surface an in-flight export's unrelated files.
-            val nameGlob = new org.apache.hadoop.fs.GlobFilter(p.getName)
-            dirs.flatMap { dir =>
-              resolveDir(dir,
-                filesByDir.getOrElse(dir, Nil).map(_.toString),
-                fencesByDir.getOrElse(dir, Nil),
-                name => nameGlob.accept(new Path(name)))
+          val resolved =
+            if (dirs.isEmpty) Nil
+            else {
+              // Pending names a glob serves must themselves match the
+              // pattern's file component, or `load("part-1*.edf")` would
+              // surface an in-flight export's unrelated files.
+              val nameGlob = new org.apache.hadoop.fs.GlobFilter(p.getName)
+              dirs.flatMap { dir =>
+                resolveDir(dir,
+                  filesByDir.getOrElse(dir, Nil).map(_.toString),
+                  fencesByDir.getOrElse(dir, Nil),
+                  name => !hidden(name) && nameGlob.accept(new Path(name)))
+              }
             }
-          }
+          // Nothing matched and nothing pending: keep the pre-fence LOUD
+          // behavior — the raw pattern becomes one partition whose read
+          // fails with the underlying file-not-found, so a typo'd pattern
+          // can never silently return an empty result, and the outcome
+          // does not flip when lingering fences are later cleaned up.
+          if (resolved.isEmpty) Seq(EdfInputPartition(pathSpec))
+          else resolved
         }
       parts.filter(part => pathOk(part.path)).map(p => p: InputPartition)
         .toArray

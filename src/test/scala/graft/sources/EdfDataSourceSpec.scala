@@ -775,6 +775,15 @@ class EdfDataSourceSpec extends SparkSpec {
       "glob reader is blind to a committed export that is still fully staged")
     assert(signalView(out) == want,
       "directory reader lost the fully-staged export")
+    // A broad pattern must not plan the commit protocol's own bookkeeping
+    // (the manifest file, the _temporary tree) as EDF data.
+    assert(signalView(s"$out/*") == want,
+      "a broad glob planned fence/staging entries as data")
+    // A pattern matching NEITHER finals nor pending names stays a LOUD
+    // failure — never a silent empty result — whether or not fences are
+    // present, so the outcome cannot flip when fences are cleaned up.
+    intercept[Exception](
+      spark.read.format("edf").load(s"$out/nomatch*.edf").collect())
 
     val promoted = EdfExportRecovery.rollForward(out, hconf)
     assert(promoted.toSet == Set("rec0.edf", "rec1.edf"), promoted.toString)
