@@ -39,18 +39,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 limits the set; unset
     // (the driver's mode) runs everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Fail fast on a typo'd filter (same discipline as the named subsets
-    // below and graft.Verify): a misspelled name must abort loudly, never
-    // silently bench an empty set.
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY queries: " +
-          s"${unknown.toSeq.sorted.mkString(", ")}")
-        sys.exit(2)
-      }
-    }
+    // Empty segments (or an entirely empty value) mean "no filter",
+    // matching the documented "unset runs everything" contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     // Named subset for cross-engine pairings (`runMain graft.Bench fullcomp`
     // or SPARK_GRAFT_SUBSET=fullcomp): the full-computation cut — t*/q*/
     // dash_*/e1–e4 — excludes the ~30 staged-intermediate oracles (which
@@ -74,6 +66,21 @@ object Bench {
           sys.exit(2)
         case None => None
       }
+    // Fail fast on a typo'd or out-of-subset SPARK_GRAFT_ONLY (same
+    // discipline as the named subsets above and graft.Verify): names the
+    // run would actually bench are keySet ∩ subset, and a filter naming
+    // anything outside that set must abort loudly — never silently bench
+    // an empty (or unexpectedly thinner) set.
+    only.foreach { names =>
+      val benchable = SparkEntry.queries.keySet
+        .filter(n => subset.forall(_(n)))
+      val unknown = names -- benchable
+      if (unknown.nonEmpty) {
+        System.err.println("[bench] SPARK_GRAFT_ONLY queries unknown or " +
+          s"outside the active subset: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     // One untimed warm pass per query (codegen compilation + JIT are engine
     // warm-up, not query cost). Disable with SPARK_GRAFT_COLD=1 to measure
     // cold-start instead (which also drops to a single timed pass).

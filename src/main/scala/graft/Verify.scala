@@ -10,7 +10,10 @@ object Verify {
     // dumps just those queries; unset (the driver's mode) dumps everything.
     // Fail fast on a typo'd name BEFORE paying SparkSession startup: a
     // misspelled filter must abort loudly, never silently verify nothing.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Empty segments (or an entirely empty value) mean "no filter",
+    // matching the documented "unset dumps everything" contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {

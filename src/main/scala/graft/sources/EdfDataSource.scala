@@ -241,6 +241,16 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
       s"edf write: duplicate output basenames ${dups.mkString(", ")} — " +
         "distinct input `path` values share a basename; they would " +
         "silently clobber each other")
+    // Underscore/dot-prefixed names are bookkeeping by filesystem
+    // convention (this source's own fences and staging, Spark's hidden
+    // files): readers never serve them, so committing one would be
+    // silent data loss — fail loudly before anything is touched.
+    val hiddenOut = pairs.map(_._2)
+      .filter(n => n.startsWith("_") || n.startsWith(".")).distinct.sorted
+    if (hiddenOut.nonEmpty) throw new IllegalStateException(
+      s"edf write: hidden output basenames ${hiddenOut.mkString(", ")} — " +
+        "underscore/dot-prefixed names are reserved for bookkeeping and " +
+        "invisible to readers; rename the input `path` values")
     fs.mkdirs(target)
     // Atomic rename-with-overwrite (FileContext, not FileSystem.rename):
     // a delete-then-rename spelling has a window where a failed rename
@@ -764,21 +774,26 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
       // data scans.
       def hidden(name: String): Boolean =
         name.startsWith("_") || name.startsWith(".")
+      // The directory-load data gate, applied to listed files AND to
+      // pending (mentioned-but-unlisted) names, so a manifest mentioning
+      // a non-edf or hidden name cannot surface a file the steady-state
+      // listing would hide.
+      def dataName(name: String): Boolean =
+        !hidden(name) && name.toLowerCase.endsWith(".edf")
+      // One directory's full resolution — shared by direct directory
+      // loads and glob-matched directories (whose fences live inside
+      // them, found by this listing).
+      def loadDir(d: Path): Seq[EdfInputPartition] = {
+        val listed = fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath)
+        resolveDir(d,
+          listed.map(_.toString).filter(f =>
+            dataName(f.substring(f.lastIndexOf('/') + 1))),
+          EdfBatchWrite.fencesOf(listed),
+          dataName)
+      }
       val parts: Seq[EdfInputPartition] =
-        if (fs.isDirectory(p)) {
-          val listed = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-          // Pending (mentioned-but-unlisted) names get the same gate as
-          // listed files, so a manifest mentioning a non-edf or hidden
-          // name cannot surface a file the steady-state listing would
-          // hide.
-          def dataName(name: String): Boolean =
-            !hidden(name) && name.toLowerCase.endsWith(".edf")
-          resolveDir(p,
-            listed.map(_.toString).filter(f =>
-              dataName(f.substring(f.lastIndexOf('/') + 1))),
-            EdfBatchWrite.fencesOf(listed),
-            dataName)
-        } else {
+        if (fs.isDirectory(p)) loadDir(p)
+        else {
           // Glob loads get the SAME fence resolution as directory
           // loads. Fence files never match a data glob (`*.edf`), so
           // probe for them with two sibling globs on the pattern's
@@ -790,11 +805,17 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // the committed state and must be visible to glob readers
           // exactly as a directory load would serve it.
           // Raw globStatus applies NO hidden-file filter: a broad pattern
-          // (`dir/*`) matches subdirectories and this source's own fence
-          // files — keep only plain, non-hidden files as data, mirroring
-          // the directory branch's listing gate.
-          val gs = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-            .filter(s => s.isFile && !hidden(s.getPath.getName))
+          // (`dir/*`) matches this source's own fence files — drop hidden
+          // names, mirroring the directory branch's listing gate.
+          val gsAll = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+            .filterNot(s => hidden(s.getPath.getName))
+          // Spark's file sources expand a glob-matched DIRECTORY to its
+          // children; match that — each matched directory gets the full
+          // directory-load resolution instead of being planned as (or
+          // silently dropped from) file partitions.
+          val (dirMatches, gs) = gsAll.partition(_.isDirectory)
+          val fromDirs = dirMatches.map(_.getPath).sortBy(_.toString)
+            .flatMap(loadDir)
           val parent = p.getParent
           val fences =
             if (parent == null) Nil
@@ -811,7 +832,7 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // export whose matching files are ALL still staged.
           val dirs = (filesByDir.keySet ++ fencesByDir.keySet).toSeq
             .sortBy(_.toString)
-          val resolved =
+          val fromFiles =
             if (dirs.isEmpty) Nil
             else {
               // Pending names a glob serves must themselves match the
@@ -825,12 +846,16 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
                   name => !hidden(name) && nameGlob.accept(new Path(name)))
               }
             }
-          // Nothing matched and nothing pending: keep the pre-fence LOUD
-          // behavior — the raw pattern becomes one partition whose read
-          // fails with the underlying file-not-found, so a typo'd pattern
-          // can never silently return an empty result, and the outcome
-          // does not flip when lingering fences are later cleaned up.
-          if (resolved.isEmpty) Seq(EdfInputPartition(pathSpec))
+          val resolved = fromDirs ++ fromFiles
+          // The pattern matched NOTHING and no pending name resolved:
+          // keep the pre-fence LOUD behavior — the raw pattern becomes
+          // one partition whose read fails with the underlying
+          // file-not-found, so a typo'd pattern can never silently
+          // return an empty result, and the outcome does not flip when
+          // lingering fences are later cleaned up. (A matched-but-empty
+          // directory, by contrast, resolves to an empty scan — the same
+          // answer a direct directory load of it gives.)
+          if (gsAll.isEmpty && resolved.isEmpty) Seq(EdfInputPartition(pathSpec))
           else resolved
         }
       parts.filter(part => pathOk(part.path)).map(p => p: InputPartition)

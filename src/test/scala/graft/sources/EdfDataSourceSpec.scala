@@ -886,6 +886,63 @@ class EdfDataSourceSpec extends SparkSpec {
       "multi-directory glob did not resolve each parent independently")
   }
 
+  test("hidden output basenames fail loudly and commit nothing") {
+    // Underscore/dot-prefixed names are bookkeeping by filesystem
+    // convention — readers (this source's and Spark's) never serve them.
+    // A write that would commit one is silent data loss, so it must
+    // refuse before touching anything, like the duplicate-basename check.
+    val out = tmpDir("edfsink_hidden")
+    val src = spark.read.format("edf").load(dir)
+      .filter(col("path").contains("rec0"))
+      .withColumn("path", concat(lit("x/_"),
+        element_at(split(col("path"), "/"), -1)))
+    val e = intercept[Exception] {
+      src.write.format("edf").mode("append").save(out)
+    }
+    assert(msgs(e).exists(_.contains("hidden output basenames")), e.toString)
+    assert(listOut(out).forall(n => !n.toLowerCase.endsWith(".edf")),
+      s"files committed despite hidden basenames: ${listOut(out)}")
+    assert(!listOut(out).contains("_temporary"),
+      s"staging survived the refused commit: ${listOut(out)}")
+  }
+
+  test("a glob-matched directory expands to its children with fence resolution") {
+    // Spark's file sources expand a glob-matched directory to its
+    // children; this source must do the same — including the full
+    // commit-protocol resolution for a matched directory whose export is
+    // still entirely staged (its fences live INSIDE it, not beside it).
+    val base = tmpDir("edfglob_dirmatch")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    def v2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("samples", transform(col("samples"), x => x * 0.5))
+    src.where(col("path").contains("rec0"))
+      .write.format("edf").mode("append").save(s"$base/day1")
+    val cleanDay2 = tmpDir("edfglob_dirmatch_clean")
+    v2(src).write.format("edf").mode("append").save(cleanDay2)
+    stageAndCrash(s"$base/day2", "dir-match", v2(src), "rec0.edf")
+
+    val got = spark.read.format("edf").option("chunk_records", "4")
+      .load(s"$base/*")
+      .withColumn("file", concat_ws("/",
+        element_at(split(col("path"), "/"), -2),
+        element_at(split(col("path"), "/"), -1)))
+      .groupBy("file", "channel")
+      .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
+        col("samples"))))("samples")).as("sig"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getSeq[Double](r.fieldIndex("sig")))
+      .toMap
+    val want =
+      signalView(s"$base/day1")
+        .map { case ((f, c), s) => (s"day1/$f", c) -> s } ++
+        signalView(cleanDay2)
+          .map { case ((f, c), s) => (s"day2/$f", c) -> s }
+    assert(got == want,
+      "glob-matched directories were not expanded with full resolution")
+  }
+
   test("a manifest-mentioned non-edf name stays hidden from directory loads") {
     // The steady-state listing only serves *.edf; a pending
     // (mentioned-but-unlisted) name must pass the same gate, or an
