@@ -553,8 +553,10 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
 
   override def write(row: InternalRow): Unit = {
     val path = row.getUTF8String(iPath).toString
-    if (curPath == null) curPath = path
-    else if (path != curPath) { flushFile(); curPath = path }
+    if (curPath == null) { checkBasename(path); curPath = path }
+    else if (path != curPath) {
+      flushFile(); checkBasename(path); curPath = path
+    }
     val ch = row.getUTF8String(iChannel).toString
     val sf = row.getDouble(iSfreq)
     if (channels.isEmpty) curSfreq = sf
@@ -566,6 +568,21 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
         "read cannot be written back as signal data")
     channels.getOrElseUpdate(ch, scala.collection.mutable.ArrayBuffer.empty)
       .++=(row.getArray(iSamples).toDoubleArray())
+  }
+
+  /** Hidden-ness is a pure function of one row's path, so reject it at
+    * the FIRST row of the offending file — failing in seconds instead of
+    * streaming the whole dataset into staging only for the job-commit
+    * backstop ([[EdfBatchWrite.commit]]) to refuse it.
+    */
+  private def checkBasename(path: String): Unit = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    // An empty basename normalizes to ".edf" in flushFile — hidden too.
+    if (base.isEmpty || base.startsWith("_") || base.startsWith("."))
+      throw new IllegalStateException(
+        s"edf write: hidden output basenames '$base' — underscore/" +
+          "dot-prefixed names are reserved for bookkeeping and invisible " +
+          "to readers; rename the input `path` values")
   }
 
   private def flushFile(): Unit = {
@@ -809,24 +826,40 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           // names, mirroring the directory branch's listing gate.
           val gsAll = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
             .filterNot(s => hidden(s.getPath.getName))
-          // Spark's file sources expand a glob-matched DIRECTORY to its
-          // children; match that — each matched directory gets the full
-          // directory-load resolution instead of being planned as (or
-          // silently dropped from) file partitions.
+          // A glob-matched DIRECTORY expands to its children — each
+          // matched directory gets the full directory-load resolution
+          // instead of being planned as (or silently dropped from) file
+          // partitions. Expansion is ONE level, the same answer a direct
+          // directory load of it gives (this source's directory loads do
+          // not recurse into subdirectories).
           val (dirMatches, gs) = gsAll.partition(_.isDirectory)
           val fromDirs = dirMatches.map(_.getPath).sortBy(_.toString)
             .flatMap(loadDir)
-          val parent = p.getParent
-          val fences =
-            if (parent == null) Nil
-            else EdfBatchWrite.fencesOf(
-              Seq(EdfBatchWrite.ManifestPrefix,
-                EdfBatchWrite.CommittedPrefix).flatMap { pre =>
-                Option(fs.globStatus(new Path(parent, pre + "*")))
-                  .toSeq.flatten.filter(_.isFile).map(_.getPath)
-              })
-          val fencesByDir = fences.groupBy(_.path.getParent)
           val filesByDir = gs.map(_.getPath).groupBy(_.getParent)
+          // The sibling fence probe and the pending-name gate both come
+          // from a TEXTUAL parent/name split of the pattern. Hadoop's
+          // globber expands a slash inside braces ({a,a/b.edf}), but the
+          // split pieces of such a pattern are not themselves valid
+          // globs — degrade per piece instead of failing the scan: probe
+          // fences on the actual match parents (literal paths, always
+          // valid; also the fallback when the pattern has no parent),
+          // and skip pending-name discovery (a fence-only directory is
+          // undiscoverable without a parent pattern). Listed matches
+          // keep full redirect resolution either way.
+          def probeFences(dirPattern: Path): Seq[Path] =
+            Seq(EdfBatchWrite.ManifestPrefix,
+              EdfBatchWrite.CommittedPrefix).flatMap { pre =>
+              Option(fs.globStatus(new Path(dirPattern, pre + "*")))
+                .toSeq.flatten.filter(_.isFile).map(_.getPath)
+            }
+          val parentProbe: Option[Seq[Path]] =
+            Option(p.getParent).flatMap { parent =>
+              try Some(probeFences(parent))
+              catch { case _: java.io.IOException => None }
+            }
+          val fences = EdfBatchWrite.fencesOf(parentProbe.getOrElse(
+            filesByDir.keySet.toSeq.sortBy(_.toString).flatMap(probeFences)))
+          val fencesByDir = fences.groupBy(_.path.getParent)
           // Every directory with a matching final file OR a fence gets
           // resolved — a fence-only directory is how a reader sees an
           // export whose matching files are ALL still staged.
@@ -838,15 +871,21 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
               // Pending names a glob serves must themselves match the
               // pattern's file component, or `load("part-1*.edf")` would
               // surface an in-flight export's unrelated files.
-              val nameGlob = new org.apache.hadoop.fs.GlobFilter(p.getName)
+              val nameGlob: Option[org.apache.hadoop.fs.GlobFilter] =
+                try Some(new org.apache.hadoop.fs.GlobFilter(p.getName))
+                catch { case _: java.io.IOException => None }
               dirs.flatMap { dir =>
                 resolveDir(dir,
                   filesByDir.getOrElse(dir, Nil).map(_.toString),
                   fencesByDir.getOrElse(dir, Nil),
-                  name => !hidden(name) && nameGlob.accept(new Path(name)))
+                  name => !hidden(name) &&
+                    nameGlob.exists(_.accept(new Path(name))))
               }
             }
-          val resolved = fromDirs ++ fromFiles
+          // Dedup by logical path: a brace glob can match a directory AND
+          // a file inside it (`{day1,day1/rec0.edf}`), and concatenating
+          // the two branches would silently double-read that file.
+          val resolved = (fromDirs ++ fromFiles).distinctBy(_.path)
           // The pattern matched NOTHING and no pending name resolved:
           // keep the pre-fence LOUD behavior — the raw pattern becomes
           // one partition whose read fails with the underlying

@@ -941,6 +941,12 @@ class EdfDataSourceSpec extends SparkSpec {
           .map { case ((f, c), s) => (s"day2/$f", c) -> s }
     assert(got == want,
       "glob-matched directories were not expanded with full resolution")
+    // A brace glob matching BOTH a directory and a file inside it must
+    // not double-read that file: partitions dedup by logical path.
+    // day1 holds one recording: 2 channels x ceil(10/4) chunks = 6 rows.
+    assert(spark.read.format("edf").option("chunk_records", "4")
+      .load(s"$base/{day1,day1/rec0.edf}").count() == 6,
+      "brace glob matching a dir and a file inside it double-read the file")
   }
 
   test("a manifest-mentioned non-edf name stays hidden from directory loads") {
