@@ -241,16 +241,13 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
       s"edf write: duplicate output basenames ${dups.mkString(", ")} — " +
         "distinct input `path` values share a basename; they would " +
         "silently clobber each other")
-    // Underscore/dot-prefixed names are bookkeeping by filesystem
-    // convention (this source's own fences and staging, Spark's hidden
-    // files): readers never serve them, so committing one would be
-    // silent data loss — fail loudly before anything is touched.
+    // Readers never serve hidden names, so committing one would be
+    // silent data loss — fail loudly before anything is touched. This is
+    // the cross-task backstop behind the writer's row-level rejection.
     val hiddenOut = pairs.map(_._2)
-      .filter(n => n.startsWith("_") || n.startsWith(".")).distinct.sorted
+      .filter(EdfBatchWrite.hiddenName).distinct.sorted
     if (hiddenOut.nonEmpty) throw new IllegalStateException(
-      s"edf write: hidden output basenames ${hiddenOut.mkString(", ")} — " +
-        "underscore/dot-prefixed names are reserved for bookkeeping and " +
-        "invisible to readers; rename the input `path` values")
+      EdfBatchWrite.hiddenBasenameError(hiddenOut.mkString(", ")))
     fs.mkdirs(target)
     // Atomic rename-with-overwrite (FileContext, not FileSystem.rename):
     // a delete-then-rename spelling has a window where a failed rename
@@ -346,6 +343,20 @@ private object EdfBatchWrite {
   val ManifestPrefix = "_STAGED_MANIFEST-"
   val CommittedPrefix = "_COMMITTED-"
   def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The ONE spelling of the hidden-name convention (Spark's FileIndex,
+    * Hadoop committers): underscore/dot-prefixed names are bookkeeping,
+    * never data. Shared by the scan's data gates, the writer's row-level
+    * rejection, and the commit backstop, so the three sites can never
+    * drift apart.
+    */
+  def hiddenName(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  def hiddenBasenameError(names: String): String =
+    s"edf write: hidden output basenames $names — underscore/dot-prefixed " +
+      "names are reserved for bookkeeping and invisible to readers; " +
+      "rename the input `path` values"
 
   /** One commit-protocol fence file: a staged manifest (in-flight or
     * crashed export) or a committed marker (a finished export that must
@@ -555,7 +566,10 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
     val path = row.getUTF8String(iPath).toString
     if (curPath == null) { checkBasename(path); curPath = path }
     else if (path != curPath) {
-      flushFile(); checkBasename(path); curPath = path
+      // Reject the new path BEFORE flushing the previous file: the task
+      // is doomed either way, so don't serialize and stage bytes the
+      // abort will immediately discard.
+      checkBasename(path); flushFile(); curPath = path
     }
     val ch = row.getUTF8String(iChannel).toString
     val sf = row.getDouble(iSfreq)
@@ -578,11 +592,9 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
   private def checkBasename(path: String): Unit = {
     val base = path.substring(path.lastIndexOf('/') + 1)
     // An empty basename normalizes to ".edf" in flushFile — hidden too.
-    if (base.isEmpty || base.startsWith("_") || base.startsWith("."))
+    if (base.isEmpty || EdfBatchWrite.hiddenName(base))
       throw new IllegalStateException(
-        s"edf write: hidden output basenames '$base' — underscore/" +
-          "dot-prefixed names are reserved for bookkeeping and invisible " +
-          "to readers; rename the input `path` values")
+        EdfBatchWrite.hiddenBasenameError(s"'$base'"))
   }
 
   private def flushFile(): Unit = {
@@ -785,12 +797,10 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
         fromListing ++ pending
       }
 
-      // The usual engine convention (Spark's FileIndex, Hadoop committers):
-      // underscore/dot-prefixed names are bookkeeping, never data — it is
-      // what keeps this source's own fence files and staging tree out of
-      // data scans.
-      def hidden(name: String): Boolean =
-        name.startsWith("_") || name.startsWith(".")
+      // The hidden-name convention ([[EdfBatchWrite.hiddenName]]) is what
+      // keeps this source's own fence files and staging tree out of data
+      // scans.
+      def hidden(name: String): Boolean = EdfBatchWrite.hiddenName(name)
       // The directory-load data gate, applied to listed files AND to
       // pending (mentioned-but-unlisted) names, so a manifest mentioning
       // a non-edf or hidden name cannot surface a file the steady-state
@@ -852,19 +862,36 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
               Option(fs.globStatus(new Path(dirPattern, pre + "*")))
                 .toSeq.flatten.filter(_.isFile).map(_.getPath)
             }
+          // Validate the split piece WITHOUT I/O (GlobFilter compiles the
+          // pattern eagerly and does no RPC), so only pattern-syntax
+          // failures take the fallback — a genuine I/O failure inside the
+          // probe itself must stay loud, never silently degrade the scan.
+          def validGlob(s: String): Boolean =
+            try { new org.apache.hadoop.fs.GlobFilter(s); true }
+            catch { case _: java.io.IOException => false }
           val parentProbe: Option[Seq[Path]] =
-            Option(p.getParent).flatMap { parent =>
-              try Some(probeFences(parent))
-              catch { case _: java.io.IOException => None }
-            }
+            Option(p.getParent).filter(par => validGlob(par.toString))
+              .map(probeFences)
           val fences = EdfBatchWrite.fencesOf(parentProbe.getOrElse(
             filesByDir.keySet.toSeq.sortBy(_.toString).flatMap(probeFences)))
           val fencesByDir = fences.groupBy(_.path.getParent)
           // Every directory with a matching final file OR a fence gets
           // resolved — a fence-only directory is how a reader sees an
-          // export whose matching files are ALL still staged.
-          val dirs = (filesByDir.keySet ++ fencesByDir.keySet).toSeq
-            .sortBy(_.toString)
+          // export whose matching files are ALL still staged. A directory
+          // matched both as a dir-match AND as some matched file's parent
+          // (the brace dir-and-file overlap) would be fully resolved
+          // twice — listing, fence probe, manifest reads — with one copy
+          // discarded by the dedup below; skip the file-branch pass when
+          // the dir branch serves a superset (every file match is a plain
+          // data name, which loadDir's gate always serves — and the
+          // writer only ever stages such names, so pending resolution is
+          // covered too). A dir with an explicitly-matched non-edf file
+          // keeps the file branch, which alone serves that file.
+          val redundant = dirMatches.map(_.getPath).toSet.filter { d =>
+            filesByDir.getOrElse(d, Nil).forall(f => dataName(f.getName))
+          }
+          val dirs = (filesByDir.keySet ++ fencesByDir.keySet -- redundant)
+            .toSeq.sortBy(_.toString)
           val fromFiles =
             if (dirs.isEmpty) Nil
             else {
@@ -872,8 +899,9 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
               // pattern's file component, or `load("part-1*.edf")` would
               // surface an in-flight export's unrelated files.
               val nameGlob: Option[org.apache.hadoop.fs.GlobFilter] =
-                try Some(new org.apache.hadoop.fs.GlobFilter(p.getName))
-                catch { case _: java.io.IOException => None }
+                if (validGlob(p.getName))
+                  Some(new org.apache.hadoop.fs.GlobFilter(p.getName))
+                else None
               dirs.flatMap { dir =>
                 resolveDir(dir,
                   filesByDir.getOrElse(dir, Nil).map(_.toString),
