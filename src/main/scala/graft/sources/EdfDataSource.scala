@@ -898,10 +898,11 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
               // Pending names a glob serves must themselves match the
               // pattern's file component, or `load("part-1*.edf")` would
               // surface an in-flight export's unrelated files.
+              // One try/catch, not validGlob-then-construct: the ctor
+              // does no I/O, so this catch can only see pattern syntax.
               val nameGlob: Option[org.apache.hadoop.fs.GlobFilter] =
-                if (validGlob(p.getName))
-                  Some(new org.apache.hadoop.fs.GlobFilter(p.getName))
-                else None
+                try Some(new org.apache.hadoop.fs.GlobFilter(p.getName))
+                catch { case _: java.io.IOException => None }
               dirs.flatMap { dir =>
                 resolveDir(dir,
                   filesByDir.getOrElse(dir, Nil).map(_.toString),
