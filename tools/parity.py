@@ -47,6 +47,12 @@ def main():
                 print(f"[parity] unknown subset queries {unknown} — aborting"
                       " (see tools/registry.txt)", file=sys.stderr)
                 sys.exit(2)
+        else:
+            # Degrade loudly: without the registry the typo check falls back
+            # to the slow Verify-side abort — say so instead of silence.
+            print(f"[parity] WARNING: {reg_file} missing — subset fast-fail "
+                  "skipped; unknown names will only abort inside Verify",
+                  file=sys.stderr)
     if "--skip-verify" not in argv:
         env = dict(os.environ)
         if subset:
