@@ -847,70 +847,120 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
             .flatMap(loadDir)
           val filesByDir = gs.map(_.getPath).groupBy(_.getParent)
           // The sibling fence probe and the pending-name gate both come
-          // from a TEXTUAL parent/name split of the pattern. Hadoop's
-          // globber expands a slash inside braces ({a,a/b.edf}), but the
-          // split pieces of such a pattern are not themselves valid
-          // globs — degrade per piece instead of failing the scan: probe
-          // fences on the actual match parents (literal paths, always
-          // valid; also the fallback when the pattern has no parent),
-          // and skip pending-name discovery (a fence-only directory is
-          // undiscoverable without a parent pattern). Listed matches
-          // keep full redirect resolution either way.
+          // from a TEXTUAL parent/name split of the pattern. A slash
+          // inside braces ({a,a/b.edf}) breaks that split — so expand
+          // those braces FIRST (GlobExpander, the globber's own first
+          // step): every resulting alternative's remaining braces are
+          // slash-free, making its parent/name split a valid glob again.
+          // Each alternative probes fences under its own parent pattern
+          // and gates pending names by its own name component, so a
+          // fence-only directory (an export whose matching files are ALL
+          // still staged) is visible to brace-with-slash patterns exactly
+          // as to plain ones.
           def probeFences(dirPattern: Path): Seq[Path] =
             Seq(EdfBatchWrite.ManifestPrefix,
               EdfBatchWrite.CommittedPrefix).flatMap { pre =>
               Option(fs.globStatus(new Path(dirPattern, pre + "*")))
                 .toSeq.flatten.filter(_.isFile).map(_.getPath)
             }
-          // Validate the split piece WITHOUT I/O (GlobFilter compiles the
+          // Validate a split piece WITHOUT I/O (GlobFilter compiles the
           // pattern eagerly and does no RPC), so only pattern-syntax
-          // failures take the fallback — a genuine I/O failure inside the
-          // probe itself must stay loud, never silently degrade the scan.
+          // failures take the degrade path — a genuine I/O failure inside
+          // the probe itself must stay loud, never silently thin the scan.
           def validGlob(s: String): Boolean =
             try { new org.apache.hadoop.fs.GlobFilter(s); true }
             catch { case _: java.io.IOException => false }
-          val parentProbe: Option[Seq[Path]] =
-            Option(p.getParent).filter(par => validGlob(par.toString))
-              .map(probeFences)
-          val fences = EdfBatchWrite.fencesOf(parentProbe.getOrElse(
-            filesByDir.keySet.toSeq.sortBy(_.toString).flatMap(probeFences)))
-          val fencesByDir = fences.groupBy(_.path.getParent)
+          val alternatives: Seq[Path] =
+            try org.apache.hadoop.fs.GlobExpander.expand(pathSpec)
+              .asScala.toSeq.map(new Path(_))
+            catch { case _: java.io.IOException => Seq(p) }
+          // Per alternative: its name-component filter plus the parent
+          // patterns to probe (its textual parent; when the alternative
+          // has no parent — a relative single-component pattern — the
+          // actual match parents stand in). Any pattern globStatus
+          // accepted splits cleanly after expansion, so the degrade
+          // branches below are belts only — and LOUD ones: an operator
+          // must know when pending-name discovery was skipped. Probing
+          // never degrades past the actual match parents, so LISTED
+          // matches keep full redirect resolution in every case.
+          val altSplits
+              : Seq[(Option[org.apache.hadoop.fs.GlobFilter], Seq[Path])] =
+            alternatives.map { a =>
+              val nameGlob =
+                try Some(new org.apache.hadoop.fs.GlobFilter(a.getName))
+                catch { case _: java.io.IOException => None }
+              if (nameGlob.isEmpty)
+                System.err.println(s"[edf-read] pattern '$pathSpec': " +
+                  s"alternative '$a' has no valid name-component glob — " +
+                  "pending-name discovery skipped for it; an in-flight " +
+                  "export's not-yet-promoted files may be invisible to " +
+                  "this pattern")
+              val parents: Seq[Path] = Option(a.getParent) match {
+                case Some(par) if validGlob(par.toString) => Seq(par)
+                case Some(par) =>
+                  System.err.println(s"[edf-read] pattern '$pathSpec': " +
+                    s"alternative '$a' has no valid parent glob ('$par') " +
+                    "— probing fences on the actual match parents " +
+                    "instead; a fence-only directory is invisible to " +
+                    "this alternative")
+                  filesByDir.keySet.toSeq.sortBy(_.toString)
+                case None =>
+                  filesByDir.keySet.toSeq.sortBy(_.toString)
+              }
+              (nameGlob, parents)
+            }
+          // Probe each distinct parent pattern ONCE (two sibling globs) —
+          // constant RPC per alternative however many directories it
+          // spans; parents without fences (the steady state) cost the
+          // two empty globs and nothing more.
+          val probeByParent: Map[String, Seq[Path]] =
+            altSplits.flatMap(_._2).map(_.toString).distinct
+              .map(s => s -> probeFences(new Path(s))).toMap
+          // Which alternatives saw each fenced directory: pending names
+          // there are served iff they match the name component of an
+          // alternative whose parent pattern reached that directory.
+          val dirGates: Map[Path, Seq[org.apache.hadoop.fs.GlobFilter]] =
+            altSplits.flatMap { case (ngOpt, parents) =>
+              ngOpt.toSeq.flatMap { ng =>
+                parents.flatMap(par => probeByParent(par.toString))
+                  .map(f => f.getParent -> ng)
+              }
+            }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+          val fencesByDir: Map[Path, Seq[EdfBatchWrite.Fence]] =
+            EdfBatchWrite.fencesOf(
+              probeByParent.values.flatten.toSeq.distinct)
+              .groupBy(_.path.getParent)
           // Every directory with a matching final file OR a fence gets
           // resolved — a fence-only directory is how a reader sees an
           // export whose matching files are ALL still staged. A directory
           // matched both as a dir-match AND as some matched file's parent
           // (the brace dir-and-file overlap) would be fully resolved
           // twice — listing, fence probe, manifest reads — with one copy
-          // discarded by the dedup below; skip the file-branch pass when
-          // the dir branch serves a superset (every file match is a plain
-          // data name, which loadDir's gate always serves — and the
-          // writer only ever stages such names, so pending resolution is
-          // covered too). A dir with an explicitly-matched non-edf file
-          // keeps the file branch, which alone serves that file.
+          // discarded by the dedup below; skip the file-branch pass only
+          // when the dir branch provably serves a superset: every file
+          // match is a plain data name (which loadDir's gate always
+          // serves) AND the directory carries no fence — with a fence
+          // present, a foreign manifest can mention a non-edf pending
+          // name that only the file branch's alternative gate would
+          // serve, so both branches run and the dedup absorbs the
+          // overlap.
           val redundant = dirMatches.map(_.getPath).toSet.filter { d =>
-            filesByDir.getOrElse(d, Nil).forall(f => dataName(f.getName))
+            !fencesByDir.contains(d) &&
+              filesByDir.getOrElse(d, Nil).forall(f => dataName(f.getName))
           }
           val dirs = (filesByDir.keySet ++ fencesByDir.keySet -- redundant)
             .toSeq.sortBy(_.toString)
-          val fromFiles =
-            if (dirs.isEmpty) Nil
-            else {
-              // Pending names a glob serves must themselves match the
-              // pattern's file component, or `load("part-1*.edf")` would
-              // surface an in-flight export's unrelated files.
-              // One try/catch, not validGlob-then-construct: the ctor
-              // does no I/O, so this catch can only see pattern syntax.
-              val nameGlob: Option[org.apache.hadoop.fs.GlobFilter] =
-                try Some(new org.apache.hadoop.fs.GlobFilter(p.getName))
-                catch { case _: java.io.IOException => None }
-              dirs.flatMap { dir =>
-                resolveDir(dir,
-                  filesByDir.getOrElse(dir, Nil).map(_.toString),
-                  fencesByDir.getOrElse(dir, Nil),
-                  name => !hidden(name) &&
-                    nameGlob.exists(_.accept(new Path(name))))
-              }
-            }
+          // Pending names a glob serves must themselves match some
+          // alternative's file component, or `load("part-1*.edf")` would
+          // surface an in-flight export's unrelated files.
+          val fromFiles = dirs.flatMap { dir =>
+            val gates = dirGates.getOrElse(dir, Nil)
+            resolveDir(dir,
+              filesByDir.getOrElse(dir, Nil).map(_.toString),
+              fencesByDir.getOrElse(dir, Nil),
+              name => !hidden(name) &&
+                gates.exists(_.accept(new Path(name))))
+          }
           // Dedup by logical path: a brace glob can match a directory AND
           // a file inside it (`{day1,day1/rec0.edf}`), and concatenating
           // the two branches would silently double-read that file.

@@ -949,6 +949,54 @@ class EdfDataSourceSpec extends SparkSpec {
       "brace glob matching a dir and a file inside it double-read the file")
   }
 
+  test("a brace-with-slash glob sees a fence-only directory") {
+    // The round-12 blind spot: a slash inside braces breaks the textual
+    // parent/name split, and the old fallback could not discover a
+    // directory visible ONLY through its fences (an export whose matching
+    // files are all still staged). The planner now expands such braces
+    // into alternatives first (the globber's own first step), so each
+    // alternative probes fences under its own parent — day2 below must be
+    // served even though no final file of it matches anything.
+    val base = tmpDir("edfglob_braceslash")
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    def v2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("samples", transform(col("samples"), x => x * 0.5))
+    src.where(col("path").contains("rec0"))
+      .write.format("edf").mode("append").save(s"$base/day1")
+    val cleanDay2 = tmpDir("edfglob_braceslash_clean")
+    v2(src).write.format("edf").mode("append").save(cleanDay2)
+    stageAndCrash(s"$base/day2", "brace-slash", v2(src), "rec0.edf")
+    assert(listOut(s"$base/day2").count(_.toLowerCase.endsWith(".edf")) == 0,
+      "precondition: day2 is fence-only for any data glob")
+
+    def twoLevelView(pattern: String) =
+      spark.read.format("edf").option("chunk_records", "4").load(pattern)
+        .withColumn("file", concat_ws("/",
+          element_at(split(col("path"), "/"), -2),
+          element_at(split(col("path"), "/"), -1)))
+        .groupBy("file", "channel")
+        .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
+          col("samples"))))("samples")).as("sig"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getSeq[Double](r.fieldIndex("sig")))
+        .toMap
+    val day1View = signalView(s"$base/day1")
+      .map { case ((f, c), s) => (s"day1/$f", c) -> s }
+    val day2View = signalView(cleanDay2)
+      .map { case ((f, c), s) => (s"day2/$f", c) -> s }
+
+    assert(twoLevelView(s"$base/{day1/rec0.edf,day2/*.edf}") ==
+      day1View ++ day2View,
+      "brace-with-slash pattern was blind to the fence-only directory")
+    // Pending names still obey the alternative's OWN name component:
+    // rec0* must surface day2's pending rec0 but not its pending rec1.
+    assert(twoLevelView(s"$base/{day1/rec0.edf,day2/rec0*.edf}") ==
+      day1View ++ day2View.filter(_._1._1 == "day2/rec0.edf"),
+      "pending names leaked past their alternative's name component")
+  }
+
   test("a manifest-mentioned non-edf name stays hidden from directory loads") {
     // The steady-state listing only serves *.edf; a pending
     // (mentioned-but-unlisted) name must pass the same gate, or an
