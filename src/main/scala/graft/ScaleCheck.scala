@@ -457,6 +457,46 @@ object ScaleCheck {
           .filter(col("event_type") =!= "_hb").count()
       })
 
+      // Glob planning over a many-directory layout — the 100 TB shape is
+      // thousands of partition directories. dirs = 100·R, two files each;
+      // then 1% of the dirs get a crashed-export fence (manifest + staged
+      // brand-new file — the protocol state EdfDataSourceSpec drives
+      // through the real writer). Planning wall must stay flat PER
+      // DIRECTORY across decades: EdfPlanningRpcSpec pins the per-load RPC
+      // budget, this leg pins the wall-clock side. Layout creation is
+      // untimed; planning opens no data file.
+      val (tGlobS, tGlobF, nGlobParts, nGlobPartsF, nGlobDirs) =
+        if (legFilter.forall(_.contains("glob_plan"))) {
+          import java.nio.file.{Files => JFiles, Paths => JPaths}
+          val nDirs = 100 * r
+          val base = JFiles.createTempDirectory("scale_glob").toString
+          (0 until nDirs).foreach { i =>
+            val d = JPaths.get(s"$base/part$i")
+            JFiles.createDirectories(d)
+            JFiles.write(d.resolve("rec0.edf"), Array[Byte](0))
+            JFiles.write(d.resolve("rec1.edf"), Array[Byte](0))
+          }
+          def planParts(): Long = spark.read.format("edf")
+            .load(s"$base/*/*.edf").rdd.getNumPartitions.toLong
+          val (tS, nS) = time(planParts())
+          (0 until nDirs by 100).foreach { i =>
+            val stage = JPaths.get(s"$base/part$i/_temporary/q/task-0-0")
+            JFiles.createDirectories(stage)
+            JFiles.write(stage.resolve("new.edf"), Array[Byte](0))
+            JFiles.write(JPaths.get(
+              s"$base/part$i/_STAGED_MANIFEST-000000001-q"),
+              s"${stage.resolve("new.edf")}\tnew.edf\n"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val (tF, nF) = time(planParts())
+          require(nS == 2L * nDirs && nF == nS + nDirs / 100,
+            s"glob_plan planned $nS/$nF partitions over $nDirs dirs")
+          JFiles.walk(JPaths.get(base)).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => JFiles.deleteIfExists(p))
+          (tS, tF, nS, nF, nDirs)
+        } else (-1.0, -1.0, -1L, -1L, -1)
+
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +
         f""""dedup_cluster_s":$tFull%.2f,"clusters":$nClusters,""" +
         f""""simhash_s":$tSim%.2f,"sim_pairs":$nSim,""" +
@@ -477,7 +517,11 @@ object ScaleCheck {
         f""""pq_search_s":$tPq%.2f,"pq_rows":$nPq,""" +
         f""""graph_tri_s":$tGraph%.2f,"triangles":$nTri,""" +
         f""""pagerank_s":$tPr%.2f,"pr_nodes":$nNodes,""" +
-        f""""stream_s":$tStream%.2f,"stream_windows":$nWindows}""")
+        f""""stream_s":$tStream%.2f,"stream_windows":$nWindows,""" +
+        f""""glob_dirs":$nGlobDirs,"glob_plan_steady_s":$tGlobS%.3f,""" +
+        f""""glob_plan_parts":$nGlobParts,""" +
+        f""""glob_plan_fenced_s":$tGlobF%.3f,""" +
+        f""""glob_fenced_parts":$nGlobPartsF}""")
     }
     spark.stop()
   }
