@@ -491,9 +491,11 @@ object ScaleCheck {
           val (tF, nF) = time(planParts())
           require(nS == 2L * nDirs && nF == nS + nDirs / 100,
             s"glob_plan planned $nS/$nF partitions over $nDirs dirs")
-          JFiles.walk(JPaths.get(base)).sorted(
+          val walk = JFiles.walk(JPaths.get(base))
+          try walk.sorted(
             java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => JFiles.deleteIfExists(p))
+          finally walk.close()
           (tS, tF, nS, nF, nDirs)
         } else (-1.0, -1.0, -1L, -1L, -1)
 

@@ -57,8 +57,10 @@ class EdfGlobPropertySpec extends SparkSpec {
   private case class DestroyStaging(dir: Int, pick: Int) extends Op
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRec(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p) // close the stream: this runs thousands of
+      try s.forEach(c => deleteRec(c)) finally s.close() // times per run
+    }
     Files.deleteIfExists(p)
   }
 
