@@ -248,6 +248,12 @@ class EdfGlobPropertySpec extends SparkSpec {
     }
     checkPattern(base, s"$base/*/*.edf", edfViews.reduce(_ ++ _))
     checkPattern(base, s"$base/*", dirViews.reduce(_ ++ _))
+    // Literal name over a glob parent: a pending a.edf in ANY fenced dir
+    // must surface; everything else must not.
+    checkPattern(base, s"$base/*/a.edf",
+      (0 to 2).map(d => oracleGlobView(base, d, "a.edf")).reduce(_ ++ _))
+    // Character-class parent component.
+    checkPattern(base, s"$base/d[01]/*.edf", edfViews(0) ++ edfViews(1))
     checkPattern(base, s"$base/{d0,d1}/*.edf", edfViews(0) ++ edfViews(1))
     // Slash inside braces: fence-only directories must stay visible and
     // pending names must obey their own alternative's name component.
