@@ -55,6 +55,17 @@ class EdfGlobPropertySpec extends SparkSpec {
   private case class Roll(dir: Int) extends Op
   /** Destroy one surviving staging subtree (ghost mentions). */
   private case class DestroyStaging(dir: Int, pick: Int) extends Op
+  /** A crashed export's zombie driver resumes its promotion renames
+    * LATE — possibly after newer exports already published or committed
+    * over the same names. The sequence fence must keep newer state
+    * owning reads regardless of the stale bytes landing on finals.
+    */
+  private case class ZombiePromote(dir: Int, pick: Int) extends Op
+  /** The zombie finishes COMPLETELY: promotes, publishes its committed
+    * marker, retires its manifest and staging — the full delayed commit
+    * racing whatever happened since.
+    */
+  private case class ZombieFinish(dir: Int, pick: Int) extends Op
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -113,6 +124,44 @@ class EdfGlobPropertySpec extends SparkSpec {
       val subs = Option(temp.listFiles()).map(_.filter(_.isDirectory)
         .sortBy(_.getName)).getOrElse(Array.empty)
       if (subs.nonEmpty) deleteRec(subs(pick % subs.length).toPath)
+    case ZombiePromote(d, pick) =>
+      zombie(base, d, pick, finish = false)
+    case ZombieFinish(d, pick) =>
+      zombie(base, d, pick, finish = true)
+  }
+
+  /** Replays a crashed manifest's remaining promotion renames; with
+    * `finish`, also its committed-marker publish and retirement steps.
+    */
+  private def zombie(base: String, d: Int, pick: Int,
+      finish: Boolean): Unit = {
+    val dirPath = new Path(s"$base/d$d")
+    val fs = dirPath.getFileSystem(hconf)
+    val manifests = EdfBatchWrite.listFences(fs, dirPath)
+      .filter(!_.committed)
+    if (manifests.isEmpty) return
+    val f = manifests(pick % manifests.size)
+    val entries = EdfBatchWrite.readManifest(fs, f.path)
+    entries.foreach { case (staged, name) =>
+      val sp = Paths.get(stripScheme(staged))
+      if (Files.isRegularFile(sp))
+        Files.move(sp, Paths.get(s"$base/d$d/$name"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (finish) {
+      val content = entries
+        .map { case (s, n) => s"$s\t$n" }.mkString("", "\n", "\n")
+      Files.write(Paths.get(s"$base/d$d/" + EdfBatchWrite.fenceName(
+        EdfBatchWrite.CommittedPrefix, f.seq, f.qid)),
+        content.getBytes(UTF_8))
+      fs.delete(f.path, false)
+      deleteRec(Paths.get(s"$base/d$d/_temporary/${f.qid}"))
+      val left = EdfBatchWrite.listFences(fs, dirPath)
+      if (!left.exists(!_.committed))
+        left.foreach(g => fs.delete(g.path, false))
+      try Files.deleteIfExists(Paths.get(s"$base/d$d/_temporary"))
+      catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    }
   }
 
   // ---- the in-memory oracle -----------------------------------------
@@ -288,7 +337,11 @@ class EdfGlobPropertySpec extends SparkSpec {
     5 -> genExport,
     2 -> genDir.map(Roll.apply),
     1 -> (for { d <- genDir; k <- Gen.choose(0, 9) }
-      yield DestroyStaging(d, k)))
+      yield DestroyStaging(d, k)),
+    1 -> (for { d <- genDir; k <- Gen.choose(0, 9) }
+      yield ZombiePromote(d, k)),
+    1 -> (for { d <- genDir; k <- Gen.choose(0, 9) }
+      yield ZombieFinish(d, k)))
 
   private val genHistory: Gen[List[Op]] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genOp))
