@@ -470,33 +470,38 @@ object ScaleCheck {
           import java.nio.file.{Files => JFiles, Paths => JPaths}
           val nDirs = 100 * r
           val base = JFiles.createTempDirectory("scale_glob").toString
-          (0 until nDirs).foreach { i =>
-            val d = JPaths.get(s"$base/part$i")
-            JFiles.createDirectories(d)
-            JFiles.write(d.resolve("rec0.edf"), Array[Byte](0))
-            JFiles.write(d.resolve("rec1.edf"), Array[Byte](0))
+          try {
+            (0 until nDirs).foreach { i =>
+              val d = JPaths.get(s"$base/part$i")
+              JFiles.createDirectories(d)
+              JFiles.write(d.resolve("rec0.edf"), Array[Byte](0))
+              JFiles.write(d.resolve("rec1.edf"), Array[Byte](0))
+            }
+            def planParts(): Long = spark.read.format("edf")
+              .load(s"$base/*/*.edf").rdd.getNumPartitions.toLong
+            val (tS, nS) = time(planParts())
+            (0 until nDirs by 100).foreach { i =>
+              val stage = JPaths.get(s"$base/part$i/_temporary/q/task-0-0")
+              JFiles.createDirectories(stage)
+              JFiles.write(stage.resolve("new.edf"), Array[Byte](0))
+              JFiles.write(JPaths.get(s"$base/part$i/" +
+                graft.sources.EdfBatchWrite.fenceName(
+                  graft.sources.EdfBatchWrite.ManifestPrefix, 1, "q")),
+                s"${stage.resolve("new.edf")}\tnew.edf\n"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            val (tF, nF) = time(planParts())
+            require(nS == 2L * nDirs && nF == nS + nDirs / 100,
+              s"glob_plan planned $nS/$nF partitions over $nDirs dirs")
+            (tS, tF, nS, nF, nDirs)
+          } finally {
+            // A failed require must not leak the 100·R-directory layout.
+            val walk = JFiles.walk(JPaths.get(base))
+            try walk.sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => JFiles.deleteIfExists(p))
+            finally walk.close()
           }
-          def planParts(): Long = spark.read.format("edf")
-            .load(s"$base/*/*.edf").rdd.getNumPartitions.toLong
-          val (tS, nS) = time(planParts())
-          (0 until nDirs by 100).foreach { i =>
-            val stage = JPaths.get(s"$base/part$i/_temporary/q/task-0-0")
-            JFiles.createDirectories(stage)
-            JFiles.write(stage.resolve("new.edf"), Array[Byte](0))
-            JFiles.write(JPaths.get(
-              s"$base/part$i/_STAGED_MANIFEST-000000001-q"),
-              s"${stage.resolve("new.edf")}\tnew.edf\n"
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-          val (tF, nF) = time(planParts())
-          require(nS == 2L * nDirs && nF == nS + nDirs / 100,
-            s"glob_plan planned $nS/$nF partitions over $nDirs dirs")
-          val walk = JFiles.walk(JPaths.get(base))
-          try walk.sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => JFiles.deleteIfExists(p))
-          finally walk.close()
-          (tS, tF, nS, nF, nDirs)
         } else (-1.0, -1.0, -1L, -1L, -1)
 
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +

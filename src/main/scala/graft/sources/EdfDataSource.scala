@@ -338,7 +338,7 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
   }
 }
 
-private object EdfBatchWrite {
+private[graft] object EdfBatchWrite {
   val TempDirName = "_temporary"
   val ManifestPrefix = "_STAGED_MANIFEST-"
   val CommittedPrefix = "_COMMITTED-"
@@ -905,6 +905,16 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
                     "this alternative")
                   filesByDir.keySet.toSeq.sortBy(_.toString)
                 case None =>
+                  // Only the filesystem root has no parent (a relative
+                  // single-component pattern's parent is the empty
+                  // path, handled above) — effectively unreachable, but
+                  // it IS a pending-discovery degrade, so it warns like
+                  // its sibling.
+                  System.err.println(s"[edf-read] pattern '$pathSpec': " +
+                    s"alternative '$a' has no parent to probe — " +
+                    "probing fences on the actual match parents " +
+                    "instead; a fence-only directory is invisible to " +
+                    "this alternative")
                   filesByDir.keySet.toSeq.sortBy(_.toString)
               }
               (nameGlob, parents)

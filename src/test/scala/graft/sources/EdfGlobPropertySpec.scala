@@ -57,13 +57,21 @@ class EdfGlobPropertySpec extends SparkSpec {
   private case class DestroyStaging(dir: Int, pick: Int) extends Op
   /** A crashed export's zombie driver resumes its promotion renames
     * LATE — possibly after newer exports already published or committed
-    * over the same names. The sequence fence must keep newer state
-    * owning reads regardless of the stale bytes landing on finals.
+    * over the same names. Scope of what this checks: for a name still
+    * under a newer STAGED manifest, the fence must keep the newer
+    * export owning reads regardless of stale bytes landing on the
+    * final; for a name whose newer export fully committed AND retired
+    * its fences, the stale rename wins in content — the protocol's
+    * documented last-wins-undefined concurrency rule
+    * ([[EdfWriteBuilder]] scaladoc), identical to plain
+    * rename-overwrite. The property verifies that planner and oracle
+    * tell the SAME story in both cases (consistency), not freshness.
     */
   private case class ZombiePromote(dir: Int, pick: Int) extends Op
   /** The zombie finishes COMPLETELY: promotes, publishes its committed
     * marker, retires its manifest and staging — the full delayed commit
-    * racing whatever happened since.
+    * racing whatever happened since. Same consistency-not-freshness
+    * scope as [[ZombiePromote]].
     */
   private case class ZombieFinish(dir: Int, pick: Int) extends Op
 
@@ -103,20 +111,7 @@ class EdfGlobPropertySpec extends SparkSpec {
         Files.move(Paths.get(s), Paths.get(s"$base/d$d/$n"),
           StandardCopyOption.REPLACE_EXISTING)
       }
-      if (crashAt.isEmpty) {
-        Files.write(Paths.get(s"$base/d$d/" +
-          EdfBatchWrite.fenceName(EdfBatchWrite.CommittedPrefix, seq, qid)),
-          content.getBytes(UTF_8))
-        Files.delete(manifest)
-        deleteRec(Paths.get(s"$base/d$d/_temporary/$qid"))
-        val left = EdfBatchWrite.listFences(fs, dirPath)
-        if (!left.exists(!_.committed))
-          left.foreach(f => fs.delete(f.path, false))
-        // Non-recursive root cleanup, like the real commit: only when no
-        // other query is still staging under it.
-        try Files.deleteIfExists(Paths.get(s"$base/d$d/_temporary"))
-        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
-      }
+      if (crashAt.isEmpty) finishCommit(base, d, seq, qid, manifest, content)
     case Roll(d) =>
       EdfExportRecovery.rollForward(s"$base/d$d", hconf)
     case DestroyStaging(d, pick) =>
@@ -148,20 +143,34 @@ class EdfGlobPropertySpec extends SparkSpec {
         Files.move(sp, Paths.get(s"$base/d$d/$name"),
           StandardCopyOption.REPLACE_EXISTING)
     }
-    if (finish) {
-      val content = entries
-        .map { case (s, n) => s"$s\t$n" }.mkString("", "\n", "\n")
-      Files.write(Paths.get(s"$base/d$d/" + EdfBatchWrite.fenceName(
-        EdfBatchWrite.CommittedPrefix, f.seq, f.qid)),
-        content.getBytes(UTF_8))
-      fs.delete(f.path, false)
-      deleteRec(Paths.get(s"$base/d$d/_temporary/${f.qid}"))
-      val left = EdfBatchWrite.listFences(fs, dirPath)
-      if (!left.exists(!_.committed))
-        left.foreach(g => fs.delete(g.path, false))
-      try Files.deleteIfExists(Paths.get(s"$base/d$d/_temporary"))
-      catch { case _: java.nio.file.DirectoryNotEmptyException => () }
-    }
+    if (finish)
+      finishCommit(base, d, f.seq, f.qid,
+        Paths.get(stripScheme(f.path.toString)),
+        entries.map { case (s, n) => s"$s\t$n" }.mkString("", "\n", "\n"))
+  }
+
+  /** The commit-retirement steps shared by a clean export and a zombie
+    * finish (ONE copy, so the model cannot silently fork the protocol):
+    * publish the committed marker, retire the manifest and its query's
+    * staging tree, retire ALL markers iff no staged manifest remains,
+    * and drop the staging root iff empty — mirroring
+    * EdfBatchWrite.commit steps 4–5.
+    */
+  private def finishCommit(base: String, d: Int, seq: Int, qid: String,
+      manifest: java.nio.file.Path, content: String): Unit = {
+    val dirPath = new Path(s"$base/d$d")
+    val fs = dirPath.getFileSystem(hconf)
+    Files.write(Paths.get(s"$base/d$d/" + EdfBatchWrite.fenceName(
+      EdfBatchWrite.CommittedPrefix, seq, qid)), content.getBytes(UTF_8))
+    Files.deleteIfExists(manifest)
+    deleteRec(Paths.get(s"$base/d$d/_temporary/$qid"))
+    val left = EdfBatchWrite.listFences(fs, dirPath)
+    if (!left.exists(!_.committed))
+      left.foreach(g => fs.delete(g.path, false))
+    // Non-recursive root cleanup, like the real commit: only when no
+    // other query is still staging under it.
+    try Files.deleteIfExists(Paths.get(s"$base/d$d/_temporary"))
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 
   // ---- the in-memory oracle -----------------------------------------
