@@ -60,6 +60,16 @@ object EdfDataSource {
     StructField("t0_sec", DoubleType, nullable = false),
     StructField("samples", ArrayType(DoubleType, containsNull = false),
       nullable = true)))
+
+  /** A multi-path `load(a, b, …)` arrives as a JSON-encoded array in
+    * the `paths` option (Spark's DataFrameReader convention — the same
+    * encoding its file sources decode); a hand-set non-JSON value is
+    * treated as one literal path, the pre-multi-path behavior.
+    */
+  private[sources] def parsePaths(s: String): Seq[String] =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(s, classOf[Array[String]]).toSeq
+    catch { case scala.util.control.NonFatal(_) => Seq(s) }
 }
 
 private class EdfTable(properties: Map[String, String])
@@ -73,7 +83,9 @@ private class EdfTable(properties: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdfScanBuilder(
       Option(options.get("path")).orElse(properties.get("path"))
-        .orElse(properties.get("paths"))
+        .map(Seq(_))
+        .orElse(Option(options.get("paths")).orElse(properties.get("paths"))
+          .map(EdfDataSource.parsePaths))
         .getOrElse(throw new IllegalArgumentException("edf: no path given")),
       Option(options.get("chunk_records")).orElse(properties.get("chunk_records"))
         .map(_.toInt).getOrElse(3600),
@@ -639,7 +651,7 @@ private class EdfDataWriter(targetDir: String, attemptDir: String,
   override def close(): Unit = ()
 }
 
-private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
+private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
     lenient: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -697,12 +709,17 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
     override def toBatch: Batch = this
 
     override def description(): String =
-      s"edf $pathSpec ReadSchema: ${required.catalogString} " +
+      s"edf ${pathSpecs.mkString(",")} " +
+        s"ReadSchema: ${required.catalogString} " +
         s"PushedFilters: [${pushed.mkString(", ")}]"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = org.apache.spark.sql.SparkSession.active
       val conf = spark.sparkContext.hadoopConfiguration
+
+      // One load spec (a literal dir/file or a glob) planned in full;
+      // a multi-path `load(a, b, …)` unions the per-spec plans below.
+      def planSpec(pathSpec: String): Seq[EdfInputPartition] = {
       val p = new Path(pathSpec)
       val fs = p.getFileSystem(conf)
 
@@ -986,7 +1003,15 @@ private class EdfScanBuilder(pathSpec: String, chunkRecords: Int,
           if (gsAll.isEmpty && resolved.isEmpty) Seq(EdfInputPartition(pathSpec))
           else resolved
         }
-      parts.filter(part => pathOk(part.path)).map(p => p: InputPartition)
+      parts
+      } // planSpec
+      // Union of the per-spec plans; a file reachable through two specs
+      // (`load(dir, s"$dir/rec0.edf")`) dedups by logical path, exactly
+      // like the brace dir-and-file overlap within one pattern. The loud
+      // no-match partition stays per spec: ONE typo'd path in a
+      // multi-path load fails the read rather than silently thinning it.
+      pathSpecs.flatMap(planSpec).distinctBy(_.path)
+        .filter(part => pathOk(part.path)).map(p => p: InputPartition)
         .toArray
     }
 

@@ -1035,6 +1035,55 @@ class EdfDataSourceSpec extends SparkSpec {
       "pending non-edf name leaked into a directory load")
   }
 
+  test("multi-path load unions per-path plans with full fence resolution") {
+    // `load(a, b, …)` arrives as a JSON-encoded `paths` array (Spark's
+    // DataFrameReader convention). It must plan the UNION of the
+    // per-path plans — including commit-protocol resolution for a path
+    // whose export is still entirely staged — dedup a file reachable
+    // through two specs by logical path, and keep ONE typo'd member a
+    // loud failure instead of a silently thinner result.
+    val base = tmpDir("edfmulti")
+    val aDir = s"$base/a"; val bDir = s"$base/b"
+    val src = spark.read.format("edf").option("chunk_records", "4").load(dir)
+      .orderBy("path", "channel", "chunk_idx")
+    def v2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("samples", transform(col("samples"), x => x * 0.5))
+    src.where(col("path").contains("rec0"))
+      .write.format("edf").mode("append").save(aDir)
+    val cleanB = tmpDir("edfmulti_cleanb")
+    v2(src).write.format("edf").mode("append").save(cleanB)
+    stageAndCrash(bDir, "multi-path", v2(src), "rec0.edf")
+    assert(listOut(bDir).count(_.toLowerCase.endsWith(".edf")) == 0,
+      "precondition: b/ is fully staged")
+
+    def twoLevelView(paths: String*) =
+      spark.read.format("edf").option("chunk_records", "4")
+        .load(paths: _*)
+        .withColumn("file", concat_ws("/",
+          element_at(split(col("path"), "/"), -2),
+          element_at(split(col("path"), "/"), -1)))
+        .groupBy("file", "channel")
+        .agg(flatten(sort_array(collect_list(struct(col("chunk_idx"),
+          col("samples"))))("samples")).as("sig"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getSeq[Double](r.fieldIndex("sig")))
+        .toMap
+    val want =
+      signalView(aDir).map { case ((f, c), s) => (s"a/$f", c) -> s } ++
+        signalView(cleanB).map { case ((f, c), s) => (s"b/$f", c) -> s }
+    assert(twoLevelView(aDir, bDir) == want,
+      "multi-path load did not union per-path plans with fence resolution")
+    // A dir spec + a glob spec over the same files: dedup by logical
+    // path, not a double-read.
+    assert(twoLevelView(aDir, s"$aDir/*.edf") ==
+      want.filter(_._1._1.startsWith("a/")),
+      "overlapping multi-path specs double-read or lost files")
+    // One bad member fails the whole read loudly.
+    intercept[Exception](
+      spark.read.format("edf").load(aDir, s"$base/nope*.edf").collect())
+  }
+
   test("chunk time offsets advance by chunk length") {
     val df = spark.read.format("edf").option("chunk_records", "4").load(dir)
     val t0s = df.filter(col("channel") === "EOG horizontal")
