@@ -988,10 +988,11 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
               name => !hidden(name) &&
                 gates.exists(_.accept(new Path(name))))
           }
-          // Dedup by logical path: a brace glob can match a directory AND
-          // a file inside it (`{day1,day1/rec0.edf}`), and concatenating
-          // the two branches would silently double-read that file.
-          val resolved = (fromDirs ++ fromFiles).distinctBy(_.path)
+          // A brace glob can match a directory AND a file inside it
+          // (`{day1,day1/rec0.edf}`): the two branches then overlap, and
+          // the union-level dedup below (shared with multi-path loads)
+          // drops the double-read.
+          val resolved = fromDirs ++ fromFiles
           // The pattern matched NOTHING and no pending name resolved:
           // keep the pre-fence LOUD behavior — the raw pattern becomes
           // one partition whose read fails with the underlying
@@ -1005,11 +1006,12 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
         }
       parts
       } // planSpec
-      // Union of the per-spec plans; a file reachable through two specs
-      // (`load(dir, s"$dir/rec0.edf")`) dedups by logical path, exactly
-      // like the brace dir-and-file overlap within one pattern. The loud
-      // no-match partition stays per spec: ONE typo'd path in a
-      // multi-path load fails the read rather than silently thinning it.
+      // Union of the per-spec plans, dedup'd by logical path — the ONE
+      // dedup point, covering both overlap classes: a file reachable
+      // through two specs (`load(dir, s"$dir/rec0.edf")`) and a brace
+      // glob's dir-and-file overlap within one spec. The loud no-match
+      // partition stays per spec: ONE typo'd path in a multi-path load
+      // fails the read rather than silently thinning it.
       pathSpecs.flatMap(planSpec).distinctBy(_.path)
         .filter(part => pathOk(part.path)).map(p => p: InputPartition)
         .toArray

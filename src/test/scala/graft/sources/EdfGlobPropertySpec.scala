@@ -241,28 +241,29 @@ class EdfGlobPropertySpec extends SparkSpec {
 
   // ---- the real planner's served view -------------------------------
 
-  /** Plans `pattern` through the REAL scan and reads what each partition
-    * would serve (first existing read candidate). Left = the loud
-    * no-match partition (a read of it fails with file-not-found).
-    */
-  private def plannedView(base: String,
-      pattern: String): Either[String, Map[String, String]] = {
+  private def planParts(optKey: String,
+      optValue: String): Seq[EdfInputPartition] = {
     import org.apache.spark.sql.connector.catalog.SupportsRead
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
-    val parts = new EdfDataSource()
+    new EdfDataSource()
       .getTable(EdfDataSource.Schema, Array.empty,
-        java.util.Map.of("path", pattern))
+        java.util.Map.of(optKey, optValue))
       .asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
       .toBatch.planInputPartitions().toSeq
       .map(_.asInstanceOf[EdfInputPartition])
+  }
+
+  /** What the planned partitions serve: relative logical path → the
+    * first existing read candidate's content. Also pins the invariant
+    * that no logical path is ever planned twice.
+    */
+  private def viewOf(base: String, what: String,
+      parts: Seq[EdfInputPartition]): Map[String, String] = {
     assert(parts.map(_.path).distinct.size == parts.size,
-      s"pattern $pattern planned duplicate logical paths: " +
+      s"$what planned duplicate logical paths: " +
         parts.map(_.path).mkString(", "))
-    if (parts.length == 1 && parts.head.path == pattern &&
-        !Files.exists(Paths.get(pattern)))
-      Left("loud-no-match")
-    else Right(parts.map { part =>
+    parts.map { part =>
       val phys =
         if (part.readPaths.isEmpty) part.path
         else part.readPaths
@@ -271,7 +272,35 @@ class EdfGlobPropertySpec extends SparkSpec {
             s"no read candidate of ${part.path} exists: ${part.readPaths}"))
       val rel = stripScheme(part.path).stripPrefix(base).stripPrefix("/")
       rel -> read(phys)
-    }.toMap)
+    }.toMap
+  }
+
+  /** Plans `pattern` through the REAL scan and reads what each partition
+    * would serve (first existing read candidate). Left = the loud
+    * no-match partition (a read of it fails with file-not-found).
+    */
+  private def plannedView(base: String,
+      pattern: String): Either[String, Map[String, String]] = {
+    val parts = planParts("path", pattern)
+    if (parts.length == 1 && parts.head.path == pattern &&
+        !Files.exists(Paths.get(pattern)))
+      Left("loud-no-match")
+    else Right(viewOf(base, s"pattern $pattern", parts))
+  }
+
+  /** A multi-path load (the JSON-encoded `paths` option Spark's
+    * DataFrameReader sends for `load(a, b, …)`). Left when ANY member
+    * spec planned its loud no-match partition — one bad member fails
+    * the whole read, like Spark's file sources.
+    */
+  private def plannedViewMulti(base: String,
+      patterns: Seq[String]): Either[String, Map[String, String]] = {
+    val json = patterns.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    val parts = planParts("paths", json)
+    if (parts.exists(p => patterns.contains(p.path) &&
+        !Files.exists(Paths.get(p.path))))
+      Left("loud-no-match")
+    else Right(viewOf(base, s"paths $json", parts))
   }
 
   /** Does the raw pattern match anything non-hidden? (What decides
@@ -320,6 +349,25 @@ class EdfGlobPropertySpec extends SparkSpec {
     // Dir-and-file brace overlap: union of both branches, deduplicated.
     checkPattern(base, s"$base/{d0,d0/a*.edf}",
       dirViews(0) ++ oracleGlobView(base, 0, "a*.edf"))
+    // Overlap whose file component matches NON-edf names: a foreign
+    // manifest's pending w.bin is served only by the file branch, so
+    // the dir-branch redundant skip must stand down when fences exist.
+    checkPattern(base, s"$base/{d0,d0/w*}",
+      dirViews(0) ++ oracleGlobView(base, 0, "w*"))
+    // Multi-path load: union of per-spec plans; the overlapping pair is
+    // the cross-spec dup the union-level dedup must drop. A member glob
+    // matching nothing keeps the whole read loud (per-spec loudness).
+    assert(plannedViewMulti(base, Seq(s"$base/d0", s"$base/d1")) ==
+      Right(dirViews(0) ++ dirViews(1)),
+      "multi-path union diverged from oracle")
+    val aView = oracleGlobView(base, 0, "a*.edf")
+    val overlapWant: Either[String, Map[String, String]] =
+      if (aView.isEmpty && !rawMatches(s"$base/d0/a*.edf"))
+        Left("loud-no-match")
+      else Right(dirViews(0) ++ aView)
+    assert(plannedViewMulti(base,
+        Seq(s"$base/d0", s"$base/d0/a*.edf")) == overlapWant,
+      "overlapping multi-path specs diverged from oracle")
     checkPattern(base, s"$base/d0/nomatch*.edf", Map.empty)
   }
 
