@@ -63,13 +63,28 @@ object EdfDataSource {
 
   /** A multi-path `load(a, b, …)` arrives as a JSON-encoded array in
     * the `paths` option (Spark's DataFrameReader convention — the same
-    * encoding its file sources decode); a hand-set non-JSON value is
-    * treated as one literal path, the pre-multi-path behavior.
+    * encoding its file sources decode); a hand-set value that is not
+    * STRICTLY a whole JSON array of strings is treated as one literal
+    * path, the pre-multi-path behavior. Strictness matters: Jackson's
+    * lenient defaults would otherwise mangle a glob like
+    * `[12]rec0.edf` (a character class plus trailing text) into the
+    * literal path "12" — trailing tokens must fail the parse and
+    * non-string elements must take the literal fallback.
     */
-  private[sources] def parsePaths(s: String): Seq[String] =
-    try new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(s, classOf[Array[String]]).toSeq
-    catch { case scala.util.control.NonFatal(_) => Seq(s) }
+  private[sources] def parsePaths(s: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    try {
+      val node = mapper.readValue(s,
+        classOf[com.fasterxml.jackson.databind.JsonNode])
+      if (node != null && node.isArray &&
+          node.elements.asScala.forall(_.isTextual))
+        node.elements.asScala.map(_.asText).toSeq
+      else Seq(s)
+    } catch { case scala.util.control.NonFatal(_) => Seq(s) }
+  }
 }
 
 private class EdfTable(properties: Map[String, String])
@@ -82,11 +97,19 @@ private class EdfTable(properties: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdfScanBuilder(
-      Option(options.get("path")).orElse(properties.get("path"))
-        .map(Seq(_))
-        .orElse(Option(options.get("paths")).orElse(properties.get("paths"))
-          .map(EdfDataSource.parsePaths))
-        .getOrElse(throw new IllegalArgumentException("edf: no path given")),
+      {
+        // UNION of `path` and `paths` (Spark's file-source getPaths
+        // convention) — never silently prefer one over the other; an
+        // empty result (e.g. a hand-set `paths` of "[]") stays the
+        // loud no-path error, not a silent empty scan.
+        val specs =
+          Option(options.get("path")).orElse(properties.get("path")).toSeq ++
+            Option(options.get("paths")).orElse(properties.get("paths"))
+              .map(EdfDataSource.parsePaths).getOrElse(Nil)
+        if (specs.isEmpty)
+          throw new IllegalArgumentException("edf: no path given")
+        specs.distinct
+      },
       Option(options.get("chunk_records")).orElse(properties.get("chunk_records"))
         .map(_.toInt).getOrElse(3600),
       // `option("lenient", "true")`: salvage truncated recordings (MNE's
@@ -1001,7 +1024,8 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
           // lingering fences are later cleaned up. (A matched-but-empty
           // directory, by contrast, resolves to an empty scan — the same
           // answer a direct directory load of it gives.)
-          if (gsAll.isEmpty && resolved.isEmpty) Seq(EdfInputPartition(pathSpec))
+          if (gsAll.isEmpty && resolved.isEmpty)
+            Seq(EdfInputPartition(pathSpec, noMatch = true))
           else resolved
         }
       parts
@@ -1012,8 +1036,13 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
       // glob's dir-and-file overlap within one spec. The loud no-match
       // partition stays per spec: ONE typo'd path in a multi-path load
       // fails the read rather than silently thinning it.
+      // The loud no-match partition is exempt from path pushdown: a
+      // typo'd spec must fail the read even when a pushed `path`
+      // predicate doesn't match the raw pattern string — pruning it
+      // would turn the guaranteed failure into a silent empty result.
       pathSpecs.flatMap(planSpec).distinctBy(_.path)
-        .filter(part => pathOk(part.path)).map(p => p: InputPartition)
+        .filter(part => part.noMatch || pathOk(part.path))
+        .map(p => p: InputPartition)
         .toArray
     }
 
@@ -1031,9 +1060,13 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
   * candidates tried in order — non-empty only when a staged manifest
   * redirects this file (staged copy first, promoted final as fallback, so
   * the staged→final rename racing this reader cannot lose the file).
+  * `noMatch` marks the loud partition a spec that matched nothing plans —
+  * its read fails with the underlying file-not-found, and it is exempt
+  * from path pushdown so a filter cannot silently prune the failure.
   */
 private case class EdfInputPartition(path: String,
-    readPaths: Seq[String] = Nil) extends InputPartition
+    readPaths: Seq[String] = Nil,
+    noMatch: Boolean = false) extends InputPartition
 
 private class EdfReaderFactory(
     required: StructType,

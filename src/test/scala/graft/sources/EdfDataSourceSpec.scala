@@ -1084,6 +1084,46 @@ class EdfDataSourceSpec extends SparkSpec {
       spark.read.format("edf").load(aDir, s"$base/nope*.edf").collect())
   }
 
+  test("paths option parsing is strict; degenerate values stay loud") {
+    // Strictly a whole JSON array of strings, or ONE literal path:
+    // Jackson's lenient defaults would mangle a character-class glob
+    // like [12]rec0.edf into the literal path "12".
+    assert(EdfDataSource.parsePaths("""["a","b"]""") == Seq("a", "b"))
+    assert(EdfDataSource.parsePaths("[12]rec0.edf") == Seq("[12]rec0.edf"))
+    assert(EdfDataSource.parsePaths("[12]") == Seq("[12]"))
+    assert(EdfDataSource.parsePaths("plain/dir") == Seq("plain/dir"))
+    assert(EdfDataSource.parsePaths("[]") == Seq.empty)
+    // A hand-set empty array must stay the loud no-path error, never a
+    // silent empty scan.
+    val e = intercept[Exception](
+      spark.read.format("edf").option("paths", "[]").load().collect())
+    assert(msgs(e).exists(_.contains("no path given")), e.toString)
+    // `path` and `paths` UNION (Spark's file-source getPaths rule) —
+    // neither silently drops the other.
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val parts = new EdfDataSource()
+      .getTable(EdfDataSource.Schema, Array.empty,
+        java.util.Map.of("path", s"$dir/rec0.edf",
+          "paths", s"""["$dir/rec1.edf"]"""))
+      .asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .toBatch.planInputPartitions()
+    assert(parts.length == 2, s"path ++ paths union planned ${parts.length}")
+  }
+
+  test("a pushed path filter cannot prune the loud no-match partition") {
+    // A typo'd pattern must fail the read even when a path predicate is
+    // pushed down — pruning the loud partition would silently turn the
+    // guaranteed failure into an empty result.
+    val e = intercept[Exception](
+      spark.read.format("edf").load(s"$dir/nomatch*.edf")
+        .where(col("path") === s"$dir/rec0.edf").collect())
+    assert(msgs(e).exists(m => m.contains("nomatch") ||
+      m.toLowerCase.contains("not exist") ||
+      m.toLowerCase.contains("no such file")), e.toString)
+  }
+
   test("chunk time offsets advance by chunk length") {
     val df = spark.read.format("edf").option("chunk_records", "4").load(dir)
     val t0s = df.filter(col("channel") === "EOG horizontal")

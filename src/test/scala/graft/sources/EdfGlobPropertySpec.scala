@@ -282,9 +282,7 @@ class EdfGlobPropertySpec extends SparkSpec {
   private def plannedView(base: String,
       pattern: String): Either[String, Map[String, String]] = {
     val parts = planParts("path", pattern)
-    if (parts.length == 1 && parts.head.path == pattern &&
-        !Files.exists(Paths.get(pattern)))
-      Left("loud-no-match")
+    if (parts.exists(_.noMatch)) Left("loud-no-match")
     else Right(viewOf(base, s"pattern $pattern", parts))
   }
 
@@ -297,9 +295,7 @@ class EdfGlobPropertySpec extends SparkSpec {
       patterns: Seq[String]): Either[String, Map[String, String]] = {
     val json = patterns.map(p => "\"" + p + "\"").mkString("[", ",", "]")
     val parts = planParts("paths", json)
-    if (parts.exists(p => patterns.contains(p.path) &&
-        !Files.exists(Paths.get(p.path))))
-      Left("loud-no-match")
+    if (parts.exists(_.noMatch)) Left("loud-no-match")
     else Right(viewOf(base, s"paths $json", parts))
   }
 

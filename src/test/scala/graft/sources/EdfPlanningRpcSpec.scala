@@ -71,24 +71,27 @@ class EdfPlanningRpcSpec extends SparkSpec {
     c
   }
 
-  /** Plans `pattern` through the real scan on the counting scheme and
-    * returns (listings, stats, opens) spent on planning alone.
+  /** Plans through the real scan on the counting scheme and returns
+    * (listings, stats, opens) spent on planning alone.
     */
-  private def planCounts(pattern: String): (Int, Int, Int) = {
+  private def planCountsOpt(key: String, value: String): (Int, Int, Int) = {
     import org.apache.spark.sql.connector.catalog.SupportsRead
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     conf // ensure the scheme is registered
     spark.sparkContext // planInputPartitions resolves the active session
     val batch = new EdfDataSource()
       .getTable(EdfDataSource.Schema, Array.empty,
-        java.util.Map.of("path", s"cfs:$pattern"))
+        java.util.Map.of(key, value))
       .asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
     CountingFileSystem.reset()
     val n = batch.planInputPartitions().length
-    assert(n > 0, s"pattern $pattern planned nothing")
+    assert(n > 0, s"$key=$value planned nothing")
     CountingFileSystem.counts
   }
+
+  private def planCounts(pattern: String): (Int, Int, Int) =
+    planCountsOpt("path", s"cfs:$pattern")
 
   /** `files` committed data files plus `fences` crashed-export
     * manifests, each mentioning `namesPerFence` still-staged brand-new
@@ -174,6 +177,17 @@ class EdfPlanningRpcSpec extends SparkSpec {
     assert(ls == 4 + 2 * 2, s"listings=$ls (want 8)")
     assert(op == 2, s"opens=$op (want 2: one read per fence)")
     assert(st == 1 + 2, s"stats=$st (want 3: constant per fence)")
+  }
+
+  test("duplicate multi-path specs are planned once") {
+    // load(dir, dir) must cost exactly load(dir): specs dedup before
+    // planning, so a repeated member cannot double the listing/read
+    // budget (or the fenced staging walk) on an object store.
+    val d = mkDir("rpc_dupspec", files = 2, fences = 1)
+    val single = planCounts(d)
+    val dup = planCountsOpt("paths", s"""["cfs:$d","cfs:$d"]""")
+    assert(dup == single,
+      s"duplicate spec re-planned: $dup != $single")
   }
 
   test("multi-directory glob: constant listings per directory spanned") {
