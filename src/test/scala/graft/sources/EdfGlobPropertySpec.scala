@@ -425,9 +425,15 @@ class EdfGlobPropertySpec extends SparkSpec {
       histories += 1
       true
     }
+    // Default: a fixed seed so CI is deterministic. Soak runs override:
+    // GRAFT_GLOB_PROP_SEED=777 GRAFT_GLOB_PROP_N=1000 sbt "testOnly
+    // graft.sources.EdfGlobPropertySpec".
+    val seed = sys.env.get("GRAFT_GLOB_PROP_SEED").map(_.toLong)
+      .getOrElse(42L)
+    val n = sys.env.get("GRAFT_GLOB_PROP_N").map(_.toInt).getOrElse(300)
     val res = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(300).withWorkers(1)
-      .withInitialSeed(Seed(42L)), prop)
+      .withMinSuccessfulTests(n).withWorkers(1)
+      .withInitialSeed(Seed(seed)), prop)
     assert(res.passed, s"failed after $histories green histories: ${res.status}")
   }
 }
