@@ -63,27 +63,41 @@ object EdfDataSource {
 
   /** A multi-path `load(a, b, …)` arrives as a JSON-encoded array in
     * the `paths` option (Spark's DataFrameReader convention — the same
-    * encoding its file sources decode); a hand-set value that is not
-    * STRICTLY a whole JSON array of strings is treated as one literal
-    * path, the pre-multi-path behavior. Strictness matters: Jackson's
-    * lenient defaults would otherwise mangle a glob like
-    * `[12]rec0.edf` (a character class plus trailing text) into the
-    * literal path "12" — trailing tokens must fail the parse and
-    * non-string elements must take the literal fallback.
+    * encoding its file sources decode). A hand-set value that does not
+    * LOOK like an array (no leading '[') is one literal path — the
+    * pre-multi-path behavior. A value that starts with '[' but is not
+    * STRICTLY a whole JSON array of strings fails HERE, loudly, naming
+    * the option — matching Spark's own getPaths, which throws on
+    * malformed `paths` JSON rather than guessing. The strictness
+    * matters both ways: Jackson's lenient defaults would silently
+    * mangle `[12]rec0.edf` (a character-class glob plus trailing text)
+    * into the literal path "12", and a silent literal fallback would
+    * surface later as a baffling file-not-found on the raw JSON
+    * string. Character-class globs belong in the `path` option (or a
+    * `load(pattern)` argument), where no JSON decoding applies.
     */
   private[sources] def parsePaths(s: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"edf: the 'paths' option must be a whole JSON array of strings " +
+        s"(the encoding DataFrameReader.load(a, b, …) produces) — " +
+        s"got '$s' ($why). For a character-class glob like [12]*.edf " +
+        "use the 'path' option or a load(pattern) argument instead.")
+    if (!s.dropWhile(_.isWhitespace).startsWith("[")) return Seq(s)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     mapper.enable(com.fasterxml.jackson.databind.DeserializationFeature
       .FAIL_ON_TRAILING_TOKENS)
-    try {
-      val node = mapper.readValue(s,
+    val node =
+      try mapper.readValue(s,
         classOf[com.fasterxml.jackson.databind.JsonNode])
-      if (node != null && node.isArray &&
-          node.elements.asScala.forall(_.isTextual))
-        node.elements.asScala.map(_.asText).toSeq
-      else Seq(s)
-    } catch { case scala.util.control.NonFatal(_) => Seq(s) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          bad(s"JSON parse failed: ${e.getMessage}")
+      }
+    if (node != null && node.isArray &&
+        node.elements.asScala.forall(_.isTextual))
+      node.elements.asScala.map(_.asText).toSeq
+    else bad("parsed, but not an array of strings")
   }
 }
 
@@ -349,7 +363,7 @@ private class EdfBatchWrite(targetDir: String, queryId: String,
       val (staged, promoted) = pairs.partition { case (tmp, _) =>
         try fs.exists(new Path(tmp)) catch { case NonFatal(_) => true }
       }
-      System.err.println(
+      graft.Log.warn(
         s"[edf-export] job commit FAILED mid-promotion into $targetDir: " +
           s"${promoted.size} file(s) already promoted " +
           s"[${promoted.map(_._2).mkString(", ")}]; ${staged.size} still " +
@@ -540,7 +554,7 @@ object EdfExportRecovery {
             delivered = true
           // else: a ghost mention — fall through to the next-older fence.
         } else if (stagedExists)
-          System.err.println(s"[edf-export] rollForward: dropping stale " +
+          graft.Log.warn(s"[edf-export] rollForward: dropping stale " +
             s"staged '$name' from ${fence.path.getName} — a newer " +
             "export owns that file")
       }
@@ -930,7 +944,7 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
                 try Some(new org.apache.hadoop.fs.GlobFilter(a.getName))
                 catch { case _: java.io.IOException => None }
               if (nameGlob.isEmpty)
-                System.err.println(s"[edf-read] pattern '$pathSpec': " +
+                graft.Log.warn(s"[edf-read] pattern '$pathSpec': " +
                   s"alternative '$a' has no valid name-component glob — " +
                   "pending-name discovery skipped for it; an in-flight " +
                   "export's not-yet-promoted files may be invisible to " +
@@ -938,7 +952,7 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
               val parents: Seq[Path] = Option(a.getParent) match {
                 case Some(par) if validGlob(par.toString) => Seq(par)
                 case Some(par) =>
-                  System.err.println(s"[edf-read] pattern '$pathSpec': " +
+                  graft.Log.warn(s"[edf-read] pattern '$pathSpec': " +
                     s"alternative '$a' has no valid parent glob ('$par') " +
                     "— probing fences on the actual match parents " +
                     "instead; a fence-only directory is invisible to " +
@@ -950,7 +964,7 @@ private class EdfScanBuilder(pathSpecs: Seq[String], chunkRecords: Int,
                   // path, handled above) — effectively unreachable, but
                   // it IS a pending-discovery degrade, so it warns like
                   // its sibling.
-                  System.err.println(s"[edf-read] pattern '$pathSpec': " +
+                  graft.Log.warn(s"[edf-read] pattern '$pathSpec': " +
                     s"alternative '$a' has no parent to probe — " +
                     "probing fences on the actual match parents " +
                     "instead; a fence-only directory is invisible to " +

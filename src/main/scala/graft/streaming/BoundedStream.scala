@@ -218,7 +218,7 @@ object BoundedStream {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
           if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-            System.err.println(s"[stream] batch $id rows=${batch.count()}")
+            graft.Log.info(s"[stream] batch $id rows=${batch.count()}")
           batch.write.mode("append").parquet(outPath)
         }
         .start()

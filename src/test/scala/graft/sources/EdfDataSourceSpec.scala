@@ -1085,14 +1085,34 @@ class EdfDataSourceSpec extends SparkSpec {
   }
 
   test("paths option parsing is strict; degenerate values stay loud") {
-    // Strictly a whole JSON array of strings, or ONE literal path:
-    // Jackson's lenient defaults would mangle a character-class glob
-    // like [12]rec0.edf into the literal path "12".
+    // Strictly a whole JSON array of strings, or — for a value that
+    // does not even LOOK like an array — ONE literal path. A value that
+    // starts with '[' but is not a JSON string array throws HERE,
+    // naming the option (matching Spark's getPaths, which throws on
+    // malformed paths JSON): Jackson's lenient defaults would silently
+    // mangle a character-class glob like [12]rec0.edf into the literal
+    // path "12", and a silent literal fallback would surface later as
+    // a baffling file-not-found on the raw JSON string.
     assert(EdfDataSource.parsePaths("""["a","b"]""") == Seq("a", "b"))
-    assert(EdfDataSource.parsePaths("[12]rec0.edf") == Seq("[12]rec0.edf"))
-    assert(EdfDataSource.parsePaths("[12]") == Seq("[12]"))
     assert(EdfDataSource.parsePaths("plain/dir") == Seq("plain/dir"))
     assert(EdfDataSource.parsePaths("[]") == Seq.empty)
+    // Array-looking but malformed → IllegalArgumentException naming
+    // 'paths' and pointing at the 'path' escape hatch for globs.
+    Seq("[12]rec0.edf", // trailing tokens after a valid JSON array
+        "[12]",         // array, but not of strings
+        """["a",12]""", // mixed element types
+        """["a","b" """ // unterminated
+    ).foreach { v =>
+      val e = intercept[IllegalArgumentException](
+        EdfDataSource.parsePaths(v))
+      assert(e.getMessage.contains("'paths'") &&
+        e.getMessage.contains("'path'"), s"$v: ${e.getMessage}")
+    }
+    // ...and the same failure is loud end-to-end at plan time.
+    val bad = intercept[Exception](
+      spark.read.format("edf").option("paths", "[12]rec0.edf").load()
+        .collect())
+    assert(msgs(bad).exists(_.contains("'paths'")), bad.toString)
     // A hand-set empty array must stay the loud no-path error, never a
     // silent empty scan.
     val e = intercept[Exception](

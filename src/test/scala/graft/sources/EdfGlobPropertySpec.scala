@@ -293,7 +293,11 @@ class EdfGlobPropertySpec extends SparkSpec {
     */
   private def plannedViewMulti(base: String,
       patterns: Seq[String]): Either[String, Map[String, String]] = {
-    val json = patterns.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    // Encode with a real JSON writer (what DataFrameReader.load does) —
+    // naive quoting would produce invalid JSON for a path containing
+    // '"' or '\' and silently weaken the check to a single-literal parse.
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(patterns.toArray)
     val parts = planParts("paths", json)
     if (parts.exists(_.noMatch)) Left("loud-no-match")
     else Right(viewOf(base, s"paths $json", parts))

@@ -56,6 +56,16 @@ object CountingFileSystem {
   private[sources] def exit(): Unit = depth.set(depth.get - 1)
   def reset(): Unit = { listings.set(0); stats.set(0); opens.set(0) }
   def counts: (Int, Int, Int) = (listings.get, stats.get, opens.get)
+
+  /** The counters are JVM-global (FileSystem instances are cached per
+    * scheme, so per-instance counters would not isolate anything):
+    * every measured region must run under this lock, and the `cfs:`
+    * scheme is EXCLUSIVE to suites that take it — a suite touching a
+    * cfs: path outside the lock would make the exact budgets flaky
+    * under sbt's parallel suite execution. [[EdfPlanningRpcSpec]] is
+    * currently the only user.
+    */
+  val measureLock = new Object
 }
 
 /** Pins the glob/directory planner's per-load RPC budget (VERDICT r12
@@ -84,10 +94,14 @@ class EdfPlanningRpcSpec extends SparkSpec {
         java.util.Map.of(key, value))
       .asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
-    CountingFileSystem.reset()
-    val n = batch.planInputPartitions().length
-    assert(n > 0, s"$key=$value planned nothing")
-    CountingFileSystem.counts
+    // The counters are global statics: reset-measure-read is atomic
+    // only under the shared lock (see CountingFileSystem.measureLock).
+    CountingFileSystem.measureLock.synchronized {
+      CountingFileSystem.reset()
+      val n = batch.planInputPartitions().length
+      assert(n > 0, s"$key=$value planned nothing")
+      CountingFileSystem.counts
+    }
   }
 
   private def planCounts(pattern: String): (Int, Int, Int) =
