@@ -19,7 +19,10 @@ import graft.SparkSpec
   * three directories, and after EVERY operation, for a battery of
   * patterns (literal dir, `*.edf`, name prefixes, `*`, multi-dir globs,
   * dir-match expansion, slash-free and slash-spanning braces, the
-  * dir-and-file overlap, a never-matching pattern), the REAL planner's
+  * dir-and-file overlap, a never-matching pattern) PLUS generated
+  * multi-path spec lists drawn from that same battery (with forced
+  * duplicates and forced loud members — the union/dedup/per-member-
+  * loudness surface of `load(a, b, …)`), the REAL planner's
   * served view must equal an in-memory oracle that replays the ONE
   * documented per-name manifest rule directly — walk a name's mentions
   * newest-first and follow the first fence that can DELIVER it
@@ -322,53 +325,91 @@ class EdfGlobPropertySpec extends SparkSpec {
     assert(got == want, s"pattern $pattern:\n  got  = $got\n  want = $want")
   }
 
-  /** The full battery: every load spelling must equal its oracle. */
-  private def checkAll(base: String): Unit = {
-    val dirViews = (0 to 2).map(d => oracleDirView(base, d))
-    val edfViews = (0 to 2).map(d => oracleGlobView(base, d, "*.edf"))
-    (0 to 2).foreach { d =>
-      checkPattern(base, s"$base/d$d", dirViews(d))
-      checkPattern(base, s"$base/d$d/*.edf", edfViews(d))
-      checkPattern(base, s"$base/d$d/a*.edf",
-        oracleGlobView(base, d, "a*.edf"))
-      checkPattern(base, s"$base/d$d/*", oracleGlobView(base, d, "*"))
+  /** The pattern battery AS DATA — pattern → its oracle, computed at
+    * check time (the state changes after every op). ONE source of
+    * truth for both the single-pattern checks and the generated
+    * multi-path spec lists, so a load spelling added here is
+    * automatically drawn into random `load(a, b, …)` combinations.
+    * The LAST entry is the never-matching pattern (the generators
+    * lean on that to force a loud member into a spec list).
+    */
+  private def battery(
+      base: String): Seq[(String, () => Map[String, String])] = {
+    def dv(d: Int) = oracleDirView(base, d)
+    def gv(d: Int, g: String) = oracleGlobView(base, d, g)
+    (0 to 2).flatMap(d => Seq[(String, () => Map[String, String])](
+      (s"$base/d$d", () => dv(d)),
+      (s"$base/d$d/*.edf", () => gv(d, "*.edf")),
+      (s"$base/d$d/a*.edf", () => gv(d, "a*.edf")),
+      (s"$base/d$d/*", () => gv(d, "*")))) ++
+    Seq[(String, () => Map[String, String])](
+      (s"$base/*/*.edf", () => (0 to 2).map(gv(_, "*.edf")).reduce(_ ++ _)),
+      (s"$base/*", () => (0 to 2).map(dv).reduce(_ ++ _)),
+      // Literal name over a glob parent: a pending a.edf in ANY fenced
+      // dir must surface; everything else must not.
+      (s"$base/*/a.edf", () => (0 to 2).map(gv(_, "a.edf")).reduce(_ ++ _)),
+      // Character-class parent component.
+      (s"$base/d[01]/*.edf", () => gv(0, "*.edf") ++ gv(1, "*.edf")),
+      (s"$base/{d0,d1}/*.edf", () => gv(0, "*.edf") ++ gv(1, "*.edf")),
+      // Slash inside braces: fence-only directories must stay visible
+      // and pending names must obey their own alternative's name
+      // component.
+      (s"$base/{d0/a.edf,d1/*.edf}", () => gv(0, "a.edf") ++ gv(1, "*.edf")),
+      // Dir-and-file brace overlap: union of both branches, dedup'd.
+      (s"$base/{d0,d0/a*.edf}", () => dv(0) ++ gv(0, "a*.edf")),
+      // Overlap whose file component matches NON-edf names: a foreign
+      // manifest's pending w.bin is served only by the file branch, so
+      // the dir-branch redundant skip must stand down when fences exist.
+      (s"$base/{d0,d0/w*}", () => dv(0) ++ gv(0, "w*")),
+      (s"$base/d0/nomatch*.edf", () => Map.empty))
+  }
+
+  /** Battery size for the generators (layout-independent). */
+  private lazy val batterySize = battery("/x").size
+
+  /** What a single spec must serve (Left = the loud no-match). */
+  private def wantOf(pattern: String,
+      oracle: () => Map[String, String]): Either[String, Map[String, String]] = {
+    val expected = oracle()
+    if (expected.isEmpty && !rawMatches(pattern)) Left("loud-no-match")
+    else Right(expected)
+  }
+
+  /** A multi-path load must serve the UNION of its members' single-load
+    * oracles — dedup'd by logical path, which [[viewOf]]'s
+    * no-duplicate-partitions assert enforces on the planned side — and
+    * must stay LOUD when ANY member alone would be (per-member
+    * loudness: one typo'd spec fails the read, never silently thins it).
+    */
+  private def checkMulti(base: String,
+      members: Seq[(String, () => Map[String, String])]): Unit = {
+    val wants = members.map { case (p, o) => wantOf(p, o) }
+    val want: Either[String, Map[String, String]] =
+      if (wants.exists(_.isLeft)) Left("loud-no-match")
+      else Right(wants.collect { case Right(m) => m }
+        .foldLeft(Map.empty[String, String])(_ ++ _))
+    val got = plannedViewMulti(base, members.map(_._1))
+    assert(got == want, s"multi-path load(${members.map(_._1).mkString(", ")}):" +
+      s"\n  got  = $got\n  want = $want")
+  }
+
+  /** The full battery: every load spelling must equal its oracle —
+    * singly, and in this case's generated multi-path combinations.
+    */
+  private def checkAll(base: String, specLists: Seq[Seq[Int]]): Unit = {
+    val bat = battery(base)
+    bat.foreach { case (pattern, oracle) =>
+      checkPattern(base, pattern, oracle())
     }
-    checkPattern(base, s"$base/*/*.edf", edfViews.reduce(_ ++ _))
-    checkPattern(base, s"$base/*", dirViews.reduce(_ ++ _))
-    // Literal name over a glob parent: a pending a.edf in ANY fenced dir
-    // must surface; everything else must not.
-    checkPattern(base, s"$base/*/a.edf",
-      (0 to 2).map(d => oracleGlobView(base, d, "a.edf")).reduce(_ ++ _))
-    // Character-class parent component.
-    checkPattern(base, s"$base/d[01]/*.edf", edfViews(0) ++ edfViews(1))
-    checkPattern(base, s"$base/{d0,d1}/*.edf", edfViews(0) ++ edfViews(1))
-    // Slash inside braces: fence-only directories must stay visible and
-    // pending names must obey their own alternative's name component.
-    checkPattern(base, s"$base/{d0/a.edf,d1/*.edf}",
-      oracleGlobView(base, 0, "a.edf") ++ edfViews(1))
-    // Dir-and-file brace overlap: union of both branches, deduplicated.
-    checkPattern(base, s"$base/{d0,d0/a*.edf}",
-      dirViews(0) ++ oracleGlobView(base, 0, "a*.edf"))
-    // Overlap whose file component matches NON-edf names: a foreign
-    // manifest's pending w.bin is served only by the file branch, so
-    // the dir-branch redundant skip must stand down when fences exist.
-    checkPattern(base, s"$base/{d0,d0/w*}",
-      dirViews(0) ++ oracleGlobView(base, 0, "w*"))
-    // Multi-path load: union of per-spec plans; the overlapping pair is
-    // the cross-spec dup the union-level dedup must drop. A member glob
-    // matching nothing keeps the whole read loud (per-spec loudness).
-    assert(plannedViewMulti(base, Seq(s"$base/d0", s"$base/d1")) ==
-      Right(dirViews(0) ++ dirViews(1)),
-      "multi-path union diverged from oracle")
-    val aView = oracleGlobView(base, 0, "a*.edf")
-    val overlapWant: Either[String, Map[String, String]] =
-      if (aView.isEmpty && !rawMatches(s"$base/d0/a*.edf"))
-        Left("loud-no-match")
-      else Right(dirViews(0) ++ aView)
-    assert(plannedViewMulti(base,
-        Seq(s"$base/d0", s"$base/d0/a*.edf")) == overlapWant,
-      "overlapping multi-path specs diverged from oracle")
-    checkPattern(base, s"$base/d0/nomatch*.edf", Map.empty)
+    // Two FIXED multi-path cases so every op of every history covers
+    // the cross-spec dedup classes deterministically: the disjoint
+    // union, and the overlapping dir+glob pair whose duplicate logical
+    // paths the union-level dedup must drop.
+    checkMulti(base, Seq(bat(0), bat(4)))       // load(d0, d1)
+    checkMulti(base, Seq(bat(0), bat(2)))       // load(d0, d0/a*.edf)
+    // ...plus the generated spec lists (duplicates, overlaps, and loud
+    // members included by construction — see the generators).
+    specLists.foreach(idxs => checkMulti(base, idxs.map(i => bat(i))))
   }
 
   // ---- generators ----------------------------------------------------
@@ -403,12 +444,38 @@ class EdfGlobPropertySpec extends SparkSpec {
   private val genHistory: Gen[List[Op]] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genOp))
 
+  /** A multi-path spec list: 2–3 members drawn from the battery, then
+    * — because the planner's history says hand-picked cases
+    * under-cover this case space — a forced duplicate member 1 time
+    * in 4 (the union-level dedup class) and a forced never-matching
+    * member 1 time in 5 (the per-member loudness class; the battery's
+    * LAST entry matches nothing by construction). Overlapping
+    * dir+glob pairs arise naturally: any two battery entries over the
+    * same directory overlap.
+    */
+  private val genSpecList: Gen[Seq[Int]] = for {
+    n <- Gen.choose(2, 3)
+    idxs <- Gen.listOfN(n, Gen.choose(0, batterySize - 1))
+    dup <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+    loud <- Gen.frequency(4 -> Gen.const(false), 1 -> Gen.const(true))
+  } yield {
+    val withDup = if (dup) idxs.head +: idxs else idxs
+    if (loud) withDup :+ (batterySize - 1) else withDup
+  }
+
+  /** Per history case: 1–2 generated spec lists, checked after EVERY
+    * operation (like the single-pattern battery).
+    */
+  private val genSpecLists: Gen[Seq[Seq[Int]]] =
+    Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genSpecList))
+
   // ---- the property ---------------------------------------------------
 
   test("glob load ≡ directory load ≡ manifest-rule oracle over 300 random histories") {
     spark.sparkContext // force the active session planInputPartitions needs
     var histories = 0
-    val prop = Prop.forAllNoShrink(genHistory) { ops =>
+    val prop = Prop.forAllNoShrink(genHistory, genSpecLists) {
+        (ops, specLists) =>
       val base = tmpDir("edfglobprop")
       (0 to 2).foreach(d => Files.createDirectories(Paths.get(s"$base/d$d")))
       ops.zipWithIndex.foreach { case (op, i) =>
@@ -424,7 +491,7 @@ class EdfGlobPropertySpec extends SparkSpec {
             s"rollForward changed the served view of d$d: " +
               s"$view -> ${oracleDirView(base, d)}")
         }
-        checkAll(base)
+        checkAll(base, specLists)
       }
       histories += 1
       true
