@@ -37,8 +37,11 @@ class CountingFileSystem extends RawLocalFileSystem {
   }
   override def listStatus(f: Path): Array[FileStatus] =
     counted(CountingFileSystem.listings)(super.listStatus(f).map(plain))
-  override def getFileStatus(f: Path): FileStatus =
+  override def getFileStatus(f: Path): FileStatus = {
+    if (sys.env.contains("GRAFT_RPC_TRACE") && CountingFileSystem.enterPeek)
+      new Exception(s"STAT $f").printStackTrace()
     counted(CountingFileSystem.stats)(plain(super.getFileStatus(f)))
+  }
   override def open(f: Path, bufferSize: Int): FSDataInputStream =
     counted(CountingFileSystem.opens)(super.open(f, bufferSize))
 }
@@ -53,6 +56,7 @@ object CountingFileSystem {
   private[sources] def enter(): Boolean = {
     val d = depth.get; depth.set(d + 1); d == 0
   }
+  private[sources] def enterPeek: Boolean = depth.get == 0
   private[sources] def exit(): Unit = depth.set(depth.get - 1)
   def reset(): Unit = { listings.set(0); stats.set(0); opens.set(0) }
   def counts: (Int, Int, Int) = (listings.get, stats.get, opens.get)
@@ -202,6 +206,74 @@ class EdfPlanningRpcSpec extends SparkSpec {
     val dup = planCountsOpt("paths", s"""["cfs:$d","cfs:$d"]""")
     assert(dup == single,
       s"duplicate spec re-planned: $dup != $single")
+  }
+
+  test("fenced multi-directory glob: 3·(1+N) listings + per-fence cost only") {
+    // The 100 TB read shape: one glob spanning N partition directories
+    // of which k carry a crashed export's fence. The budget must be
+    // EXACTLY the steady multi-dir budget plus k·(one manifest read +
+    // one manifest-length HEAD + one 3-listing staging walk) — nothing
+    // per data file, nothing per unfenced directory beyond the glob's
+    // own 3 listings, no cross-directory interference.
+    // Two files per directory, NOT one: Hadoop's Globber cannot tell a
+    // one-entry listing of a directory from a listing of a file, so it
+    // disambiguates every SINGLE-CHILD matched directory with an extra
+    // getFileStatus per glob (3 per plan here) — a real object-store
+    // cost worth knowing (single-file partition dirs pay 3 extra HEADs
+    // per planned glob), but the Globber's, not the planner's, so this
+    // pin keeps it out of frame.
+    def layout(fenced: Set[Int]): String = {
+      val base = tmpDir("rpc_multifence")
+      (0 until 6).foreach { i =>
+        Files.createDirectories(Paths.get(s"$base/d$i"))
+        Files.write(Paths.get(s"$base/d$i/rec0.edf"), "x".getBytes(UTF_8))
+        Files.write(Paths.get(s"$base/d$i/rec1.edf"), "x".getBytes(UTF_8))
+        if (fenced(i)) {
+          val stage = Paths.get(s"$base/d$i/_temporary/q$i/task-0-0")
+          Files.createDirectories(stage)
+          val staged = stage.resolve(s"new$i.edf")
+          Files.write(staged, "staged".getBytes(UTF_8))
+          Files.write(Paths.get(s"$base/d$i/" + EdfBatchWrite.fenceName(
+            EdfBatchWrite.ManifestPrefix, 1, s"q$i")),
+            s"$staged\tnew$i.edf\n".getBytes(UTF_8))
+        }
+      }
+      base
+    }
+    assert(planCounts(s"${layout(Set.empty)}/*/*.edf") == ((3 * (1 + 6), 1, 0)),
+      "steady multi-dir baseline moved")
+    val k = 2
+    val (ls, st, op) = planCounts(s"${layout(Set(1, 4))}/*/*.edf")
+    assert(ls == 3 * (1 + 6) + k * 3,
+      s"listings=$ls (want ${3 * (1 + 6) + k * 3}: 3·(1+N) glob + one " +
+        "3-listing staging walk per fenced dir)")
+    assert(op == k, s"opens=$op (want $k: one manifest read per fence)")
+    assert(st == 1 + k,
+      s"stats=$st (want ${1 + k}: the spec isDirectory probe + one " +
+        "manifest-length HEAD per fence)")
+  }
+
+  test("multi-path load costs exactly the sum of its members' budgets") {
+    // load(steadyDir, fencedDir, glob) over three DISTINCT directories:
+    // the union of per-spec plans must not re-list, re-probe, or
+    // re-read anything across members — the multi-path budget is the
+    // member budgets' exact sum (the VERDICT r13 item 2(b) pin; the
+    // dup-spec test above pins the other side, that a REPEATED member
+    // costs zero).
+    val steadyDir = mkDir("rpc_sum_dir", files = 2, fences = 0)
+    val fencedDir = mkDir("rpc_sum_fenced", files = 1, fences = 1)
+    val globDir = mkDir("rpc_sum_glob", files = 2, fences = 0)
+    val members = Seq(steadyDir, fencedDir, s"$globDir/*.edf")
+    val single = members.map(m => planCounts(m))
+    val sum = single.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    // Known per-member budgets (pinned individually above): steady dir
+    // (1,1,0) + one-fence dir (4,2,1) + steady glob (3,1,0) = (8,4,1).
+    assert(sum == ((8, 4, 1)), s"member budgets moved: $single")
+    val multi = planCountsOpt("paths",
+      members.map(m => s""""cfs:$m"""").mkString("[", ",", "]"))
+    assert(multi == sum,
+      s"multi-path load cost diverged from the sum of its members: " +
+        s"$multi != $sum")
   }
 
   test("multi-directory glob: constant listings per directory spanned") {
