@@ -465,7 +465,8 @@ object ScaleCheck {
       // DIRECTORY across decades: EdfPlanningRpcSpec pins the per-load RPC
       // budget, this leg pins the wall-clock side. Layout creation is
       // untimed; planning opens no data file.
-      val (tGlobS, tGlobF, nGlobParts, nGlobPartsF, nGlobDirs) =
+      val (tGlobS, tGlobF, nGlobParts, nGlobPartsF, nGlobDirs,
+          tMulti10, tMulti100) =
         if (legFilter.forall(_.contains("glob_plan"))) {
           import java.nio.file.{Files => JFiles, Paths => JPaths}
           val nDirs = 100 * r
@@ -480,6 +481,19 @@ object ScaleCheck {
             def planParts(): Long = spark.read.format("edf")
               .load(s"$base/*/*.edf").rdd.getNumPartitions.toLong
             val (tS, nS) = time(planParts())
+            // Multi-path planning wall: load(dir_0, …, dir_{M-1}) over
+            // the same layout at M ∈ {10, 100} — a union of M per-spec
+            // plans (one listing + one isDirectory HEAD each, per the
+            // EdfPlanningRpcSpec member-sum pin) must stay LINEAR in M
+            // with the same per-directory constant as the glob, not
+            // quadratic in the union/dedup step.
+            def planMulti(m: Int): Long = spark.read.format("edf")
+              .load((0 until m).map(i => s"$base/part$i"): _*)
+              .rdd.getNumPartitions.toLong
+            val (tM10, nM10) = time(planMulti(10))
+            val (tM100, nM100) = time(planMulti(100))
+            require(nM10 == 20L && nM100 == 200L,
+              s"multi-path planned $nM10/$nM100 partitions (want 20/200)")
             (0 until nDirs by 100).foreach { i =>
               val stage = JPaths.get(s"$base/part$i/_temporary/q/task-0-0")
               JFiles.createDirectories(stage)
@@ -493,7 +507,7 @@ object ScaleCheck {
             val (tF, nF) = time(planParts())
             require(nS == 2L * nDirs && nF == nS + nDirs / 100,
               s"glob_plan planned $nS/$nF partitions over $nDirs dirs")
-            (tS, tF, nS, nF, nDirs)
+            (tS, tF, nS, nF, nDirs, tM10, tM100)
           } finally {
             // A failed require must not leak the 100·R-directory layout.
             val walk = JFiles.walk(JPaths.get(base))
@@ -502,7 +516,7 @@ object ScaleCheck {
               .forEach(p => JFiles.deleteIfExists(p))
             finally walk.close()
           }
-        } else (-1.0, -1.0, -1L, -1L, -1)
+        } else (-1.0, -1.0, -1L, -1L, -1, -1.0, -1.0)
 
       println(f"""{"rep":$r,"docs":$nDocs,"lsh_cand_s":$tCand%.2f,"cands":$nCand,""" +
         f""""dedup_cluster_s":$tFull%.2f,"clusters":$nClusters,""" +
@@ -528,7 +542,9 @@ object ScaleCheck {
         f""""glob_dirs":$nGlobDirs,"glob_plan_steady_s":$tGlobS%.3f,""" +
         f""""glob_plan_parts":$nGlobParts,""" +
         f""""glob_plan_fenced_s":$tGlobF%.3f,""" +
-        f""""glob_fenced_parts":$nGlobPartsF}""")
+        f""""glob_fenced_parts":$nGlobPartsF,""" +
+        f""""multipath10_plan_s":$tMulti10%.3f,""" +
+        f""""multipath100_plan_s":$tMulti100%.3f}""")
     }
     spark.stop()
   }
