@@ -217,8 +217,11 @@ object BoundedStream {
         .option("checkpointLocation", ckptRoot)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          // WARN, not info: this line is explicit opt-in (the env flag)
+          // and must not be silently dropped by the common WARN-level
+          // console config — a second hidden gate on a debug switch.
           if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-            graft.Log.info(s"[stream] batch $id rows=${batch.count()}")
+            graft.Log.warn(s"[stream] batch $id rows=${batch.count()}")
           batch.write.mode("append").parquet(outPath)
         }
         .start()

@@ -111,6 +111,15 @@ class EdfPlanningRpcSpec extends SparkSpec {
   private def planCounts(pattern: String): (Int, Int, Int) =
     planCountsOpt("path", s"cfs:$pattern")
 
+  /** Encode a paths option with a real JSON writer (what
+    * DataFrameReader.load does) — naive quoting would produce invalid
+    * JSON for a path containing '"' or '\' and, under the strict
+    * parser, fail the test on the parse error instead of its budget.
+    */
+  private def pathsJson(paths: Seq[String]): String =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(paths.toArray)
+
   /** `files` committed data files plus `fences` crashed-export
     * manifests, each mentioning `namesPerFence` still-staged brand-new
     * files — the canonical states the planner resolves.
@@ -203,7 +212,7 @@ class EdfPlanningRpcSpec extends SparkSpec {
     // budget (or the fenced staging walk) on an object store.
     val d = mkDir("rpc_dupspec", files = 2, fences = 1)
     val single = planCounts(d)
-    val dup = planCountsOpt("paths", s"""["cfs:$d","cfs:$d"]""")
+    val dup = planCountsOpt("paths", pathsJson(Seq(s"cfs:$d", s"cfs:$d")))
     assert(dup == single,
       s"duplicate spec re-planned: $dup != $single")
   }
@@ -269,8 +278,7 @@ class EdfPlanningRpcSpec extends SparkSpec {
     // Known per-member budgets (pinned individually above): steady dir
     // (1,1,0) + one-fence dir (4,2,1) + steady glob (3,1,0) = (8,4,1).
     assert(sum == ((8, 4, 1)), s"member budgets moved: $single")
-    val multi = planCountsOpt("paths",
-      members.map(m => s""""cfs:$m"""").mkString("[", ",", "]"))
+    val multi = planCountsOpt("paths", pathsJson(members.map("cfs:" + _)))
     assert(multi == sum,
       s"multi-path load cost diverged from the sum of its members: " +
         s"$multi != $sum")
