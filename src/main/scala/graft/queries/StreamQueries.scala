@@ -11,7 +11,7 @@ import graft.streaming.BoundedStream
 
 /** Structured Streaming made oracle-faced (SURVEY §2.12): each query runs a
   * REAL streaming job — file source, event-time watermark, stateful
-  * aggregation, append-mode sink, three micro-batches — through
+  * aggregation, append-mode sink, two micro-batches — through
   * [[graft.streaming.BoundedStream]], whose heartbeat punctuation makes the
   * emitted set byte-deterministic. The DuckDB oracle recomputes the full
   * aggregation in batch SQL from the SAME staged input file, so the

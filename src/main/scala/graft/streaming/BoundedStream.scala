@@ -23,18 +23,25 @@ import org.apache.spark.sql.streaming.Trigger
   *  2. two heartbeat files carrying a single sentinel row each (event time
   *     `maxTs + 10h` and `+20h`) are staged next to it with strictly
   *     increasing modification times;
-  *  3. the query runs with `maxFilesPerTrigger=1` + `Trigger.AvailableNow`,
-  *     so the file source serves exactly three micro-batches in mtime
-  *     order.
+  *  3. the query runs with `maxFilesPerTrigger=2` + `Trigger.AvailableNow`,
+  *     so the file source serves the files two per micro-batch in mtime
+  *     order: batch 1 = [real, heartbeat #1], batch 2 = [heartbeat #2].
   *
   * Batch k emits windows whose end ≤ the watermark as of the end of batch
-  * k-1. After heartbeat #1 the watermark stands at `maxTs + 10h − delay`,
-  * past every real window, so by the end of heartbeat #2's batch every
-  * real window has been emitted exactly once. The heartbeats' own windows
-  * end after the final watermark and never emit (callers also filter the
-  * sentinel key as belt-and-braces). Output is therefore exactly the
-  * batch-mode aggregation of the real input — byte-deterministic, which is
-  * what the DuckDB oracle hash-checks.
+  * k-1. Heartbeat #1 rides in the SAME batch as the real input (punctuation
+  * arriving in the same source poll — the watermark is computed over the
+  * whole batch), so the watermark already stands at `maxTs + 10h − delay`,
+  * past every real window, when batch 2 starts; heartbeat #2's batch then
+  * emits every real window exactly once. One fewer micro-batch than the
+  * round-8 one-file-per-trigger shape for the IDENTICAL emitted set (append
+  * mode emits each window exactly once; which batch it lands in is
+  * invisible to the unordered output parquet) — and each micro-batch costs
+  * a fixed driver toll (incremental planning, offset/commit WAL, state
+  * store commits) that JobProf measured at ~0.5-1 s/batch locally. The
+  * heartbeats' own windows end after the final watermark and never emit
+  * (callers also filter the sentinel key as belt-and-braces). Output is
+  * therefore exactly the batch-mode aggregation of the real input —
+  * byte-deterministic, which is what the DuckDB oracle hash-checks.
   *
   * At scale nothing here is toy-shaped: the same topology (file/queue
   * source → watermark → windowed state → append sink) runs unbounded on a
@@ -71,8 +78,8 @@ object BoundedStream {
     }
 
   /** Run `aggregate` (a watermarked stateful transform) over `realEvents`
-    * plus heartbeats, three micro-batches, append mode; returns the
-    * emitted rows read back from the staged sink.
+    * plus heartbeats, two micro-batches ([real, hb1], [hb2]), append mode;
+    * returns the emitted rows read back from the staged sink.
     *
     * @param realEvents finite batch input; must contain event-time column
     *        `ts` (TimestampType). Staged to `<base>/in/00_events.parquet` —
@@ -106,7 +113,13 @@ object BoundedStream {
     * emits in the batch that EVICTS its state, which must START with both
     * watermarks already past the row's expiry, so the eviction-and-emit
     * batch has to be a batch AFTER the one whose heartbeat advanced the
-    * watermark. Three heartbeats give that trailing batch deterministically.
+    * watermark. With two files per trigger that trailing batch is
+    * [hb2, hb3]: batch 1 = [real, hb1] advances both watermarks past every
+    * real row's expiry, batch 2 evicts and emits the null rows (its extra
+    * heartbeats only advance watermarks further). The third heartbeat is
+    * kept so the eviction batch exists even if a side's real file is empty
+    * of one event type (the file count, not the row content, decides the
+    * batch layout).
     */
   def runPairHb(spark: SparkSession, base: String,
       left: DataFrame, leftHb: Seq[DataFrame],
@@ -187,9 +200,14 @@ object BoundedStream {
 
   private def source(spark: SparkSession, dir: Path,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    // Two files per trigger: the real input and heartbeat #1 share batch 1
+    // (the watermark is computed over the whole batch, so batch 2 already
+    // starts past every real window/expiry), halving the fixed
+    // per-micro-batch toll vs one-file-per-trigger for the identical
+    // emitted set — see the object doc.
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .parquet(dir.toString)
 
   private def runQuery(spark: SparkSession, basePath: Path,

@@ -140,4 +140,56 @@ class BoundedStreamSpec extends SparkSpec {
       (10L, 1L, Some(4L)), (20L, 3L, Some(7L)), (30L, 8L, None)),
       s"got ${got.toSeq}")
   }
+
+  test("the harness serves the three input files in exactly two data batches") {
+    // r14 optimization pin: each micro-batch costs a fixed driver toll
+    // (incremental planning, offset/commit WAL, state-store commits), so the
+    // harness groups [real, hb1] into batch 1 and [hb2] into batch 2 via
+    // maxFilesPerTrigger=2 — the emitted set is identical to the old
+    // one-file-per-trigger shape (the suite's first test pins that), and
+    // this pins the batch layout so a regression back to three data batches
+    // (or an accidental single batch, which would emit NOTHING) fails here,
+    // not in a bench diff. Spark may append trailing NO-DATA batches
+    // (numInputRows == 0) for watermark finalization; only data batches are
+    // counted.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val rowsPerBatch = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var terminated = false
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        rowsPerBatch.add(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        terminated = true
+    }
+    spark.streams.addListener(listener)
+    try {
+      val real = Seq(
+        (1L, 10L, "click", 1.0, ts(5)),
+        (2L, 10L, "click", 2.0, ts(61)))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val hb = (h: Int, id: Long) =>
+        Seq((id, -1L, "_hb", 0.0, ts(61 + h * 60)))
+          .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val out = BoundedStream.run(
+        spark, tmpDir("bounded_batches"), real, (hb(10, -1L), hb(20, -2L)),
+        st =>
+          st.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("ws"), col("event_type"), col("n")))
+      assert(out.filter(col("event_type") =!= "_hb").count() == 2)
+      // The listener bus is async: wait for the terminated event before
+      // reading the progress queue.
+      val deadline = System.currentTimeMillis() + 30000
+      while (!terminated && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(terminated, "streaming listener never saw query termination")
+      import scala.jdk.CollectionConverters._
+      val data = rowsPerBatch.asScala.toSeq.filter(_ > 0)
+      assert(data == Seq(3L, 1L),
+        s"expected data batches [real+hb1 = 3 rows, hb2 = 1 row], got $data")
+    } finally spark.streams.removeListener(listener)
+  }
 }
