@@ -195,8 +195,7 @@ object OpsEvalQueries {
           roundTo = Some(4))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       // Shared float ground truth (the e10 shape): deliberate broadcast
-      // brute-force over the SAMPLED query set; persisted — it feeds both
-      // recall legs.
+      // brute-force over the SAMPLED query set.
       val allPairs = broadcast(queries.select(col("vec_id").as("query_id")))
         .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -204,20 +203,30 @@ object OpsEvalQueries {
         .rerankTopK(allPairs, emb, "vec_id", "embedding", k = 5,
           roundTo = Some(4))
         .select(col("query_id"), col("neighbor_id"))
-        .persist()
-      def recallOf(ann: DataFrame, label: String): DataFrame =
-        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_exact"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-          .select(lit(label).as("index_type"), col("query_id"),
-            col("n_exact"), col("n_hits"),
-            graft.Norm.rz(col("n_hits") / col("n_exact").cast("double"), 4)
-              .as("recall_at_5"))
-      recallOf(ivfTop, "ivf").unionAll(recallOf(pqTop, "pq"))
-        .unionAll(recallOf(quantTop, "quantized"))
-        .unionAll(recallOf(binTop, "binary"))
-        .unionAll(recallOf(ivfPqTop, "ivfpq"))
+      // Recall assembly in ONE pass (r14): the five ANN top-5 sets union
+      // under an index_type tag, the exact truth fans out once per tag
+      // (tiny — 5 × |queries|·5 rows), and a single left join + aggregate
+      // replaces five join+aggregate branches — the r14 JobProf audit put
+      // the per-branch assembly at ~10 of e11's 49 jobs, pure scheduling
+      // floor at eval-row counts. The former per-branch exact.persist()
+      // goes too: the truth now has exactly one consumer.
+      import s.implicits._
+      val tagged = ivfTop.withColumn("index_type", lit("ivf"))
+        .unionByName(pqTop.withColumn("index_type", lit("pq")))
+        .unionByName(quantTop.withColumn("index_type", lit("quantized")))
+        .unionByName(binTop.withColumn("index_type", lit("binary")))
+        .unionByName(ivfPqTop.withColumn("index_type", lit("ivfpq")))
+      val types = Seq("ivf", "pq", "quantized", "binary", "ivfpq")
+        .toDF("index_type")
+      exact.crossJoin(broadcast(types))
+        .join(tagged, Seq("index_type", "query_id", "neighbor_id"), "left")
+        .groupBy("index_type", "query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("index_type"), col("query_id"),
+          col("n_exact"), col("n_hits"),
+          graft.Norm.rz(col("n_hits") / col("n_exact").cast("double"), 4)
+            .as("recall_at_5"))
         .orderBy("index_type", "query_id")
     },
     Some(
@@ -448,23 +457,39 @@ object OpsEvalQueries {
         Dedup.simhashCandidatePairs(Dedup.simhash64(docs))
           .select("d1", "d2").distinct(),
         dir, "d7_sim_cands")
-      // truth feeds four consumers (two count aggregates + two semi-joins):
-      // persist so the blocked self-join computes once, not four times.
+      // truth feeds two consumers (the count aggregate + the hit join):
+      // persist so the blocked self-join computes once, not twice.
       val truth = Dedup.exactJaccardPairsFromShingles(sh)
         .filter(col("jaccard") >= 0.5).select("d1", "d2").persist()
-      def metricsOf(cands: DataFrame, label: String): DataFrame =
-        cands.agg(count(lit(1)).as("n_cands"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-          .crossJoin(truth.join(cands, Seq("d1", "d2"), "left_semi")
-            .agg(count(lit(1)).as("n_hits")))
-          .select(lit(label).as("method"), col("n_cands"), col("n_truth"),
-            col("n_hits"),
-            graft.Norm.rz(col("n_hits") /
-              nullif(col("n_cands").cast("double"), lit(0.0)), 4).as("prec"),
-            graft.Norm.rz(col("n_hits") /
-              nullif(col("n_truth").cast("double"), lit(0.0)), 4)
-              .as("recall"))
-      metricsOf(lshCands, "lsh").unionAll(metricsOf(simCands, "simhash"))
+      // Metrics assembly in ONE pass over a method-tagged union of the two
+      // candidate sets (each distinct on (d1, d2), so the inner-join hit
+      // count equals the former per-method semi-join count): 3 aggregates +
+      // 1 join instead of 6 aggregates + 2 semi-joins + 4 cross joins — the
+      // r14 JobProf audit measured the per-branch assembly at ~15 of d7's
+      // 46 jobs, pure scheduling floor at any scale's metrics row counts.
+      // The literal method frame keeps a zero-candidate method's row (the
+      // old per-method aggregate emitted one row even over empty input).
+      import s.implicits._
+      val tagged = lshCands.withColumn("method", lit("lsh"))
+        .unionByName(simCands.withColumn("method", lit("simhash")))
+      val candCounts = tagged.groupBy("method")
+        .agg(count(lit(1)).as("n_cands"))
+      val hitCounts = truth.join(tagged, Seq("d1", "d2"))
+        .groupBy("method").agg(count(lit(1)).as("n_hits"))
+      Seq("lsh", "simhash").toDF("method")
+        .join(candCounts, Seq("method"), "left")
+        .join(hitCounts, Seq("method"), "left")
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("method"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .select(col("method"), col("n_cands"), col("n_truth"), col("n_hits"),
+          graft.Norm.rz(col("n_hits") /
+            nullif(col("n_cands").cast("double"), lit(0.0)), 4).as("prec"),
+          graft.Norm.rz(col("n_hits") /
+            nullif(col("n_truth").cast("double"), lit(0.0)), 4)
+            .as("recall"))
         .orderBy("method")
     },
     Some(

@@ -505,8 +505,13 @@ object TextLmQueries {
           col("cnt").as("top_n"))
       // Corpus vocabulary as a sorted array (freq desc, token asc); the
       // token's 1-based position is its id. Bounded by construction:
-      // |vocab| ≤ distinct chars + 20 merge products.
-      val vocab = docTokens.groupBy("token").agg(count(lit(1)).as("vn"))
+      // |vocab| ≤ distinct chars + 20 merge products. Derived from
+      // perDocTok (vn = sum of per-doc counts ≡ occurrence count) rather
+      // than docTokens so the whole query shares ONE (doc_id, token)
+      // exchange — the docTokens spelling re-ran the BPE fold a second
+      // time for the vocabulary branch (r14; fold = rules × corpus chars,
+      // the query's dominant CPU at any scale).
+      val vocab = perDocTok.groupBy("token").agg(sum("cnt").as("vn"))
         .agg(sort_array(collect_list(
           struct((-col("vn")).as("negn"), col("token").as("t")))).as("v"))
       perDoc.join(top, "doc_id")

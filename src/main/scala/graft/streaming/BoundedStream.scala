@@ -57,16 +57,20 @@ object BoundedStream {
       mtimeMs: Long): Unit = {
     val tmp = Files.createTempDirectory("graft_stream_in")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val listing = Files.list(tmp)
-    val part =
-      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst.orElseThrow(() => new IllegalStateException("no part file"))
-      finally listing.close()
+    val part = onlyParquet(tmp, "")
     Files.createDirectories(dir)
     val dest = dir.resolve(name)
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
     deleteRecursively(tmp)
+  }
+
+  private def onlyParquet(dir: Path, what: String): Path = {
+    val listing = Files.list(dir)
+    try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst.orElseThrow(() =>
+        new IllegalStateException(s"no part file $what under $dir"))
+    finally listing.close()
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -188,14 +192,50 @@ object BoundedStream {
       throw new IllegalStateException("no batches ran")))
   }
 
+  /** Stage the real input + heartbeat files with ONE Spark write job
+    * instead of one job per file: the inputs are unioned under a literal
+    * `__file` index and written `partitionBy("__file")` in a single task,
+    * then each part file is moved up to its flat name with the pinned,
+    * strictly increasing mtimes the file source orders batches by. The
+    * staged BYTES per file are the same rows the per-file writes produced
+    * (the partition column is not stored), and nothing downstream is
+    * row-order-sensitive (the oracle and every stream transform are
+    * set/total-order based). Dynamic partition writes skip empty
+    * partitions, so a rows-empty input (possible for a join side at tiny
+    * scale factors) falls back to the per-file write — file COUNT decides
+    * the micro-batch layout and must not change.
+    */
   private def stageInputs(dir: Path, real: DataFrame,
       heartbeats: Seq[DataFrame]): Unit = {
     val t0 = System.currentTimeMillis()
-    stageFile(real, dir, "00_events.parquet", t0 - 30000)
-    heartbeats.zipWithIndex.foreach { case (hb, i) =>
-      stageFile(hb, dir, f"${i + 1}%02d_heartbeat.parquet",
-        t0 - 20000 + i * 5000)
+    val names = "00_events.parquet" +: heartbeats.indices
+      .map(i => f"${i + 1}%02d_heartbeat.parquet")
+    val mtimes = (t0 - 30000) +: heartbeats.indices
+      .map(i => t0 - 20000 + i * 5000L)
+    val inputs = real +: heartbeats
+    val tagged = inputs.zipWithIndex
+      .map { case (df, i) =>
+        df.withColumn("__file", org.apache.spark.sql.functions.lit(i))
+      }
+      .reduce(_ unionByName _)
+    val tmp = Files.createTempDirectory("graft_stream_in")
+    tagged.coalesce(1).write.mode("overwrite")
+      .partitionBy("__file").parquet(tmp.toString)
+    Files.createDirectories(dir)
+    inputs.indices.foreach { i =>
+      val pdir = tmp.resolve(s"__file=$i")
+      if (Files.isDirectory(pdir)) {
+        val dest = dir.resolve(names(i))
+        Files.move(onlyParquet(pdir, s"for __file=$i"), dest,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimes(i)))
+      } else {
+        // Zero-row input: dynamic partition writes emit no directory, but
+        // the file (schema-only) must exist — the batch layout counts files.
+        stageFile(inputs(i).limit(0), dir, names(i), mtimes(i))
+      }
     }
+    deleteRecursively(tmp)
   }
 
   private def source(spark: SparkSession, dir: Path,

@@ -5,12 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM via Test/fork). */
 object TestSpark {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
+  // Engine-default confs (graft.Sessions) apply here too, so specs assert
+  // behavior under the same session shape the bench/verify entrypoints run.
+  lazy val session: SparkSession = Sessions.engineDefaults(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC"))
     .getOrCreate()
 }
 
