@@ -46,12 +46,7 @@ object JobProf {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.engineDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "ALL") { sweepAll(spark, sfDir); spark.stop(); return }
     val q = Registry.byName(name)

@@ -24,18 +24,14 @@ object PlanDump {
     val sfDir = args(2)
     val names = args.drop(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.engineDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
-      val q = Registry.byName(name)
+      // byName inside the try: a typo'd name must skip to the next query
+      // (and still reach spark.stop()), not abort the remaining dumps.
       try {
-        val df = q.run(spark, sfDir)
+        val df = Registry.byName(name).run(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),

@@ -38,4 +38,19 @@ object Sessions {
       "true")
     .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
       (64L * 1024 * 1024).toString)
+
+  /** The local session shape every entrypoint shares — master =
+    * `local[cpus]`, shuffle partitions = cpus, UTC pinned (so `events.ts`
+    * NTZ→timestamp conversion is zone-independent even when launched
+    * outside sbt's javaOptions), UI off — with [[engineDefaults]] applied.
+    * Entry points chain their own extras (appName, SPARK_GRAFT_CONF
+    * overrides) on top; keeping the block HERE means the next engine-wide
+    * setting is one edit, not nine.
+    */
+  def localBuilder(cpus: String): SparkSession.Builder =
+    engineDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
 }

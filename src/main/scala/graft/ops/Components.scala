@@ -83,12 +83,23 @@ object Components {
     var converged = false
     while (rounds < maxIter && !converged) {
       val mid = propagationRound(edges, labels).localCheckpoint(false)
-      val next = propagationRound(edges, mid).localCheckpoint(false)
+      // Respect maxIter as a HARD round cap: the second round of a batch
+      // only runs while it stays under the cap (an odd cap's last batch is
+      // a single round). Sum equality at EITHER gap (one or two rounds)
+      // implies fixpoint — the label sum strictly decreases every
+      // non-fixpoint round.
+      val next =
+        if (rounds + 1 < maxIter) {
+          rounds += 2
+          propagationRound(edges, mid).localCheckpoint(false)
+        } else {
+          rounds += 1
+          mid
+        }
       val s = checksum(next)
       labels = next
       converged = prevSum.contains(s)
       prevSum = Some(s)
-      rounds += 2
     }
     labels
   }

@@ -211,13 +211,15 @@ object OpsEvalQueries {
       // floor at eval-row counts. The former per-branch exact.persist()
       // goes too: the truth now has exactly one consumer.
       import s.implicits._
-      val tagged = ivfTop.withColumn("index_type", lit("ivf"))
-        .unionByName(pqTop.withColumn("index_type", lit("pq")))
-        .unionByName(quantTop.withColumn("index_type", lit("quantized")))
-        .unionByName(binTop.withColumn("index_type", lit("binary")))
-        .unionByName(ivfPqTop.withColumn("index_type", lit("ivfpq")))
-      val types = Seq("ivf", "pq", "quantized", "binary", "ivfpq")
-        .toDF("index_type")
+      // ONE leg list drives both the tagged union and the type frame — a
+      // leg missing from the frame would otherwise be silently dropped by
+      // the crossJoin+left-join assembly instead of failing.
+      val legs = Seq(ivfTop -> "ivf", pqTop -> "pq",
+        quantTop -> "quantized", binTop -> "binary", ivfPqTop -> "ivfpq")
+      val tagged = legs
+        .map { case (df, t) => df.withColumn("index_type", lit(t)) }
+        .reduce(_ unionByName _)
+      val types = legs.map(_._2).toDF("index_type")
       exact.crossJoin(broadcast(types))
         .join(tagged, Seq("index_type", "query_id", "neighbor_id"), "left")
         .groupBy("index_type", "query_id")
@@ -470,13 +472,18 @@ object OpsEvalQueries {
       // The literal method frame keeps a zero-candidate method's row (the
       // old per-method aggregate emitted one row even over empty input).
       import s.implicits._
-      val tagged = lshCands.withColumn("method", lit("lsh"))
-        .unionByName(simCands.withColumn("method", lit("simhash")))
+      // ONE method list drives both the tagged union and the method frame
+      // (same discipline as e11's legs — divergence would silently drop a
+      // method's row).
+      val methods = Seq(lshCands -> "lsh", simCands -> "simhash")
+      val tagged = methods
+        .map { case (df, m) => df.withColumn("method", lit(m)) }
+        .reduce(_ unionByName _)
       val candCounts = tagged.groupBy("method")
         .agg(count(lit(1)).as("n_cands"))
       val hitCounts = truth.join(tagged, Seq("d1", "d2"))
         .groupBy("method").agg(count(lit(1)).as("n_hits"))
-      Seq("lsh", "simhash").toDF("method")
+      methods.map(_._2).toDF("method")
         .join(candCounts, Seq("method"), "left")
         .join(hitCounts, Seq("method"), "left")
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

@@ -67,10 +67,23 @@ object BoundedStream {
 
   private def onlyParquet(dir: Path, what: String): Path = {
     val listing = Files.list(dir)
-    try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst.orElseThrow(() =>
-        new IllegalStateException(s"no part file $what under $dir"))
-    finally listing.close()
+    val parts =
+      try {
+        val it = listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      } finally listing.close()
+    // Exactly one part file, loudly: a write split across several files
+    // (e.g. a maxRecordsPerFile conf injected for an experiment) must not
+    // silently stage a TRUNCATED input — both engines would then agree on
+    // the wrong bytes and parity would still pass.
+    if (parts.size != 1)
+      throw new IllegalStateException(
+        s"expected exactly one part file $what under $dir, found " +
+          s"${parts.size}: ${parts.map(_.getFileName).mkString(", ")}")
+    parts.head
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -213,6 +226,12 @@ object BoundedStream {
     val mtimes = (t0 - 30000) +: heartbeats.indices
       .map(i => t0 - 20000 + i * 5000L)
     val inputs = real +: heartbeats
+    // The tag column must not shadow a caller column: withColumn would
+    // silently REPLACE it and partitionBy would then strip it from the
+    // staged bytes while the stream still reads with the caller's schema.
+    require(!real.columns.contains("__file"),
+      "stageInputs: input schema may not contain a '__file' column " +
+        "(reserved for the single-job staging write)")
     val tagged = inputs.zipWithIndex
       .map { case (df, i) =>
         df.withColumn("__file", org.apache.spark.sql.functions.lit(i))

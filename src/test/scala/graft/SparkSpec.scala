@@ -7,13 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   // Engine-default confs (graft.Sessions) apply here too, so specs assert
   // behavior under the same session shape the bench/verify entrypoints run.
-  lazy val session: SparkSession = Sessions.engineDefaults(
-    SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC"))
+  lazy val session: SparkSession = Sessions.localBuilder("4")
+    .appName("graft-test")
     .getOrCreate()
 }
 
