@@ -156,19 +156,27 @@ object Bench {
     // before — leading with the payload gives the scrape its best chance.
     println(json)
     // BENCH_r06 showed the driver keeps only a 2000-byte stdout TAIL and
-    // parses from that — the full per-query line is 3.2+ KB, so it can
-    // never land intact (`parsed: null` every round, truncated at the
-    // head). Print a tail-sized summary LAST: same shape, total intact,
-    // `queries` trimmed to the slowest entries that fit the window (with
-    // sbt's ~100-byte `[success]` epilogue after it), and a pointer to the
+    // parses from that — the full per-query line is 3.3+ KB (re-measured
+    // r15: 3392 bytes for 133 queries), so it can never land intact
+    // (`parsed: null` every round, truncated at the head). Print a
+    // tail-sized summary LAST: same shape, total intact, `queries` trimmed
+    // to the slowest entries that fit the window, and a pointer to the
     // committed full artifact. A parsed total beats a null.
+    // Budget arithmetic (r15): 2000-byte tail − sbt's `[success] Total
+    // time: ...` epilogue (~75 B) − the `[info] ` prefix + newlines (~10 B)
+    // − this line's non-queries envelope (~170 B) leaves ≈1745 B for the
+    // queries map; 1560 keeps a ~180-byte safety margin (a longer epilogue
+    // must never truncate the line's head — a parsed 60-query line beats an
+    // unparseable 133-query one). BENCH_r14 `parsed` carried 49 queries
+    // inside the old 1200 budget; this lifts the driver's round-over-round
+    // PERF coverage to the slowest ~62 without risking the parse.
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1)
     val keptQs = new StringBuilder
     var used = 0
     var omitted = 0
     slowest.foreach { case (k, (med, _, _)) =>
       val ent = "\"" + k + "\":" + round3(med)
-      if (used + ent.length <= 1200) {
+      if (used + ent.length <= 1560) {
         if (used > 0) keptQs.append(',')
         keptQs.append(ent); used += ent.length + 1
       } else omitted += 1

@@ -288,6 +288,17 @@ object BoundedStream {
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shuffleKey)
     spark.conf.set(shuffleKey, "2")
+    // No-data micro-batches only exist to advance event-time state past a
+    // watermark that moved without new data. Here batch 2 ([hb2]) already
+    // runs with both heartbeats observed, so every REAL window/expiry has
+    // emitted by the end of the last data batch; the trailing no-data batch
+    // can only emit heartbeat-keyed rows (callers filter the sentinel key)
+    // yet pays the full fixed micro-batch toll (incremental planning,
+    // offset/commit WAL, state commits — the dominant per-query cost
+    // locally). Scoped + restored like the partition conf.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
     try {
       val query = streamed.writeStream
         .outputMode("append")
@@ -303,7 +314,10 @@ object BoundedStream {
         }
         .start()
       query.awaitTermination()
-    } finally spark.conf.set(shuffleKey, prevShuffle)
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(noDataKey, prevNoData)
+    }
     spark.read.parquet(outPath)
   }
 }
